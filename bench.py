@@ -1,0 +1,165 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Measures on the current default JAX platform (TPU under the driver):
+- piano-roll sampling throughput (samples/sec/chip) through the full jitted
+  generator pipeline (feature encoder + generator)
+- WGAN-GP training throughput in reference-equivalent batch-steps/sec
+  (one fused group step = critic_iters batches + 1 G update)
+- p50 end-to-end MIDI generation latency (prompt → .mid bytes)
+
+Baseline: the same sampling pipeline on one CPU host core set
+(`--cpu-baseline` subprocess), matching the BASELINE.json target definition
+(≥10× CPU sampling throughput; ≥5× train steps/sec).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def _bench_sampling(sampler, batch: int, iters: int, warmup: int = 2):
+    import jax
+    import jax.numpy as jnp
+
+    idx = jnp.zeros((batch,), jnp.int32)
+    step = sampler._step
+    for i in range(warmup):
+        jax.block_until_ready(
+            step(sampler.gen_variables, sampler.fe_variables, jax.random.PRNGKey(i), idx, batch=batch)
+        )
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = step(
+            sampler.gen_variables, sampler.fe_variables, jax.random.PRNGKey(100 + i), idx, batch=batch
+        )
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def _bench_train(iters: int = 20, warmup: int = 2):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from melogan_tpu.config import EDConfig, GANConfig
+    from melogan_tpu.train import gan_step
+
+    cfg = GANConfig()  # reference shapes: batch 32, 512×4 notes
+    models = gan_step.build_models(cfg, EDConfig())
+    state = gan_step.init_state(cfg, models, seed=0)
+    group_step = jax.jit(gan_step.make_train_steps(cfg, models)[0])
+
+    rng = np.random.default_rng(0)
+    k, b = cfg.critic_iters, cfg.batch_size
+    batches = (
+        jnp.asarray(rng.normal(size=(k, b, cfg.max_notes, cfg.note_dim)), jnp.float32),
+        jnp.asarray(rng.integers(0, 4, size=(k, b)), jnp.int32),
+        jnp.asarray(rng.normal(size=(k, b, cfg.latent_dim)), jnp.float32),
+        jnp.asarray(rng.normal(size=(k, b, cfg.numeric_input_dim)), jnp.float32),
+    )
+    for _ in range(warmup):
+        state, metrics = group_step(state, batches)
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = group_step(state, batches)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+    # one group = critic_iters reference batch-steps
+    return iters * k / dt
+
+
+def _bench_latency(sampler, n: int = 20):
+    import io
+
+    from melogan_tpu.midi.codec import piano_roll_to_song
+    from melogan_tpu.sampling import EMOTION_BPM, emotion_scale
+
+    lat = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        notes = sampler.sample_notes(["happy"], seed=i)[0]
+        song = piano_roll_to_song(notes, bpm=EMOTION_BPM["happy"], scale=emotion_scale("happy"))
+        _ = song.to_bytes()
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    return lat[len(lat) // 2]
+
+
+def run(cpu_baseline: bool = False):
+    import jax
+
+    # persistent compile cache: first driver run pays ~minutes of XLA compile
+    # for the second-order WGAN-GP program; subsequent runs are instant
+    cache_dir = os.path.join(REPO, ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if cpu_baseline:
+        jax.config.update("jax_platforms", "cpu")
+
+    from melogan_tpu.config import GANConfig
+    from melogan_tpu.sampling import Sampler
+
+    sampler = Sampler(GANConfig(), seed=0)
+    if cpu_baseline:
+        result = {
+            "samples_per_sec": _bench_sampling(sampler, batch=64, iters=5),
+            "train_steps_per_sec": _bench_train(iters=2, warmup=1),
+        }
+        print("CPU_BASELINE " + json.dumps(result))
+        return result
+
+    samples_per_sec = _bench_sampling(sampler, batch=512, iters=10)
+    train_steps = _bench_train(iters=15)
+    p50_latency = _bench_latency(sampler)
+
+    # CPU baseline in a subprocess (fresh backend)
+    cpu = {"samples_per_sec": None, "train_steps_per_sec": None}
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
+            capture_output=True,
+            text=True,
+            timeout=1500,
+            cwd=REPO,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("CPU_BASELINE "):
+                cpu = json.loads(line[len("CPU_BASELINE "):])
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] cpu baseline failed: {e}", file=sys.stderr)
+
+    vs_baseline = (
+        samples_per_sec / cpu["samples_per_sec"] if cpu.get("samples_per_sec") else None
+    )
+    out = {
+        "metric": "piano_roll_samples_per_sec_per_chip",
+        "value": round(samples_per_sec, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "train_steps_per_sec": round(train_steps, 3),
+        "train_steps_vs_cpu": (
+            round(train_steps / cpu["train_steps_per_sec"], 2)
+            if cpu.get("train_steps_per_sec")
+            else None
+        ),
+        "p50_midi_gen_latency_ms": round(p50_latency * 1000, 2),
+        "cpu_samples_per_sec": round(cpu["samples_per_sec"], 2) if cpu.get("samples_per_sec") else None,
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    run(cpu_baseline="--cpu-baseline" in sys.argv)

@@ -1,0 +1,86 @@
+"""Synthetic emotion-structured MIDI corpus.
+
+The reference's raw training data (EMOPIA + VGMIDI, 1282 files) is not shipped
+— only the manifest. This generator produces a corpus with the same manifest
+schema and strongly emotion-differentiated musical statistics (tempo, register,
+velocity, mode, density) so the full pipeline — preprocess → VAE → ED → GAN →
+sample — trains and evaluates end-to-end.
+"""
+from __future__ import annotations
+
+import csv
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from melogan_tpu.midi.codec import SCALES
+from melogan_tpu.midi.midifile import MidiInstrument, MidiNote, MidiSong
+
+# per-emotion musical style: tempo, scale, pitch register, velocity, step beats
+EMOTION_STYLES: Dict[str, Dict] = {
+    "happy": dict(bpm=(120, 150), scale="major", root=0, pitch=(64, 84), vel=(80, 110), step=(0.25, 0.5), dur=(0.25, 1.0)),
+    "sad": dict(bpm=(60, 80), scale="minor", root=9, pitch=(45, 65), vel=(40, 60), step=(0.5, 1.5), dur=(1.0, 3.0)),
+    "angry": dict(bpm=(140, 175), scale="minor", root=4, pitch=(38, 70), vel=(100, 127), step=(0.125, 0.375), dur=(0.125, 0.5)),
+    "calm": dict(bpm=(80, 100), scale="major", root=5, pitch=(55, 75), vel=(45, 70), step=(0.5, 1.0), dur=(0.5, 2.0)),
+}
+
+
+def synth_song(emotion: str, rng: np.random.Generator, n_notes: int = 256) -> MidiSong:
+    style = EMOTION_STYLES[emotion]
+    bpm = float(rng.uniform(*style["bpm"]))
+    spb = 60.0 / bpm
+    intervals = SCALES[style["scale"]]
+    allowed = sorted((i + style["root"]) % 12 for i in intervals)
+
+    song = MidiSong(initial_tempo=bpm)
+    inst = MidiInstrument(program=0)
+    t_beats = 0.0
+    lo, hi = style["pitch"]
+    pitch = float(rng.integers(lo, hi))
+    for _ in range(n_notes):
+        pitch = float(np.clip(pitch + rng.normal(0, 4), lo, hi))
+        p = int(pitch)
+        # snap into the emotion's scale
+        pc = min(allowed, key=lambda a: abs(a - p % 12))
+        p = (p // 12) * 12 + pc
+        vel = int(np.clip(rng.uniform(*style["vel"]), 1, 127))
+        dur = float(rng.uniform(*style["dur"]))
+        inst.notes.append(
+            MidiNote(velocity=vel, pitch=p, start=t_beats * spb, end=(t_beats + dur) * spb)
+        )
+        t_beats += float(rng.uniform(*style["step"]))
+    song.instruments.append(inst)
+    return song
+
+
+def generate_corpus(
+    out_dir: str,
+    n_per_emotion: int = 16,
+    seed: int = 42,
+    n_notes: int = 256,
+) -> List[Tuple[str, str, str]]:
+    """Write `.mid` files + a reference-schema manifest CSV.
+
+    Returns (file_key, midi_path, emotion) entries for preprocessing.
+    """
+    rng = np.random.default_rng(seed)
+    raw_dir = os.path.join(out_dir, "raw")
+    os.makedirs(raw_dir, exist_ok=True)
+    entries = []
+    rows = []
+    for emotion in EMOTION_STYLES:
+        for i in range(n_per_emotion):
+            key = f"synth_{emotion}_{i:03d}"
+            path = os.path.join(raw_dir, f"{key}.mid")
+            synth_song(emotion, rng, n_notes=n_notes).write(path)
+            entries.append((key, path, emotion))
+            rows.append(
+                dict(file_key=key, emotion=emotion, source="synthetic", full_path=path)
+            )
+    manifest = os.path.join(out_dir, "data_manifest.csv")
+    with open(manifest, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=["file_key", "emotion", "source", "full_path"])
+        writer.writeheader()
+        writer.writerows(rows)
+    return entries

@@ -1,0 +1,135 @@
+"""Emotion-conditioned sampling pipeline: emotion → features → generator → MIDI.
+
+Reimplements the reference generation path (app.py:53-119 and the missing
+src/gan/test_gan.py, reconstructed per SURVEY.md §2.3/§2.10) as a single jitted
+XLA program over batched emotion prompts:
+
+- hand-tuned 6-d feature vectors per emotion + N(0, 0.15²) jitter
+- numeric FeatureEncoder (inference dropout 0) → 128-d embedding
+- Generator(noise, zeros-latent, embedding) → (B, 512, 4) notes
+- emotion → bpm {happy 140, sad 70, angry 160, calm 90} and scale
+  (major for happy/calm, minor otherwise)
+- vectorized MIDI codec at the file boundary
+
+The jitted step is batched over samples; throughput scales with batch on one
+chip and with data sharding across a mesh.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from melogan_tpu import EMOTIONS
+from melogan_tpu.config import GANConfig
+from melogan_tpu.midi.codec import save_piano_roll_to_midi
+from melogan_tpu.models.gan import FeatureEncoder, Generator
+
+# Hand-tuned per-emotion numeric feature bases (reference app.py:55-61).
+EMOTION_FEATURES: Dict[str, list] = {
+    "happy": [1.0, 1.0, 0.8, 0.8, 0.5, 0.5],
+    "sad": [-1.0, -1.0, -0.5, -0.5, -0.5, -0.5],
+    "angry": [1.0, -1.0, 1.0, 1.0, -0.8, 0.8],
+    "calm": [-1.0, 1.0, -0.8, -0.8, 0.5, -0.5],
+}
+
+# Serving bpm map (reference app.py:110) and scale selection (app.py:109).
+EMOTION_BPM: Dict[str, float] = {"happy": 140.0, "sad": 70.0, "angry": 160.0, "calm": 90.0}
+
+
+def emotion_scale(emotion: str) -> str:
+    return "major" if emotion in ("happy", "calm") else "minor"
+
+
+FEATURE_JITTER_STD = 0.15
+
+
+class Sampler:
+    """Holds generator + feature-encoder params and a compiled sample step."""
+
+    def __init__(
+        self,
+        cfg: Optional[GANConfig] = None,
+        gen_variables=None,
+        fe_variables=None,
+        seed: int = 42,
+    ):
+        self.cfg = cfg or GANConfig()
+        self.generator = Generator.from_config(self.cfg)
+        # serving uses dropout 0.0 in the feature encoder (app.py:41)
+        self.feature_encoder = FeatureEncoder.from_config(self.cfg, dropout=0.0)
+
+        key = jax.random.PRNGKey(seed)
+        kf, kg = jax.random.split(key)
+        dummy_feat = jnp.zeros((1, self.cfg.numeric_input_dim))
+        if fe_variables is None:
+            fe_variables = self.feature_encoder.init(kf, dummy_feat, train=False)
+        if gen_variables is None:
+            dummy_emb = jnp.zeros((1, self.cfg.encoder_out_dim))
+            dummy_noise = jnp.zeros((1, self.cfg.noise_dim))
+            dummy_latent = (
+                jnp.zeros((1, self.cfg.latent_dim))
+                if self.cfg.integration_mode == "conditioning"
+                else None
+            )
+            gen_variables = self.generator.init(
+                kg, dummy_noise, dummy_latent, dummy_emb, train=False
+            )
+        self.gen_variables = gen_variables
+        self.fe_variables = fe_variables
+        self._base_features = jnp.asarray(
+            np.stack([EMOTION_FEATURES[e] for e in EMOTIONS]), dtype=jnp.float32
+        )
+        self._step = jax.jit(self._sample_step, static_argnames=("batch",))
+
+    # ------------------------------------------------------------------
+    def _sample_step(self, gen_vars, fe_vars, rng, emotion_idx, batch: int):
+        """(rng, emotion_idx (B,)) → notes (B, 512, 4); fully on-device."""
+        k_feat, k_noise = jax.random.split(rng)
+        base = self._base_features[emotion_idx]
+        features = base + FEATURE_JITTER_STD * jax.random.normal(k_feat, base.shape)
+        emb = self.feature_encoder.apply(fe_vars, features, train=False)
+        noise = jax.random.normal(k_noise, (batch, self.cfg.noise_dim))
+        latent = (
+            jnp.zeros((batch, self.cfg.latent_dim))
+            if self.cfg.integration_mode == "conditioning"
+            else None
+        )
+        notes, _ = self.generator.apply(gen_vars, noise, latent, emb, train=False)
+        return notes
+
+    def sample_notes(self, emotions, seed: int = 0) -> np.ndarray:
+        """Generate (B, max_notes, 4) note arrays for a list of emotion names."""
+        unknown = [e for e in emotions if e not in EMOTIONS]
+        if unknown:
+            raise ValueError(
+                f"unknown emotion(s) {unknown}; valid emotions are {list(EMOTIONS)}"
+            )
+        idx = jnp.asarray([EMOTIONS.index(e) for e in emotions], dtype=jnp.int32)
+        rng = jax.random.PRNGKey(seed)
+        notes = self._step(
+            self.gen_variables, self.fe_variables, rng, idx, batch=len(emotions)
+        )
+        return np.asarray(notes)
+
+    def generate_midi(
+        self,
+        emotion: str,
+        output_path: str,
+        seed: int = 0,
+        bpm: Optional[float] = None,
+        instrument_name: str = "Acoustic Grand Piano",
+    ):
+        """End-to-end: one emotion prompt → .mid on disk. Returns the song."""
+        notes = self.sample_notes([emotion], seed=seed)[0]
+        return save_piano_roll_to_midi(
+            notes,
+            output_path,
+            bpm=bpm if bpm is not None else EMOTION_BPM[emotion],
+            scale=emotion_scale(emotion),
+            instrument_name=instrument_name,
+            verbose=False,
+        )

@@ -1,0 +1,290 @@
+"""WGAN-GP training as fused jitted XLA programs.
+
+Reference semantics reproduced exactly (src/gan/train_gan.py:159-251):
+
+- critic update on EVERY batch: generator forward (train-mode batch-norm, no
+  gradient into G), ``loss_d = mean(D(fake)) − mean(D(real)) + λ_gp·GP``
+- generator + feature-encoder update every ``critic_iters``-th batch, on that
+  same batch with fresh noise:
+  ``loss_g = −mean(D(G(z))) + λ_emo·CE(ED(G(z)), emotion)`` with the emotion
+  discriminator frozen in eval mode
+- gradient penalty with per-sample uniform α interpolates
+  (src/gan/utils.py:75-90) — in JAX this is a nested ``jax.grad`` through the
+  critic, differentiated again w.r.t. critic params; no retain_graph
+  machinery
+- Adam(β₁ 0.5, β₂ 0.9), lr_g 2e-4 over G+E_num jointly, lr_d 1e-4 over D
+
+TPU-first restructuring: the data-dependent "every 5th batch" Python schedule
+becomes a static-shape *group step* — ``lax.scan`` over ``critic_iters``
+stacked microbatches for the critic, then one generator update on the last
+microbatch — a single XLA program per group (one dispatch instead of six).
+A tail step handles the epoch remainder with critic-only updates. Batch-norm
+running statistics thread through both phases in their reference order.
+
+Under a sharded mesh the same program runs SPMD: microbatches are sharded on
+the 'data' axis and XLA inserts the gradient/batch-stat all-reduces on ICI.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from melogan_tpu.config import EDConfig, GANConfig
+from melogan_tpu.models.ed import EmotionDiscriminator
+from melogan_tpu.models.gan import Critic, FeatureEncoder, Generator
+
+
+class GANTrainState(struct.PyTreeNode):
+    step: jnp.ndarray  # group-step counter
+    gen_params: Any
+    gen_stats: Any  # generator batch-norm running stats
+    fe_params: Any
+    critic_params: Any
+    ed_params: Any  # frozen emotion discriminator (params + stats)
+    ed_stats: Any
+    opt_g: Any  # over (gen_params, fe_params) jointly
+    opt_d: Any
+    rng: jnp.ndarray
+
+
+class GANModels(NamedTuple):
+    generator: Generator
+    critic: Critic
+    feature_encoder: FeatureEncoder
+    ed: EmotionDiscriminator
+
+
+def build_models(cfg: GANConfig, ed_cfg: Optional[EDConfig] = None) -> GANModels:
+    ed_cfg = ed_cfg or EDConfig()
+    return GANModels(
+        generator=Generator.from_config(cfg),
+        critic=Critic.from_config(cfg),
+        feature_encoder=FeatureEncoder.from_config(cfg),
+        ed=EmotionDiscriminator.from_config(ed_cfg),
+    )
+
+
+def make_optimizers(cfg: GANConfig) -> Tuple[optax.GradientTransformation, optax.GradientTransformation]:
+    opt_g = optax.adam(cfg.lr_g, b1=cfg.beta1, b2=cfg.beta2)
+    opt_d = optax.adam(cfg.lr_d, b1=cfg.beta1, b2=cfg.beta2)
+    return opt_g, opt_d
+
+
+def init_state(
+    cfg: GANConfig,
+    models: GANModels,
+    seed: int = 42,
+    ed_variables: Optional[Dict] = None,
+    batch_size: Optional[int] = None,
+) -> GANTrainState:
+    """Initialize all params/opt-state. ``ed_variables`` loads a pre-trained
+    frozen emotion discriminator; otherwise it starts random (the reference
+    warns and proceeds identically, train_gan.py:128-129)."""
+    b = batch_size or cfg.batch_size
+    key = jax.random.PRNGKey(seed)
+    k_fe, k_g, k_d, k_ed, k_run = jax.random.split(key, 5)
+
+    feat = jnp.zeros((b, cfg.numeric_input_dim))
+    fe_vars = models.feature_encoder.init(k_fe, feat, train=False)
+
+    emb = jnp.zeros((b, cfg.encoder_out_dim))
+    noise = jnp.zeros((b, cfg.noise_dim))
+    latent = (
+        jnp.zeros((b, cfg.latent_dim)) if cfg.integration_mode == "conditioning" else None
+    )
+    gen_vars = models.generator.init(k_g, noise, latent, emb, train=False)
+
+    notes = jnp.zeros((b, cfg.max_notes, cfg.note_dim))
+    critic_vars = models.critic.init(k_d, notes, emb)
+
+    if ed_variables is None:
+        ed_variables = models.ed.init(k_ed, notes, train=False)
+    ed_params = ed_variables["params"]
+    ed_stats = ed_variables.get("batch_stats", {})
+
+    opt_g, opt_d = make_optimizers(cfg)
+    g_joint = (gen_vars["params"], fe_vars["params"])
+    return GANTrainState(
+        step=jnp.zeros((), jnp.int32),
+        gen_params=gen_vars["params"],
+        gen_stats=gen_vars.get("batch_stats", {}),
+        fe_params=fe_vars["params"],
+        critic_params=critic_vars["params"],
+        ed_params=ed_params,
+        ed_stats=ed_stats,
+        opt_g=opt_g.init(g_joint),
+        opt_d=opt_d.init(critic_vars["params"]),
+        rng=jax.random.PRNGKey(seed + 1),
+    )
+
+
+def cross_entropy(logits, labels) -> jnp.ndarray:
+    """torch CrossEntropyLoss semantics: mean over batch of −log_softmax[y]."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+
+
+def _gradient_penalty(critic: Critic, critic_params, real, fake, emb, alpha):
+    """((‖∇ₓD(interp)‖₂ − 1)²).mean() with per-sample α (utils.py:75-90)."""
+    interp = alpha * real + (1.0 - alpha) * fake
+
+    def critic_sum(x):
+        return jnp.sum(critic.apply({"params": critic_params}, x, emb))
+
+    grads = jax.grad(critic_sum)(interp)
+    norms = jnp.sqrt(jnp.sum(jnp.square(grads.reshape(grads.shape[0], -1)), axis=1) + 1e-12)
+    return jnp.mean(jnp.square(norms - 1.0))
+
+
+def make_train_steps(cfg: GANConfig, models: GANModels):
+    """Build (group_step, critic_only_step) pure functions (to be jitted).
+
+    group_step(state, batches) with each batch field stacked to
+    (critic_iters, B, ...): runs ``critic_iters`` critic updates then one
+    G+E update on the final microbatch. Returns (state, metrics).
+
+    critic_only_step(state, batches) with (K, B, ...) stacks: the epoch tail
+    (the reference updates D on every batch regardless of the G schedule).
+    """
+    gen, critic, fe, ed = models
+    opt_g, opt_d = make_optimizers(cfg)
+    lambda_gp, lambda_emo = cfg.lambda_gp, cfg.lambda_emotion
+
+    def fe_embed(fe_params, numeric, rng):
+        return fe.apply(
+            {"params": fe_params}, numeric, train=True, rngs={"dropout": rng}
+        )
+
+    def gen_forward(gen_params, gen_stats, noise, latent, emb):
+        (notes, glatent), mutated = gen.apply(
+            {"params": gen_params, "batch_stats": gen_stats},
+            noise,
+            latent,
+            emb,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        return notes, glatent, mutated["batch_stats"]
+
+    def latent_input(batch_latent):
+        return batch_latent if cfg.integration_mode == "conditioning" else None
+
+    # -- one critic update ------------------------------------------------
+    def critic_update(carry, batch):
+        critic_params, opt_d_state, gen_params, gen_stats, fe_params, rng = carry
+        real, emot_idx, latents, numeric = batch
+        b = real.shape[0]
+        rng, k_drop, k_noise, k_alpha = jax.random.split(rng, 4)
+
+        emb = fe_embed(fe_params, numeric, k_drop)
+        noise = jax.random.normal(k_noise, (b, cfg.noise_dim))
+        fake, _, gen_stats = gen_forward(
+            gen_params, gen_stats, noise, latent_input(latents), emb
+        )
+        fake = jax.lax.stop_gradient(fake)
+        alpha = jax.random.uniform(k_alpha, (b, 1, 1))
+
+        def loss_fn(cp):
+            d_real = critic.apply({"params": cp}, real, emb)
+            d_fake = critic.apply({"params": cp}, fake, emb)
+            gp = _gradient_penalty(critic, cp, real, fake, emb, alpha)
+            loss = jnp.mean(d_fake) - jnp.mean(d_real) + lambda_gp * gp
+            return loss, gp
+
+        (loss_d, gp), grads = jax.value_and_grad(loss_fn, has_aux=True)(critic_params)
+        updates, opt_d_state = opt_d.update(grads, opt_d_state, critic_params)
+        critic_params = optax.apply_updates(critic_params, updates)
+        carry = (critic_params, opt_d_state, gen_params, gen_stats, fe_params, rng)
+        return carry, (loss_d, gp)
+
+    # -- one generator+feature-encoder update -----------------------------
+    def gen_update(state: GANTrainState, batch, critic_params, gen_stats, rng):
+        real, emot_idx, latents, numeric = batch
+        b = real.shape[0]
+        rng, k_drop, k_noise = jax.random.split(rng, 3)
+
+        def loss_fn(joint):
+            gen_params, fe_params = joint
+            emb = fe_embed(fe_params, numeric, k_drop)
+            noise = jax.random.normal(k_noise, (b, cfg.noise_dim))
+            notes, glatent, new_stats = gen_forward(
+                gen_params, gen_stats, noise, latent_input(latents), emb
+            )
+            adv = -jnp.mean(critic.apply({"params": critic_params}, notes, emb))
+            ed_in = glatent if ed.input_mode == "latent" else notes
+            ed_vars = {"params": state.ed_params}
+            if state.ed_stats:
+                ed_vars["batch_stats"] = state.ed_stats
+            logits = ed.apply(ed_vars, ed_in, train=False)
+            emo = cross_entropy(logits, emot_idx)
+            return adv + lambda_emo * emo, (new_stats, adv, emo)
+
+        joint = (state.gen_params, state.fe_params)
+        (_, (new_stats, adv, emo)), grads = jax.value_and_grad(loss_fn, has_aux=True)(joint)
+        updates, opt_g_state = opt_g.update(grads, state.opt_g, joint)
+        gen_params, fe_params = optax.apply_updates(joint, updates)
+        return gen_params, fe_params, opt_g_state, new_stats, adv, emo, rng
+
+    # -- fused group step --------------------------------------------------
+    def group_step(state: GANTrainState, batches):
+        """batches: tuple of arrays stacked to (critic_iters, B, ...)."""
+        carry = (
+            state.critic_params,
+            state.opt_d,
+            state.gen_params,
+            state.gen_stats,
+            state.fe_params,
+            state.rng,
+        )
+        carry, (d_losses, gps) = jax.lax.scan(critic_update, carry, batches)
+        critic_params, opt_d_state, _, gen_stats, _, rng = carry
+
+        last_batch = jax.tree_util.tree_map(lambda x: x[-1], batches)
+        gen_params, fe_params, opt_g_state, gen_stats, adv, emo, rng = gen_update(
+            state, last_batch, critic_params, gen_stats, rng
+        )
+
+        new_state = state.replace(
+            step=state.step + 1,
+            gen_params=gen_params,
+            gen_stats=gen_stats,
+            fe_params=fe_params,
+            critic_params=critic_params,
+            opt_g=opt_g_state,
+            opt_d=opt_d_state,
+            rng=rng,
+        )
+        metrics = {
+            "loss_d_sum": jnp.sum(d_losses),
+            "gp_mean": jnp.mean(gps),
+            "loss_g_adv": adv,
+            "loss_g_emo": emo,
+        }
+        return new_state, metrics
+
+    # -- critic-only tail --------------------------------------------------
+    def critic_only_step(state: GANTrainState, batches):
+        carry = (
+            state.critic_params,
+            state.opt_d,
+            state.gen_params,
+            state.gen_stats,
+            state.fe_params,
+            state.rng,
+        )
+        carry, (d_losses, gps) = jax.lax.scan(critic_update, carry, batches)
+        critic_params, opt_d_state, _, gen_stats, _, rng = carry
+        new_state = state.replace(
+            critic_params=critic_params,
+            opt_d=opt_d_state,
+            gen_stats=gen_stats,
+            rng=rng,
+        )
+        return new_state, {"loss_d_sum": jnp.sum(d_losses), "gp_mean": jnp.mean(gps)}
+
+    return group_step, critic_only_step

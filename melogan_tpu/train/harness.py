@@ -1,0 +1,67 @@
+"""Shared training harness: plateau LR scheduling, early stopping, best-model
+tracking.
+
+One implementation serving all three workloads (the reference copy-pastes this
+machinery across train_ae.py:80-205, train_ed.py:160-207, with
+ReduceLROnPlateau(factor 0.5, patience 5) + early stopping + best-checkpoint
+on validation loss). Learning-rate control is host-side: the jitted steps use
+``optax.inject_hyperparams`` so the scheduler writes the new LR into the
+optimizer state without recompiling.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class ReduceLROnPlateau:
+    """torch-semantics plateau scheduler (mode 'min', rel threshold 1e-4)."""
+
+    factor: float = 0.5
+    patience: int = 5
+    threshold: float = 1e-4
+    min_lr: float = 1e-6
+    best: float = float("inf")
+    num_bad_epochs: int = 0
+
+    def step(self, metric: float, lr: float) -> float:
+        """Feed an epoch metric; returns the (possibly reduced) new LR."""
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        if self.num_bad_epochs > self.patience:
+            self.num_bad_epochs = 0
+            return max(lr * self.factor, self.min_lr)
+        return lr
+
+
+@dataclass
+class EarlyStopping:
+    """Stop after ``patience`` epochs without a new best metric."""
+
+    patience: int = 10
+    best: float = float("inf")
+    num_bad_epochs: int = 0
+    improved: bool = False
+
+    def step(self, metric: float) -> bool:
+        """Feed an epoch metric; returns True when training should stop.
+        ``self.improved`` flags whether this epoch set a new best."""
+        self.improved = metric < self.best
+        if self.improved:
+            self.best = metric
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        return self.num_bad_epochs >= self.patience
+
+
+def beta_schedule(epoch: int, warmup_epochs: int, final_beta: float) -> float:
+    """VAE KL annealing (reference train_ae.py:105-107): linear warm-up to
+    ``final_beta`` over ``warmup_epochs``, then constant."""
+    if epoch >= warmup_epochs:
+        return final_beta
+    return min(final_beta, (epoch / warmup_epochs) * final_beta)

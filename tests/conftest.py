@@ -1,17 +1,21 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
 Tests never require TPU hardware; multi-chip sharding paths are exercised on
-XLA's host-platform virtual devices.
+XLA's host-platform virtual devices. The platform override must go through
+``jax.config`` because the environment's TPU plugin hook overrides
+``JAX_PLATFORMS`` at interpreter startup.
 """
 import os
 
-# Must be set before jax is imported anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

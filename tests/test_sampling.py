@@ -1,0 +1,41 @@
+"""End-to-end sampling pipeline: emotion prompt → jitted generator → .mid."""
+import numpy as np
+
+from melogan_tpu import EMOTIONS
+from melogan_tpu.config import GANConfig
+from melogan_tpu.midi.midifile import read_midi
+from melogan_tpu.sampling import EMOTION_BPM, Sampler, emotion_scale
+
+
+def small_sampler():
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    return Sampler(cfg, seed=0)
+
+
+def test_sample_notes_shapes_and_determinism():
+    s = small_sampler()
+    notes = s.sample_notes(["happy", "sad", "angry", "calm"], seed=7)
+    assert notes.shape == (4, 64, 4)
+    assert np.isfinite(notes).all()
+    notes2 = s.sample_notes(["happy", "sad", "angry", "calm"], seed=7)
+    np.testing.assert_array_equal(notes, notes2)
+    notes3 = s.sample_notes(["happy", "sad", "angry", "calm"], seed=8)
+    assert not np.array_equal(notes, notes3)
+
+
+def test_generate_midi_end_to_end(tmp_path):
+    s = small_sampler()
+    for emotion in EMOTIONS:
+        out = tmp_path / f"test_{emotion}_1.mid"
+        s.generate_midi(emotion, str(out), seed=3)
+        song = read_midi(str(out))
+        expected_bpm = max(60.0, min(EMOTION_BPM[emotion], 180.0))
+        assert abs(song.initial_tempo - expected_bpm) < 0.01
+        assert len(song.instruments) == 1
+
+
+def test_emotion_scale_map():
+    assert emotion_scale("happy") == "major"
+    assert emotion_scale("calm") == "major"
+    assert emotion_scale("sad") == "minor"
+    assert emotion_scale("angry") == "minor"
