@@ -189,7 +189,13 @@ def raw_to_gan_normalized(notes_raw: np.ndarray) -> np.ndarray:
     pitch_n = np.clip((p / 128.0) * 2.0 - 1.0, -1.0, 1.0)
     vel_n = np.clip((np.clip(v, 0, 127) / 128.0) * 2.0 - 1.0, -1.0, 1.0)
     dur_n = np.clip(d / MAX_BEAT, 0.0, 1.0) * 2.0 - 1.0
-    step = np.diff(s, axis=-1, prepend=s[..., :1] * 0)
+    # renderer semantics: a row's step is the clock advance AFTER its note
+    # (exclusive prefix sum on decode, src/gan/utils.py:133,151), so
+    # step[i] = start[i+1] − start[i]; the last row gets its duration as a
+    # trailing gap.
+    step = np.concatenate(
+        [np.diff(s, axis=-1), d[..., -1:].copy()], axis=-1
+    )
     step_n = np.clip(step / MAX_BEAT, 0.0, 1.0) * 2.0 - 1.0
 
     out = np.stack([pitch_n, vel_n, dur_n, step_n], axis=-1)
