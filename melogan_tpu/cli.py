@@ -1,0 +1,419 @@
+"""Command-line interface — the pipeline surface.
+
+Mirrors the reference entry points (full_script.sh stages, the missing
+src/gan/test_gan.py sampling CLI, tools/, diagnostics) as subcommands of one
+binary:
+
+  melogan synth-data        generate a synthetic emotion-labelled corpus
+  melogan preprocess        raw MIDI → per-song .npz (+ scaler)
+  melogan make-splits       manifest → stratified split CSVs
+  melogan split-arrays      per-split fast-path .npy arrays
+  melogan train-ae          Stage 1: VAE
+  melogan encode            export µ latents per split (encoder_feats.npy)
+  melogan train-ed          Stage 2: emotion discriminator
+  melogan eval-ed           ED evaluation (the script the reference lost)
+  melogan train-gan         Stage 3: WGAN-GP
+  melogan sample            emotion-conditioned .mid generation (test_gan)
+  melogan pipeline          all stages end-to-end (full_script.sh)
+  melogan diagnose          data-sanity diagnostics
+  melogan analyze-midi      MIDI statistics
+  melogan tsne              latent-space visualization
+  melogan serve             HTTP serving app
+  melogan bench             benchmark harness
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def _add_common(p, config_default="configs/gan.yaml"):
+    p.add_argument("--workdir", default=".", help="root for data/experiments paths")
+
+
+def cmd_synth_data(args):
+    from melogan_tpu.data.synthetic import generate_corpus
+
+    entries = generate_corpus(args.out, n_per_emotion=args.per_emotion, seed=args.seed)
+    print(f"[INFO] wrote {len(entries)} synthetic songs + manifest -> {args.out}")
+
+
+def cmd_preprocess(args):
+    from melogan_tpu.data.preprocess import preprocess_corpus
+    from melogan_tpu.data.scaler import StandardScaler
+    from melogan_tpu.data.splits import read_manifest
+
+    rows = read_manifest(args.manifest)
+    entries = [(r["file_key"], r["full_path"], r["emotion"]) for r in rows]
+    scaler = None
+    if args.scaler and os.path.exists(args.scaler):
+        scaler = StandardScaler.load(args.scaler)
+        print(f"[INFO] using existing scaler {args.scaler}")
+    scaler = preprocess_corpus(entries, args.out, scaler=scaler)
+    save_to = args.scaler or os.path.join(os.path.dirname(args.out) or ".", "scaler.npz")
+    if not (args.scaler and os.path.exists(args.scaler)):
+        scaler.save(save_to)
+        print(f"[INFO] saved scaler -> {save_to}")
+
+
+def cmd_make_splits(args):
+    from melogan_tpu.data.splits import create_splits, read_manifest
+
+    splits = create_splits(read_manifest(args.manifest), args.out, seed=args.seed)
+    print({k: len(v) for k, v in splits.items()})
+
+
+def cmd_split_arrays(args):
+    from melogan_tpu.data.preprocess import build_split_arrays
+
+    for name in args.splits:
+        csv_path = os.path.join(args.splits_dir, f"{name}_split.csv")
+        build_split_arrays(csv_path, args.processed_dir, os.path.join(args.splits_dir, name))
+
+
+def _load_split(args, name):
+    from melogan_tpu.data.datasets import load_split
+
+    csv_path = os.path.join(args.splits_dir, f"{name}_split.csv")
+    return load_split(csv_path, args.processed_dir)
+
+
+def cmd_train_ae(args):
+    from melogan_tpu.config import AEConfig
+    from melogan_tpu.train import vae_loop
+
+    cfg = AEConfig.from_yaml(args.config)
+    if args.epochs:
+        cfg.epochs = args.epochs
+    train_data = _load_split(args, "train")
+    val_data = _load_split(args, "val")
+    _, metrics = vae_loop.train(cfg, train_data, val_data, workdir=args.workdir)
+    print(json.dumps(metrics))
+
+
+def cmd_encode(args):
+    import jax
+
+    from melogan_tpu.config import AEConfig
+    from melogan_tpu.models.vae import VAE
+    from melogan_tpu.train import vae_loop
+    from melogan_tpu.utils.checkpoint import load_checkpoint
+
+    cfg = AEConfig.from_yaml(args.config)
+    model = VAE.from_config(cfg)
+    state = vae_loop.init_state(cfg, model, seed=cfg.seed)
+    ckpt_path = args.checkpoint or os.path.join(args.workdir, cfg.checkpoint_dir, "ae_best.ckpt")
+    ckpt = load_checkpoint(ckpt_path)
+    state = state.replace(params=ckpt["params"], batch_stats=ckpt.get("batch_stats", {}))
+
+    for name in args.splits:
+        data = _load_split(args, name)
+        mu = vae_loop.encode_mu(model, state, data.notes_ae(cfg))
+        out_dir = os.path.join(args.splits_dir, name)
+        os.makedirs(out_dir, exist_ok=True)
+        out = os.path.join(out_dir, "encoder_feats.npy")
+        np.save(out, mu)
+        print(f"[INFO] wrote {mu.shape} latents -> {out}")
+
+
+def cmd_train_ed(args):
+    from melogan_tpu.config import EDConfig
+    from melogan_tpu.train import ed_loop
+
+    cfg = EDConfig.from_yaml(args.config)
+    if args.epochs:
+        cfg.num_epochs = args.epochs
+    train_data = _load_split(args, "train")
+    val_data = _load_split(args, "val")
+    lat_tr = lat_va = None
+    if cfg.input_mode == "latent":
+        lat_tr = np.load(os.path.join(args.splits_dir, "train", "encoder_feats.npy"))
+        lat_va = np.load(os.path.join(args.splits_dir, "val", "encoder_feats.npy"))
+    _, metrics = ed_loop.train(cfg, train_data, val_data, lat_tr, lat_va, workdir=args.workdir)
+    print(json.dumps(metrics))
+
+
+def cmd_eval_ed(args):
+    from melogan_tpu.config import EDConfig
+    from melogan_tpu.models.ed import EmotionDiscriminator
+    from melogan_tpu.train import ed_loop
+    from melogan_tpu.utils.checkpoint import load_checkpoint
+
+    cfg = EDConfig.from_yaml(args.config)
+    model = EmotionDiscriminator.from_config(cfg)
+    state = ed_loop.init_state(cfg, model, seed=cfg.seed)
+    ckpt_path = args.checkpoint or os.path.join(args.workdir, cfg.checkpoint_dir, "ed_best.ckpt")
+    ckpt = load_checkpoint(ckpt_path)
+    state = state.replace(params=ckpt["params"], batch_stats=ckpt.get("batch_stats", {}))
+    data = _load_split(args, args.split)
+    result = ed_loop.evaluate(cfg, state, data)
+    print(json.dumps(result))
+
+
+def cmd_train_gan(args):
+    from melogan_tpu.config import EDConfig, GANConfig
+    from melogan_tpu.train import gan_loop
+    from melogan_tpu.utils.checkpoint import load_checkpoint
+
+    cfg = GANConfig.from_yaml(args.config)
+    ed_cfg = EDConfig.from_yaml(args.ed_config)
+    if args.epochs:
+        cfg.epochs = args.epochs
+    train_data = _load_split(args, "train")
+
+    latents = None
+    feats_path = os.path.join(args.splits_dir, "train", "encoder_feats.npy")
+    if os.path.exists(feats_path):
+        latents = np.load(feats_path)
+
+    ed_variables = None
+    ed_ckpt = args.ed_ckpt or os.path.join(args.workdir, ed_cfg.checkpoint_dir, "ed_best.ckpt")
+    if os.path.exists(ed_ckpt):
+        ckpt = load_checkpoint(ed_ckpt)
+        ed_variables = {"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats", {})}
+        print(f"[INFO] loaded frozen ED from {ed_ckpt}")
+    else:
+        print(f"[WARN] ED checkpoint not found at {ed_ckpt}. ED will be random!")
+
+    _, metrics = gan_loop.train(
+        cfg, ed_cfg, train_data, latents=latents, ed_variables=ed_variables,
+        workdir=args.workdir,
+    )
+    print(json.dumps(metrics))
+
+
+def cmd_sample(args):
+    from melogan_tpu.config import GANConfig
+    from melogan_tpu.sampling import EMOTION_BPM, Sampler, emotion_scale
+    from melogan_tpu.train.gan_loop import load_gan_final
+
+    cfg = GANConfig.from_yaml(args.config)
+    gen_vars = fe_vars = None
+    ckpt_path = args.checkpoint or os.path.join(args.workdir, cfg.checkpoint_dir, "gan_final.ckpt")
+    if os.path.exists(ckpt_path):
+        gen_vars, fe_vars = load_gan_final(ckpt_path)
+        print(f"[INFO] loaded generator from {ckpt_path}")
+    else:
+        print(f"[WARN] checkpoint not found at {ckpt_path}; sampling with random weights")
+
+    sampler = Sampler(cfg, gen_variables=gen_vars, fe_variables=fe_vars, seed=args.seed)
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+    emotions = [args.emotion] if args.emotion != "all" else ["happy", "sad", "angry", "calm"]
+    for emotion in emotions:
+        for i in range(1, args.samples + 1):
+            # jittered bpm around the emotion base (test_gan reconstruction;
+            # shipped artifact bpms scatter ~±15% around the map)
+            bpm = float(EMOTION_BPM[emotion] * (1.0 + 0.15 * rng.standard_normal()))
+            out = os.path.join(args.out, f"test_{emotion}_{i}.mid")
+            sampler.generate_midi(emotion, out, seed=int(rng.integers(0, 2**31)), bpm=bpm)
+            print(f"[INFO] wrote {out} (bpm {max(60, min(bpm, 180)):.0f}, "
+                  f"{emotion_scale(emotion)})")
+
+
+def cmd_pipeline(args):
+    """full_script.sh equivalent: synth-data? → preprocess → splits → arrays →
+    train-ae → encode → train-ed → train-gan → sample ×4 emotions."""
+    from types import SimpleNamespace
+
+    work = args.workdir
+    data_root = os.path.join(work, "data")
+    if args.synthetic:
+        cmd_synth_data(SimpleNamespace(out=data_root, per_emotion=args.per_emotion, seed=42))
+        manifest = os.path.join(data_root, "data_manifest.csv")
+    else:
+        manifest = args.manifest
+    processed = os.path.join(data_root, "processed")
+    splits_dir = os.path.join(data_root, "splits")
+    cmd_preprocess(SimpleNamespace(manifest=manifest, out=processed, scaler=None))
+    cmd_make_splits(SimpleNamespace(manifest=manifest, out=splits_dir, seed=42))
+    cmd_split_arrays(SimpleNamespace(splits=["train", "val", "test"], splits_dir=splits_dir,
+                                     processed_dir=processed))
+    base = SimpleNamespace(
+        workdir=work, splits_dir=splits_dir, processed_dir=processed,
+        config=args.ae_config, epochs=args.epochs, checkpoint=None,
+    )
+    cmd_train_ae(base)
+    cmd_encode(SimpleNamespace(**{**vars(base), "splits": ["train", "val", "test"]}))
+    cmd_train_ed(SimpleNamespace(**{**vars(base), "config": args.ed_config}))
+    cmd_train_gan(SimpleNamespace(**{**vars(base), "config": args.gan_config,
+                                     "ed_config": args.ed_config, "ed_ckpt": None}))
+    cmd_sample(SimpleNamespace(
+        workdir=work, config=args.gan_config, checkpoint=None, emotion="all",
+        samples=1, seed=42, out=os.path.join(work, "generated_tests"),
+    ))
+    print("[INFO] pipeline complete")
+
+
+def cmd_diagnose(args):
+    from melogan_tpu.diagnostics.diagnose import diagnose
+
+    data = _load_split(args, args.split)
+    feats_path = os.path.join(args.splits_dir, args.split, "encoder_feats.npy")
+    latents = np.load(feats_path) if os.path.exists(feats_path) else None
+    report = diagnose(data, latents)
+    print(json.dumps(report, indent=2, default=str))
+
+
+def cmd_analyze_midi(args):
+    from melogan_tpu.diagnostics.analyze_midi import analyze_file
+
+    for path in args.files:
+        stats = analyze_file(path)
+        print(json.dumps({"file": os.path.basename(path), **stats}))
+
+
+def cmd_tsne(args):
+    from melogan_tpu.diagnostics.tsne import visualize_latents
+
+    out = visualize_latents(args.splits_dir, args.split, args.processed_dir, out_dir=args.out)
+    print(f"[INFO] wrote {out}")
+
+
+def cmd_serve(args):
+    from melogan_tpu.serving.app import serve
+
+    serve(host=args.host, port=args.port, workdir=args.workdir,
+          config=args.config, checkpoint=args.checkpoint)
+
+
+def cmd_bench(args):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import bench
+
+    bench.run()
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="melogan", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("synth-data", help="generate a synthetic labelled corpus")
+    s.add_argument("--out", default="data")
+    s.add_argument("--per-emotion", type=int, default=64, dest="per_emotion")
+    s.add_argument("--seed", type=int, default=42)
+    s.set_defaults(fn=cmd_synth_data)
+
+    s = sub.add_parser("preprocess", help="raw MIDI → per-song .npz")
+    s.add_argument("--manifest", required=True)
+    s.add_argument("--out", default="data/processed")
+    s.add_argument("--scaler", default=None)
+    s.set_defaults(fn=cmd_preprocess)
+
+    s = sub.add_parser("make-splits", help="manifest → stratified split CSVs")
+    s.add_argument("--manifest", required=True)
+    s.add_argument("--out", default="data/splits")
+    s.add_argument("--seed", type=int, default=42)
+    s.set_defaults(fn=cmd_make_splits)
+
+    s = sub.add_parser("split-arrays", help="per-split fast-path arrays")
+    s.add_argument("--splits", nargs="+", default=["train", "val", "test"])
+    s.add_argument("--splits-dir", default="data/splits")
+    s.add_argument("--processed-dir", default="data/processed")
+    s.set_defaults(fn=cmd_split_arrays)
+
+    for name, fn, cfg_default in (
+        ("train-ae", cmd_train_ae, "configs/ae.yaml"),
+        ("train-ed", cmd_train_ed, "configs/ed.yaml"),
+    ):
+        s = sub.add_parser(name)
+        s.add_argument("--config", default=cfg_default)
+        s.add_argument("--workdir", default=".")
+        s.add_argument("--splits-dir", default="data/splits")
+        s.add_argument("--processed-dir", default="data/processed")
+        s.add_argument("--epochs", type=int, default=None)
+        s.set_defaults(fn=fn)
+
+    s = sub.add_parser("encode", help="export µ latents per split")
+    s.add_argument("--config", default="configs/ae.yaml")
+    s.add_argument("--checkpoint", default=None)
+    s.add_argument("--workdir", default=".")
+    s.add_argument("--splits-dir", default="data/splits")
+    s.add_argument("--processed-dir", default="data/processed")
+    s.add_argument("--splits", nargs="+", default=["train", "val", "test"])
+    s.set_defaults(fn=cmd_encode)
+
+    s = sub.add_parser("eval-ed", help="evaluate the emotion discriminator")
+    s.add_argument("--config", default="configs/ed.yaml")
+    s.add_argument("--checkpoint", default=None)
+    s.add_argument("--workdir", default=".")
+    s.add_argument("--splits-dir", default="data/splits")
+    s.add_argument("--processed-dir", default="data/processed")
+    s.add_argument("--split", default="test")
+    s.set_defaults(fn=cmd_eval_ed)
+
+    s = sub.add_parser("train-gan")
+    s.add_argument("--config", default="configs/gan.yaml")
+    s.add_argument("--ed-config", default="configs/ed.yaml", dest="ed_config")
+    s.add_argument("--ed-ckpt", default=None, dest="ed_ckpt")
+    s.add_argument("--workdir", default=".")
+    s.add_argument("--splits-dir", default="data/splits")
+    s.add_argument("--processed-dir", default="data/processed")
+    s.add_argument("--epochs", type=int, default=None)
+    s.set_defaults(fn=cmd_train_gan)
+
+    s = sub.add_parser("sample", help="emotion-conditioned MIDI generation")
+    s.add_argument("--emotion", default="all", choices=["all", "happy", "sad", "angry", "calm"])
+    s.add_argument("--samples", type=int, default=1)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--config", default="configs/gan.yaml")
+    s.add_argument("--checkpoint", default=None)
+    s.add_argument("--workdir", default=".")
+    s.add_argument("--out", default="generated_tests")
+    s.set_defaults(fn=cmd_sample)
+
+    s = sub.add_parser("pipeline", help="all stages end-to-end")
+    s.add_argument("--workdir", default=".")
+    s.add_argument("--synthetic", action="store_true")
+    s.add_argument("--per-emotion", type=int, default=32, dest="per_emotion")
+    s.add_argument("--manifest", default=None)
+    s.add_argument("--epochs", type=int, default=None)
+    s.add_argument("--ae-config", default="configs/ae.yaml", dest="ae_config")
+    s.add_argument("--ed-config", default="configs/ed.yaml", dest="ed_config")
+    s.add_argument("--gan-config", default="configs/gan.yaml", dest="gan_config")
+    s.set_defaults(fn=cmd_pipeline)
+
+    s = sub.add_parser("diagnose", help="data-sanity diagnostics")
+    s.add_argument("--split", default="train")
+    s.add_argument("--splits-dir", default="data/splits")
+    s.add_argument("--processed-dir", default="data/processed")
+    s.set_defaults(fn=cmd_diagnose)
+
+    s = sub.add_parser("analyze-midi", help="per-file MIDI statistics")
+    s.add_argument("files", nargs="+")
+    s.set_defaults(fn=cmd_analyze_midi)
+
+    s = sub.add_parser("tsne", help="latent-space t-SNE visualization")
+    s.add_argument("--split", default="train")
+    s.add_argument("--splits-dir", default="data/splits")
+    s.add_argument("--processed-dir", default="data/processed")
+    s.add_argument("--out", default="experiments")
+    s.set_defaults(fn=cmd_tsne)
+
+    s = sub.add_parser("serve", help="HTTP serving app")
+    s.add_argument("--host", default="0.0.0.0")
+    s.add_argument("--port", type=int, default=5000)
+    s.add_argument("--workdir", default=".")
+    s.add_argument("--config", default="configs/gan.yaml")
+    s.add_argument("--checkpoint", default=None)
+    s.set_defaults(fn=cmd_serve)
+
+    s = sub.add_parser("bench", help="benchmark harness")
+    s.set_defaults(fn=cmd_bench)
+
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -100,7 +100,7 @@ class MidiSong:
         return np.round(np.asarray(times, dtype=np.float64) / self.seconds_per_tick).astype(np.int64)
 
     # ------------------------------------------------------------------
-    def to_bytes(self) -> bytes:
+    def to_bytes(self, allow_native: bool = True) -> bytes:
         # µs/beat recovered through the tick-scale exactly as the reference
         # writer does (float64 chain, then truncation); parsed files keep
         # their original value so round-trips are byte-exact.
@@ -109,6 +109,32 @@ class MidiSong:
         else:
             ts = self.seconds_per_tick
             tempo_us = int(6e7 / (60.0 / (ts * self.resolution)))
+
+        # native fast path: single non-drum instrument (the sampling/serving
+        # hot path); byte-identical to the Python writer (enforced in tests)
+        if (
+            allow_native
+            and len(self.instruments) == 1
+            and not self.instruments[0].is_drum
+        ):
+            from melogan_tpu.midi.native import encode_song_native
+
+            inst = self.instruments[0]
+            if inst.notes:
+                starts = self._times_to_ticks(np.array([n.start for n in inst.notes]))
+                ends = self._times_to_ticks(np.array([n.end for n in inst.notes]))
+                pitches = np.array([n.pitch for n in inst.notes], np.int32)
+                vels = np.array([n.velocity for n in inst.notes], np.int32)
+            else:
+                starts = ends = np.zeros(0, np.int64)
+                pitches = vels = np.zeros(0, np.int32)
+            encoded = encode_song_native(
+                pitches, vels, starts, ends,
+                program=inst.program, channel=0,
+                tempo_us=tempo_us, division=self.resolution,
+            )
+            if encoded is not None:
+                return encoded
 
         timing = [
             smf.Event.set_tempo(0, tempo_us),

@@ -1,0 +1,134 @@
+"""Text → emotion classifier.
+
+Reference behavior (textClassification/text.py): a go_emotions 28-label
+classifier whose top label is mapped to the four music emotions (happy / sad /
+angry / calm, default calm).
+
+Backends, in order:
+1. HF transformers go_emotions pipeline when the model is available locally
+   (offline-gated — this environment has zero egress, so the ~500 MB download
+   the reference performs at import time is never attempted);
+2. a self-contained lexicon classifier scoring the same 28 go_emotions
+   categories from keyword matches, then applying the identical 28→4 map.
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, Optional
+
+# 28-label → 4-emotion map (behavioral contract from the reference,
+# textClassification/text.py:8-43).
+TEXT_MODEL_TO_MY_EMOTIONS: Dict[str, str] = {
+    "joy": "happy", "amusement": "happy", "excitement": "happy",
+    "love": "happy", "optimism": "happy", "gratitude": "happy",
+    "surprise": "happy", "approval": "happy",
+    "sadness": "sad", "disappointment": "sad", "grief": "sad",
+    "disgust": "sad", "remorse": "sad",
+    "anger": "angry", "annoyance": "angry", "fear": "angry",
+    "nervousness": "angry", "disapproval": "angry",
+    "neutral": "calm", "caring": "calm", "relief": "calm",
+    "pride": "calm", "admiration": "calm", "realization": "calm",
+    "curiosity": "calm", "desire": "calm", "confusion": "calm",
+}
+DEFAULT_EMOTION = "calm"
+
+# go_emotions category → trigger lexicon for the offline backend
+_LEXICON: Dict[str, list] = {
+    "joy": ["happy", "joy", "joyful", "glad", "delighted", "cheerful", "great", "wonderful", "yay"],
+    "amusement": ["funny", "hilarious", "lol", "haha", "amusing", "laugh"],
+    "excitement": ["excited", "thrilled", "stoked", "pumped", "can't wait", "awesome"],
+    "love": ["love", "adore", "beloved", "darling", "sweetheart"],
+    "optimism": ["hopeful", "optimistic", "bright", "looking forward", "promising"],
+    "gratitude": ["thanks", "thank", "grateful", "appreciate"],
+    "surprise": ["surprised", "wow", "unexpected", "astonish", "amazed"],
+    "approval": ["agree", "approve", "well done", "nice", "good job", "perfect"],
+    "sadness": ["sad", "unhappy", "depressed", "down", "crying", "cry", "tears", "miserable", "blue", "heartbroken"],
+    "disappointment": ["disappointed", "letdown", "let down", "bummer", "shame"],
+    "grief": ["grief", "mourning", "loss", "died", "passed away", "funeral"],
+    "disgust": ["disgusting", "gross", "nasty", "revolting", "yuck"],
+    "remorse": ["sorry", "regret", "apologize", "guilty", "my fault"],
+    "anger": ["angry", "furious", "infuriating", "infuriated", "mad", "rage", "outraged", "hate", "livid"],
+    "annoyance": ["annoyed", "irritating", "annoying", "bothers", "ugh", "frustrating", "frustrated"],
+    "fear": ["afraid", "scared", "terrified", "fear", "frightened", "horror"],
+    "nervousness": ["nervous", "anxious", "worried", "uneasy", "stress", "stressed"],
+    "disapproval": ["disagree", "disapprove", "wrong", "bad idea", "terrible idea"],
+    "neutral": [],
+    "caring": ["care", "caring", "take care", "comfort", "support you"],
+    "relief": ["relieved", "relief", "phew", "finally over"],
+    "pride": ["proud", "pride", "accomplished", "achievement"],
+    "admiration": ["admire", "impressive", "brilliant", "amazing", "incredible"],
+    "realization": ["realize", "realized", "turns out", "i see now"],
+    "curiosity": ["curious", "wonder", "wondering", "interested", "intrigued"],
+    "desire": ["wish", "want", "crave", "longing", "hope to"],
+    "confusion": ["confused", "confusing", "don't understand", "puzzled", "unclear"],
+}
+
+
+class LexiconClassifier:
+    """Offline 28-category keyword scorer with the reference's 28→4 map."""
+
+    def __init__(self):
+        self._patterns = {
+            label: [re.compile(r"\b" + re.escape(w).replace(r"\ ", r"\s+") + r"\b") for w in words]
+            for label, words in _LEXICON.items()
+        }
+
+    def top_label(self, text: str) -> str:
+        t = str(text).lower()
+        scores = {
+            label: sum(1 for p in pats if p.search(t))
+            for label, pats in self._patterns.items()
+        }
+        best = max(scores, key=lambda k: scores[k])
+        return best if scores[best] > 0 else "neutral"
+
+    def __call__(self, text: str):
+        return [[{"label": self.top_label(text), "score": 1.0}]]
+
+
+_classifier = None
+_backend = None
+
+
+def _load_classifier():
+    global _classifier, _backend
+    if _classifier is not None:
+        return _classifier
+    # offline-first: only touch transformers if a local cache might exist
+    if os.environ.get("MELOGAN_TEXT_MODEL_DIR"):
+        try:
+            os.environ.setdefault("HF_HUB_OFFLINE", "1")
+            os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+            from transformers import pipeline  # noqa: PLC0415
+
+            _classifier = pipeline(
+                "text-classification",
+                model=os.environ["MELOGAN_TEXT_MODEL_DIR"],
+                top_k=1,
+            )
+            _backend = "transformers"
+            return _classifier
+        except Exception as e:  # noqa: BLE001
+            print(f"[WARN] transformers text model unavailable ({e}); using lexicon backend")
+    _classifier = LexiconClassifier()
+    _backend = "lexicon"
+    return _classifier
+
+
+def backend_name() -> str:
+    _load_classifier()
+    return _backend or "lexicon"
+
+
+def predict_emotion(text: str) -> str:
+    """Top-label prediction mapped to the four music emotions."""
+    if not text or not str(text).strip():
+        return DEFAULT_EMOTION
+    clf = _load_classifier()
+    try:
+        result = clf(str(text))
+        label = result[0][0]["label"] if isinstance(result[0], list) else result[0]["label"]
+        return TEXT_MODEL_TO_MY_EMOTIONS.get(str(label).lower(), DEFAULT_EMOTION)
+    except Exception:  # noqa: BLE001
+        return DEFAULT_EMOTION

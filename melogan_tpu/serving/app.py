@@ -1,0 +1,245 @@
+"""HTTP serving app.
+
+Route-for-route parity with the reference Flask app (app.py:71-119) on a
+dependency-free WSGI stack (Flask is not in this image):
+
+- ``GET  /``                   web UI
+- ``POST /get_text_emotion``   {"text": ...} → {"emotion": ...}
+- ``GET  /video_feed``         MJPEG camera stream (503 when no camera
+                               backend is available in the deployment)
+- ``GET  /get_camera_emotion`` latest camera-detected emotion
+- ``POST /generate``           {"emotion": ...} → audio/midi download
+- ``POST /camera_frame``       raw grayscale frame → emotion (the
+                               camera-inference path exposed over HTTP for
+                               headless deployments)
+- ``GET  /healthz``            liveness + model/backend status
+
+Generation math matches the reference serving path exactly: per-emotion
+feature base + N(0, 0.15²) jitter, zeros latent, emotion→bpm/scale maps
+(app.py:53-65, 109-110). The generator runs as one jitted XLA program; the
+threaded WSGI server shares it safely (JAX dispatch is thread-safe).
+"""
+from __future__ import annotations
+
+import io
+import json
+import os
+import threading
+from typing import Dict, Optional
+from wsgiref.simple_server import WSGIServer, make_server
+from socketserver import ThreadingMixIn
+
+import numpy as np
+
+from melogan_tpu.config import GANConfig
+from melogan_tpu.midi.codec import piano_roll_to_song
+from melogan_tpu.models.text_emotion import backend_name, predict_emotion
+from melogan_tpu.sampling import EMOTION_BPM, Sampler, emotion_scale
+
+
+class AppState:
+    def __init__(self, cfg: GANConfig, sampler: Sampler):
+        self.cfg = cfg
+        self.sampler = sampler
+        self.seed_counter = 0
+        # camera state behind a lock (the reference's module-global
+        # current_emotion race, camera.py:112 / app.py:87-90, fixed here)
+        self._lock = threading.Lock()
+        self._camera_emotion = "calm"
+        self.camera = None  # optional camera inference backend
+        try:
+            from melogan_tpu.models.xception import load_default_fer
+
+            self.camera = load_default_fer()
+        except Exception:  # noqa: BLE001 — camera model optional
+            self.camera = None
+
+    @property
+    def camera_emotion(self) -> str:
+        with self._lock:
+            return self._camera_emotion
+
+    @camera_emotion.setter
+    def camera_emotion(self, value: str) -> None:
+        with self._lock:
+            self._camera_emotion = value
+
+    def next_seed(self) -> int:
+        with self._lock:
+            self.seed_counter += 1
+            return self.seed_counter
+
+
+def _json_response(start_response, payload, status="200 OK"):
+    body = json.dumps(payload).encode()
+    start_response(
+        status,
+        [("Content-Type", "application/json"), ("Content-Length", str(len(body)))],
+    )
+    return [body]
+
+
+def _read_json(environ) -> Dict:
+    try:
+        length = int(environ.get("CONTENT_LENGTH") or 0)
+        raw = environ["wsgi.input"].read(length) if length else b"{}"
+        return json.loads(raw or b"{}")
+    except Exception:  # noqa: BLE001
+        return {}
+
+
+INDEX_HTML = """<!DOCTYPE html>
+<html><head><title>Melo-GAN TPU</title>
+<style>
+ body { font-family: system-ui, sans-serif; max-width: 760px; margin: 2rem auto; }
+ button { margin: .3rem; padding: .5rem 1rem; }
+ #log { color: #555; white-space: pre-wrap; }
+</style></head>
+<body>
+<h1>Melo-GAN TPU</h1>
+<p>Emotion-conditioned MIDI generation. Type how you feel, or pick an emotion.</p>
+<textarea id="text" rows="3" cols="60" placeholder="How are you feeling?"></textarea><br>
+<button onclick="detect()">Detect emotion from text</button>
+<span id="emotion">calm</span><br>
+<button onclick="gen('happy')">happy</button>
+<button onclick="gen('sad')">sad</button>
+<button onclick="gen('angry')">angry</button>
+<button onclick="gen('calm')">calm</button>
+<button onclick="gen(document.getElementById('emotion').textContent)">generate (detected)</button>
+<div id="log"></div>
+<script>
+async function detect() {
+  const r = await fetch('/get_text_emotion', {method:'POST', headers:{'Content-Type':'application/json'},
+    body: JSON.stringify({text: document.getElementById('text').value})});
+  const j = await r.json();
+  document.getElementById('emotion').textContent = j.emotion;
+}
+async function gen(emotion) {
+  document.getElementById('log').textContent = 'generating ' + emotion + '...';
+  const r = await fetch('/generate', {method:'POST', headers:{'Content-Type':'application/json'},
+    body: JSON.stringify({emotion})});
+  const blob = await r.blob();
+  const a = document.createElement('a');
+  a.href = URL.createObjectURL(blob);
+  a.download = 'melo_' + emotion + '.mid';
+  a.click();
+  document.getElementById('log').textContent = 'downloaded melo_' + emotion + '.mid';
+}
+</script>
+</body></html>
+"""
+
+
+def build_app(state: AppState):
+    def app(environ, start_response):
+        method = environ["REQUEST_METHOD"]
+        path = environ.get("PATH_INFO", "/")
+
+        if method == "GET" and path == "/":
+            body = INDEX_HTML.encode()
+            start_response("200 OK", [("Content-Type", "text/html"), ("Content-Length", str(len(body)))])
+            return [body]
+
+        if method == "GET" and path == "/healthz":
+            return _json_response(
+                start_response,
+                {
+                    "status": "ok",
+                    "text_backend": backend_name(),
+                    "camera_backend": "xception" if state.camera else None,
+                    "generator": "loaded",
+                },
+            )
+
+        if method == "POST" and path == "/get_text_emotion":
+            payload = _read_json(environ)
+            emotion = predict_emotion(payload.get("text", ""))
+            return _json_response(start_response, {"emotion": emotion})
+
+        if method == "GET" and path == "/get_camera_emotion":
+            return _json_response(start_response, {"emotion": state.camera_emotion})
+
+        if method == "GET" and path == "/video_feed":
+            return _json_response(
+                start_response,
+                {"error": "no camera device available in this deployment; "
+                          "POST grayscale frames to /camera_frame instead"},
+                status="503 Service Unavailable",
+            )
+
+        if method == "POST" and path == "/camera_frame":
+            if state.camera is None:
+                return _json_response(
+                    start_response,
+                    {"error": "camera emotion model not loaded"},
+                    status="503 Service Unavailable",
+                )
+            payload = _read_json(environ)
+            try:
+                frame = np.asarray(payload["frame"], dtype=np.float32)
+                emotion = state.camera.predict_emotion(frame)
+            except Exception as e:  # noqa: BLE001
+                return _json_response(
+                    start_response, {"error": f"bad frame: {e}"}, status="400 Bad Request"
+                )
+            state.camera_emotion = emotion
+            return _json_response(start_response, {"emotion": emotion})
+
+        if method == "POST" and path == "/generate":
+            payload = _read_json(environ)
+            emotion = str(payload.get("emotion", "happy")).lower()
+            if emotion not in EMOTION_BPM:
+                return _json_response(
+                    start_response,
+                    {"error": f"unknown emotion {emotion!r}; valid: {sorted(EMOTION_BPM)}"},
+                    status="400 Bad Request",
+                )
+            notes = state.sampler.sample_notes([emotion], seed=state.next_seed())[0]
+            song = piano_roll_to_song(
+                notes, bpm=EMOTION_BPM[emotion], scale=emotion_scale(emotion)
+            )
+            body = song.to_bytes()
+            start_response(
+                "200 OK",
+                [
+                    ("Content-Type", "audio/midi"),
+                    ("Content-Disposition", f'attachment; filename="melo_{emotion}.mid"'),
+                    ("Content-Length", str(len(body))),
+                ],
+            )
+            return [body]
+
+        return _json_response(start_response, {"error": "not found"}, status="404 Not Found")
+
+    return app
+
+
+class ThreadingWSGIServer(ThreadingMixIn, WSGIServer):
+    daemon_threads = True
+
+
+def serve(
+    host: str = "0.0.0.0",
+    port: int = 5000,
+    workdir: str = ".",
+    config: str = "configs/gan.yaml",
+    checkpoint: Optional[str] = None,
+):
+    cfg = GANConfig.from_yaml(config) if os.path.exists(config) else GANConfig()
+    gen_vars = fe_vars = None
+    ckpt_path = checkpoint or os.path.join(workdir, cfg.checkpoint_dir, "gan_final.ckpt")
+    if os.path.exists(ckpt_path):
+        from melogan_tpu.train.gan_loop import load_gan_final
+
+        gen_vars, fe_vars = load_gan_final(ckpt_path)
+        print(f"[INIT] loaded GAN checkpoint from {ckpt_path}")
+    else:
+        print(f"[WARN] GAN checkpoint not found at {ckpt_path}; serving random weights")
+
+    sampler = Sampler(cfg, gen_variables=gen_vars, fe_variables=fe_vars)
+    # warm the XLA program before accepting traffic
+    sampler.sample_notes(["happy"], seed=0)
+    state = AppState(cfg, sampler)
+    httpd = make_server(host, port, build_app(state), server_class=ThreadingWSGIServer)
+    print(f"[INIT] serving on http://{host}:{port} (text backend: {backend_name()})")
+    httpd.serve_forever()

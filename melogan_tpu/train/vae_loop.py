@@ -1,0 +1,264 @@
+"""VAE training workload (Stage 1).
+
+Reference semantics (src/ae/train_ae.py): AdamW(lr 1e-4, wd 1e-5) with global
+grad-norm clip 1.0, β-annealed MSE+KLD loss (β → 10 over 1 warm-up epoch),
+validation at β=1.0, ReduceLROnPlateau(0.5, patience 5, min_lr 1e-6) on val
+total, early stop patience 15, best checkpoint on val total, per-epoch
+reconstruction MIDI dumps of up to 6 fixed val songs, scalar tags
+``loss/{train,val}_{total,recon,kld}``, ``lr``, ``beta``.
+
+TPU-first: the whole epoch is ONE jitted program — batches are stacked to
+(n_batches, B, 512, 4) and scanned on-device; β and learning rate are runtime
+scalars (no recompiles). LR lives in the optimizer state via
+``optax.inject_hyperparams`` so the host-side plateau controller can write it.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from melogan_tpu.config import AEConfig
+from melogan_tpu.data.datasets import SplitData, ae_denormalize
+from melogan_tpu.midi.codec import save_recon_midi
+from melogan_tpu.models.vae import VAE, vae_loss
+from melogan_tpu.train.harness import EarlyStopping, ReduceLROnPlateau, beta_schedule
+from melogan_tpu.utils.checkpoint import save_checkpoint
+from melogan_tpu.utils.metrics import MetricsWriter
+
+
+class VAETrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jnp.ndarray
+
+
+def make_optimizer(cfg: AEConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.inject_hyperparams(optax.adamw)(
+            learning_rate=cfg.lr, weight_decay=cfg.weight_decay
+        ),
+    )
+
+
+def get_lr(state: VAETrainState) -> float:
+    return float(state.opt_state[1].hyperparams["learning_rate"])
+
+
+def set_lr(state: VAETrainState, lr: float) -> VAETrainState:
+    hyper = state.opt_state[1].hyperparams
+    hyper["learning_rate"] = jnp.asarray(lr, dtype=hyper["learning_rate"].dtype)
+    return state
+
+
+def init_state(cfg: AEConfig, model: VAE, seed: int = 42) -> VAETrainState:
+    key = jax.random.PRNGKey(seed)
+    variables = model.init(
+        {"params": key, "reparam": key}, jnp.zeros((1, cfg.max_notes, 4)), train=False
+    )
+    opt = make_optimizer(cfg)
+    return VAETrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=opt.init(variables["params"]),
+        rng=jax.random.PRNGKey(seed + 1),
+    )
+
+
+def make_epoch_fns(cfg: AEConfig, model: VAE):
+    """(train_epoch, eval_epoch) jittable over stacked epoch batches."""
+    opt = make_optimizer(cfg)
+
+    def train_step(carry, batch):
+        state, beta = carry
+        rng, k_rep = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            (recon, z, mu, log_var), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch,
+                train=True,
+                rngs={"reparam": k_rep},
+                mutable=["batch_stats"],
+            )
+            total, mse, kld = vae_loss(recon, batch, mu, log_var, beta)
+            return total, (mutated["batch_stats"], mse, kld)
+
+        (total, (stats, mse, kld)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        state = state.replace(params=params, batch_stats=stats, opt_state=opt_state, rng=rng)
+        return (state, beta), (total, mse, kld)
+
+    def train_epoch(state: VAETrainState, batches, beta):
+        (state, _), (totals, mses, klds) = jax.lax.scan(train_step, (state, beta), batches)
+        metrics = {
+            "total": jnp.mean(totals),
+            "recon": jnp.mean(mses),
+            "kld": jnp.mean(klds),
+        }
+        return state, metrics
+
+    def eval_step(state, batch):
+        recon, z, mu, log_var = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch,
+            train=False,
+        )
+        total, mse, kld = vae_loss(recon, batch, mu, log_var, beta=1.0)
+        return state, (total, mse, kld)
+
+    def eval_epoch(state: VAETrainState, batches):
+        _, (totals, mses, klds) = jax.lax.scan(eval_step, state, batches)
+        return {
+            "total": jnp.mean(totals),
+            "recon": jnp.mean(mses),
+            "kld": jnp.mean(klds),
+        }
+
+    return train_epoch, eval_epoch
+
+
+def stack_epoch(notes: np.ndarray, batch_size: int, rng: np.random.Generator, shuffle=True):
+    n = notes.shape[0]
+    batch_size = min(batch_size, n)  # small splits: one whole-split batch
+    order = rng.permutation(n) if shuffle else np.arange(n)
+    n_batches = max(1, n // batch_size)
+    idx = order[: n_batches * batch_size].reshape(n_batches, batch_size)
+    return jnp.asarray(notes[idx])
+
+
+def train(
+    cfg: AEConfig,
+    train_data: SplitData,
+    val_data: SplitData,
+    workdir: Optional[str] = None,
+    verbose: bool = True,
+    recon_dumps: bool = True,
+) -> Tuple[VAETrainState, Dict[str, float]]:
+    """Full Stage-1 training run; returns (best-state, final metrics)."""
+    model = VAE.from_config(cfg)
+    state = init_state(cfg, model, seed=cfg.seed)
+    train_epoch, eval_epoch = make_epoch_fns(cfg, model)
+    train_epoch = jax.jit(train_epoch)
+    eval_epoch = jax.jit(eval_epoch)
+
+    ckpt_dir = os.path.join(workdir, cfg.checkpoint_dir) if workdir else cfg.checkpoint_dir
+    log_dir = os.path.join(workdir, cfg.log_dir) if workdir else cfg.log_dir
+    recon_dir = os.path.join(workdir, cfg.recon_dir) if workdir else cfg.recon_dir
+    writer = MetricsWriter(log_dir)
+
+    x_train = train_data.notes_ae(cfg)
+    x_val = val_data.notes_ae(cfg)
+    fixed_val = x_val[: min(cfg.recon_save_count, x_val.shape[0])]
+    fixed_names = val_data.filenames[: fixed_val.shape[0]]
+
+    plateau = ReduceLROnPlateau(factor=0.5, patience=5, min_lr=1e-6)
+    stopper = EarlyStopping(patience=cfg.early_stop_patience)
+    data_rng = np.random.default_rng(cfg.seed)
+    val_batches = stack_epoch(x_val, cfg.batch_size, data_rng, shuffle=False)
+
+    best_state = state
+    history: Dict[str, float] = {}
+    for epoch in range(1, cfg.epochs + 1):
+        beta = beta_schedule(epoch, cfg.kld_warmup_epochs, cfg.beta)
+        t0 = time.perf_counter()
+        batches = stack_epoch(x_train, cfg.batch_size, data_rng, shuffle=True)
+        state, tm = train_epoch(state, batches, jnp.asarray(beta, jnp.float32))
+        vm = eval_epoch(state, val_batches)
+        val_total = float(vm["total"])
+        dt = time.perf_counter() - t0
+
+        lr = get_lr(state)
+        new_lr = plateau.step(val_total, lr)
+        if new_lr != lr:
+            state = set_lr(state, new_lr)
+
+        writer.add_scalars(
+            {
+                "loss/train_total": float(tm["total"]),
+                "loss/train_recon": float(tm["recon"]),
+                "loss/train_kld": float(tm["kld"]),
+                "loss/val_total": val_total,
+                "loss/val_recon": float(vm["recon"]),
+                "loss/val_kld": float(vm["kld"]),
+                "lr": new_lr,
+                "beta": beta,
+                "epoch_seconds": dt,
+            },
+            epoch,
+        )
+        if verbose:
+            print(
+                f"[AE epoch {epoch}] train {float(tm['total']):.6f} "
+                f"(recon {float(tm['recon']):.6f}, kld {float(tm['kld']):.6f}) | "
+                f"val {val_total:.6f} | {dt:.2f}s"
+            )
+
+        if recon_dumps and epoch % cfg.recon_freq == 0 and fixed_val.shape[0]:
+            recon = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                jnp.asarray(fixed_val),
+                train=False,
+            )[0]
+            for i, name in enumerate(fixed_names):
+                base = os.path.splitext(os.path.basename(name))[0]
+                try:
+                    save_recon_midi(
+                        ae_denormalize(fixed_val[i], cfg.max_start_beat, cfg.max_duration_beat),
+                        ae_denormalize(np.asarray(recon[i]), cfg.max_start_beat, cfg.max_duration_beat),
+                        recon_dir,
+                        f"ep{epoch}_{base}",
+                    )
+                except Exception as e:  # noqa: BLE001 — fail-soft like the reference
+                    print(f"[WARN] recon dump failed for {name}: {e}")
+
+        stop = stopper.step(val_total)
+        if stopper.improved:
+            best_state = state
+            save_checkpoint(
+                os.path.join(ckpt_dir, "ae_best.ckpt"),
+                {
+                    "epoch": epoch,
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state,
+                },
+            )
+        if stop:
+            if verbose:
+                print(f"[AE] early stop at epoch {epoch} (no improvement {cfg.early_stop_patience} epochs)")
+            break
+        history = {"epoch": epoch, "val_total": val_total, "best_val": stopper.best}
+
+    save_checkpoint(
+        os.path.join(ckpt_dir, "ae_final.ckpt"),
+        {"params": state.params, "batch_stats": state.batch_stats},
+    )
+    writer.close()
+    return best_state, {"best_val": stopper.best, **history}
+
+
+def encode_mu(model: VAE, state: VAETrainState, notes_ae: np.ndarray, batch_size: int = 256) -> np.ndarray:
+    """Export deterministic µ latents (reference src/ae/encode.py parity)."""
+    apply = jax.jit(
+        lambda x: model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x,
+            method=VAE.encode_mu,
+        )
+    )
+    outs = []
+    for i in range(0, notes_ae.shape[0], batch_size):
+        outs.append(np.asarray(apply(jnp.asarray(notes_ae[i : i + batch_size]))))
+    return np.concatenate(outs, axis=0)

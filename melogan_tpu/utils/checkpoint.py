@@ -25,7 +25,11 @@ def _to_host(tree):
 def save_checkpoint(path: str, tree: Dict[str, Any]) -> str:
     """Atomically serialize a pytree dict to ``path`` (msgpack)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
-    data = serialization.msgpack_serialize(_to_host(tree))
+    # to_state_dict first: optax states are (named)tuples, which msgpack
+    # cannot serialize directly
+    data = serialization.msgpack_serialize(
+        serialization.to_state_dict(_to_host(tree))
+    )
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)), suffix=".tmp")
     try:
         with os.fdopen(fd, "wb") as f:

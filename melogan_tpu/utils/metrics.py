@@ -106,6 +106,133 @@ def _tfrecord(payload: bytes) -> bytes:
     )
 
 
+def read_tfevents(path: str):
+    """Parse scalar events from a tfevents file → list of (tag, value, step).
+
+    Understands both this writer's output and real TensorBoard files (e.g. the
+    reference's shipped training log, experiments/gan/logs/events.out.*) —
+    TFRecord framing with the same Event/Summary wire format.
+    """
+    out = []
+    with open(path, "rb") as f:
+        data = f.read()
+    pos = 0
+    while pos + 12 <= len(data):
+        (length,) = struct.unpack("<Q", data[pos : pos + 8])
+        payload = data[pos + 12 : pos + 12 + length]
+        pos += 12 + length + 4
+        # decode Event fields
+        p, step, wall = 0, 0, 0.0
+        while p < len(payload):
+            key = payload[p]
+            field_num, wire = key >> 3, key & 7
+            p += 1
+            if wire == 0:  # varint
+                val = 0
+                shift = 0
+                while True:
+                    b = payload[p]
+                    p += 1
+                    val |= (b & 0x7F) << shift
+                    shift += 7
+                    if not (b & 0x80):
+                        break
+                if field_num == 2:
+                    step = val
+            elif wire == 1:  # 64-bit
+                if field_num == 1:
+                    (wall,) = struct.unpack("<d", payload[p : p + 8])
+                p += 8
+            elif wire == 5:  # 32-bit
+                p += 4
+            elif wire == 2:  # length-delimited
+                ln = 0
+                shift = 0
+                while True:
+                    b = payload[p]
+                    p += 1
+                    ln |= (b & 0x7F) << shift
+                    shift += 7
+                    if not (b & 0x80):
+                        break
+                sub = payload[p : p + ln]
+                p += ln
+                if field_num == 5:  # summary
+                    q = 0
+                    while q < len(sub):
+                        k2 = sub[q]
+                        q += 1
+                        if (k2 >> 3) == 1 and (k2 & 7) == 2:  # Summary.value
+                            ln2, shift = 0, 0
+                            while True:
+                                b = sub[q]
+                                q += 1
+                                ln2 |= (b & 0x7F) << shift
+                                shift += 7
+                                if not (b & 0x80):
+                                    break
+                            v = sub[q : q + ln2]
+                            q += ln2
+                            tag, simple = None, None
+                            r = 0
+                            while r < len(v):
+                                k3 = v[r]
+                                fn3, w3 = k3 >> 3, k3 & 7
+                                r += 1
+                                if w3 == 2:
+                                    ln3, shift = 0, 0
+                                    while True:
+                                        b = v[r]
+                                        r += 1
+                                        ln3 |= (b & 0x7F) << shift
+                                        shift += 7
+                                        if not (b & 0x80):
+                                            break
+                                    if fn3 == 1:
+                                        tag = v[r : r + ln3].decode("utf-8", "replace")
+                                    r += ln3
+                                elif w3 == 5:
+                                    if fn3 == 2:
+                                        (simple,) = struct.unpack("<f", v[r : r + 4])
+                                    r += 4
+                                elif w3 == 0:
+                                    while v[r] & 0x80:
+                                        r += 1
+                                    r += 1
+                                elif w3 == 1:
+                                    r += 8
+                                else:
+                                    r = len(v)
+                            if tag is not None and simple is not None:
+                                out.append((tag, simple, step))
+                        else:
+                            # skip unknown field
+                            w2 = k2 & 7
+                            if w2 == 0:
+                                while sub[q] & 0x80:
+                                    q += 1
+                                q += 1
+                            elif w2 == 1:
+                                q += 8
+                            elif w2 == 5:
+                                q += 4
+                            elif w2 == 2:
+                                ln2, shift = 0, 0
+                                while True:
+                                    b = sub[q]
+                                    q += 1
+                                    ln2 |= (b & 0x7F) << shift
+                                    shift += 7
+                                    if not (b & 0x80):
+                                        break
+                                q += ln2
+                            else:
+                                q = len(sub)
+            else:
+                break
+    return out
+
+
 class MetricsWriter:
     """Scalar metrics → `events.out.tfevents.*` + `metrics.jsonl` in log_dir."""
 

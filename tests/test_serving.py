@@ -1,0 +1,113 @@
+"""Serving app: the five reference routes + extras over real HTTP."""
+import json
+import threading
+import urllib.error
+import urllib.request
+from wsgiref.simple_server import make_server
+
+import numpy as np
+import pytest
+
+from melogan_tpu.config import GANConfig
+from melogan_tpu.midi.midifile import read_midi
+from melogan_tpu.sampling import Sampler
+from melogan_tpu.serving.app import AppState, ThreadingWSGIServer, build_app
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    state = AppState(cfg, Sampler(cfg, seed=0))
+    httpd = make_server("127.0.0.1", 0, build_app(state), server_class=ThreadingWSGIServer)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", state
+    httpd.shutdown()
+
+
+def req(base, path, data=None, method=None):
+    r = urllib.request.Request(
+        base + path,
+        data=json.dumps(data).encode() if data is not None else None,
+        headers={"Content-Type": "application/json"},
+        method=method,
+    )
+    try:
+        resp = urllib.request.urlopen(r, timeout=30)
+        return resp.status, dict(resp.headers), resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, dict(e.headers), e.read()
+
+
+def test_index(server):
+    base, _ = server
+    status, headers, body = req(base, "/")
+    assert status == 200 and "text/html" in headers["Content-Type"]
+    assert b"Melo-GAN" in body
+
+
+def test_text_emotion_routes(server):
+    base, _ = server
+    for text, expected in [
+        ("I am thrilled and so excited!", "happy"),
+        ("this is infuriating, I hate it", "angry"),
+        ("", "calm"),
+    ]:
+        status, _, body = req(base, "/get_text_emotion", {"text": text})
+        assert status == 200
+        assert json.loads(body)["emotion"] == expected
+
+
+def test_generate_returns_midi(server):
+    base, _ = server
+    status, headers, body = req(base, "/generate", {"emotion": "angry"})
+    assert status == 200
+    assert headers["Content-Type"] == "audio/midi"
+    assert "melo_angry.mid" in headers["Content-Disposition"]
+    song = read_midi(body)
+    assert abs(song.initial_tempo - 160.0) < 0.01  # angry bpm map
+
+
+def test_generate_unknown_emotion(server):
+    base, _ = server
+    status, _, body = req(base, "/generate", {"emotion": "bogus"})
+    assert status == 400
+    assert "bogus" in json.loads(body)["error"]
+
+
+def test_camera_routes(server):
+    base, state = server
+    status, _, body = req(base, "/get_camera_emotion")
+    assert status == 200 and json.loads(body)["emotion"] == "calm"
+    status, _, _ = req(base, "/video_feed")
+    assert status == 503  # no camera device in this deployment
+
+
+def test_generate_uses_fresh_seed_per_request(server):
+    base, state = server
+    c0 = state.seed_counter
+    req(base, "/generate", {"emotion": "calm"})
+    req(base, "/generate", {"emotion": "calm"})
+    # fresh seed each request (jittered features + noise); with untrained
+    # weights the note QUANTIZATION may still collapse to identical bytes,
+    # so assert on the seed mechanism, and on raw-note divergence:
+    assert state.seed_counter == c0 + 2
+    n1 = state.sampler.sample_notes(["calm"], seed=1)
+    n2 = state.sampler.sample_notes(["calm"], seed=2)
+    assert not np.array_equal(n1, n2)
+
+
+def test_404(server):
+    base, _ = server
+    assert req(base, "/nope")[0] == 404
+
+
+def test_malformed_json_body(server):
+    base, _ = server
+    r = urllib.request.Request(
+        base + "/get_text_emotion", data=b"not json{{{",
+        headers={"Content-Type": "application/json"},
+    )
+    resp = urllib.request.urlopen(r, timeout=30)
+    assert json.loads(resp.read())["emotion"] == "calm"  # fail-soft default
