@@ -282,6 +282,30 @@ def cmd_serve(args):
           config=args.config, checkpoint=args.checkpoint)
 
 
+def cmd_roll_to_midi(args):
+    from melogan_tpu.midi.codec import raw_roll_to_song
+
+    roll = np.load(args.roll)
+    out = args.out or "generated_sample.mid"
+    raw_roll_to_song(roll, bpm=args.bpm).write(out)
+    print(f"Wrote {out}")
+
+
+def cmd_clean(args):
+    from melogan_tpu.utils.cleaner import bulk_delete
+
+    report = bulk_delete(
+        args.workdir, dry_run=not args.confirm, confirm=args.confirm
+    )
+    mode = "DRY RUN — would delete" if report["dry_run"] or not args.confirm else "deleted"
+    for p in report["planned"]:
+        print(f"[{mode}] {p}")
+    if report.get("deleted"):
+        print(f"[INFO] removed {len(report['deleted'])} artifact paths")
+    elif not args.confirm:
+        print("[INFO] pass --confirm to actually delete")
+
+
 def cmd_bench(args):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
@@ -403,6 +427,17 @@ def build_parser():
     s.add_argument("--config", default="configs/gan.yaml")
     s.add_argument("--checkpoint", default=None)
     s.set_defaults(fn=cmd_serve)
+
+    s = sub.add_parser("roll-to-midi", help="raw (pitch,vel,dur,start) .npy → .mid")
+    s.add_argument("roll")
+    s.add_argument("--out", default=None)
+    s.add_argument("--bpm", type=float, default=120.0)
+    s.set_defaults(fn=cmd_roll_to_midi)
+
+    s = sub.add_parser("clean", help="delete generated artifacts (dry-run by default)")
+    s.add_argument("--workdir", default=".")
+    s.add_argument("--confirm", action="store_true")
+    s.set_defaults(fn=cmd_clean)
 
     s = sub.add_parser("bench", help="benchmark harness")
     s.set_defaults(fn=cmd_bench)

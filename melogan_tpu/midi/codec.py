@@ -238,6 +238,25 @@ def notes_array_to_song(
     return song
 
 
+def raw_roll_to_song(roll: np.ndarray, bpm: float = 120.0) -> MidiSong:
+    """tools/roll_to_midi.py semantics: rows are RAW
+    (pitch, velocity, duration_sec, start_sec); pitch clipped 0-127, velocity
+    floored at 1, duration floored at 0.05 s, start floored at 0."""
+    arr = np.asarray(roll, np.float64).reshape(-1, 4)
+    pitch = np.clip(arr[:, 0], 0, 127).astype(np.int64)
+    vel = np.clip(arr[:, 1], 1, 127).astype(np.int64)
+    dur = np.maximum(arr[:, 2], 0.05)
+    start = np.maximum(arr[:, 3], 0.0)
+    song = MidiSong(initial_tempo=bpm)
+    inst = MidiInstrument(program=0)
+    inst.notes = [
+        MidiNote(velocity=int(v), pitch=int(p), start=float(s), end=float(s + d))
+        for p, v, d, s in zip(pitch, vel, dur, start)
+    ]
+    song.instruments.append(inst)
+    return song
+
+
 def save_recon_midi(
     notes_in: np.ndarray,
     notes_out: np.ndarray,

@@ -33,8 +33,9 @@ def _interpret() -> bool:
 
 
 def _pick_batch_tile(b: int, vmem_per_sample: int) -> int:
-    """Largest batch tile that divides b within a ~10 MB VMEM budget."""
-    budget = 10 * 1024 * 1024
+    """Largest batch tile that divides b within a conservative VMEM budget
+    (16 MB scoped limit; leave headroom for double buffering)."""
+    budget = 6 * 1024 * 1024
     for bt in (64, 32, 16, 8, 4, 2, 1):
         if b % bt == 0 and bt * vmem_per_sample <= budget:
             return bt
@@ -83,7 +84,9 @@ def _pallas_conv1d_fwd_impl(x, w, stride: int, padding: int):
     # (B, S·Ls, Cin) → (S, B, Ls, Cin) parity streams (XLA-side reshuffle)
     streams = jnp.stack([xp[:, r::stride, :] for r in range(stride)], axis=0)
 
-    vmem = (stride * ls * cin + lout * k * cin + lout * cout) * 4
+    # per-sample VMEM: parity streams + K live (Lout, Cout) accumulator
+    # temporaries from the unrolled tap chain (Mosaic keeps them on-stack)
+    vmem = (stride * ls * cin + (k + 2) * lout * cout + k * lout * cin) * 4
     bt = _pick_batch_tile(b, vmem)
     kernel = functools.partial(_conv1d_kernel, k=k, stride=stride, lout=lout)
     return pl.pallas_call(
@@ -122,10 +125,9 @@ def _convt_taps(k: int, stride: int, padding: int, r: int):
 
 def _convt_kernel(x_ref, w_ref, o_ref, *, k, stride, padding, lmax, off0):
     x = x_ref[...]  # (BT, Lp, Cin), already padded by |off0| up front
-    w = w_ref[...]  # (K, Cin, Cout)
+    wf = w_ref[...]  # (K, Cin, Cout), already flipped on k (Mosaic has no rev)
     bt, lp, cin = x.shape
-    cout = w.shape[-1]
-    wf = jnp.flip(w, axis=0)
+    cout = wf.shape[-1]
     for r in range(stride):
         taps = _convt_taps(k, stride, padding, r)
         acc = jnp.zeros((bt, lmax, cout), jnp.float32)
@@ -155,7 +157,7 @@ def _pallas_convt_fwd_impl(x, w, stride: int, padding: int, output_padding: int)
     xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0)))
     lp = xp.shape[1]
 
-    vmem = (lp * cin + stride * lmax * cout + lmax * k * cin) * 4
+    vmem = (lp * cin + (k + 2) * stride * lmax * cout + lmax * k * cin) * 4
     bt = _pick_batch_tile(b, vmem)
     kernel = functools.partial(
         _convt_kernel, k=k, stride=stride, padding=padding, lmax=lmax, off0=-pad_lo
@@ -175,7 +177,7 @@ def _pallas_convt_fwd_impl(x, w, stride: int, padding: int, output_padding: int)
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(xp.astype(jnp.float32), w.astype(jnp.float32))
+    )(xp.astype(jnp.float32), jnp.flip(w, axis=0).astype(jnp.float32))
     # XLA-side interleave: (B, S, Lmax, C) → (B, Lmax, S, C) → (B, S·Lmax, C)
     out = jnp.transpose(planar, (0, 2, 1, 3)).reshape(b, stride * lmax, cout)
     return out[:, :lout, :]
