@@ -169,6 +169,10 @@ class EDConfig:
 
     name: str = "emotion_discriminator_v1"
     input_mode: str = "notes"  # 'latent' | 'notes'
+    # 'normalized': train on the GAN-normalized note layout (in-domain for the
+    # GAN's emotion loss — the default); 'raw': reference behavior (trains on
+    # raw .npz notes while the GAN applies the ED to normalized output)
+    notes_domain: str = "normalized"
     n_classes: int = 4
     labels: Tuple[str, ...] = ("happy", "sad", "angry", "calm")
     latent_dim: int = 64  # unused in notes mode, kept for parity
@@ -210,6 +214,7 @@ class EDConfig:
         return cls(
             name=str(raw.get("name", "emotion_discriminator_v1")),
             input_mode=str(raw.get("input_mode", "latent")),
+            notes_domain=str(raw.get("notes_domain", "normalized")),
             n_classes=int(raw.get("n_classes", 4)),
             labels=tuple(raw.get("labels", ["happy", "sad", "angry", "calm"])),
             latent_dim=int(raw.get("latent_dim", 128)),

@@ -133,6 +133,8 @@ def _inputs(cfg: EDConfig, data: SplitData, latents: Optional[np.ndarray]):
         return latents.astype(np.float32)
     # notes mode: normalized GAN layout by default (in-domain for the GAN's
     # emotion loss); 'raw' reproduces the reference's unnormalized training
+    if getattr(cfg, "notes_domain", "normalized") == "raw":
+        return data.notes_raw.astype(np.float32)
     return data.notes_gan()
 
 

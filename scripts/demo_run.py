@@ -1,0 +1,145 @@
+#!/usr/bin/env python3
+"""Full-scale end-to-end demo run on TPU.
+
+Mirrors the reference's training regime on a synthetic corpus of the same
+size (320 songs/emotion ≈ the reference's 1282): preprocess → splits → VAE
+(100 epochs) → latent export → ED (50 epochs) → WGAN-GP (50 epochs) → sampling
+→ diagnostics. Writes artifacts under the workdir and a RESULTS.md summary at
+the repo root.
+"""
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(workdir: str = None, per_emotion: int = 320, epochs: int = None):
+    import jax
+
+    cache_dir = os.path.join(REPO, ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
+
+    from melogan_tpu.cli import main as cli
+    from melogan_tpu.diagnostics.analyze_midi import analyze_file
+    from melogan_tpu.utils.metrics import read_tfevents
+
+    workdir = workdir or os.path.join(REPO, "experiments", "demo_run")
+    os.makedirs(workdir, exist_ok=True)
+    t0 = time.time()
+
+    args = ["pipeline", "--workdir", workdir, "--synthetic",
+            "--per-emotion", str(per_emotion),
+            "--ae-config", os.path.join(REPO, "configs/ae.yaml"),
+            "--ed-config", os.path.join(REPO, "configs/ed.yaml"),
+            "--gan-config", os.path.join(REPO, "configs/gan.yaml")]
+    if epochs:
+        args += ["--epochs", str(epochs)]
+    cli(args)
+
+    total = time.time() - t0
+
+    # extra samples for stats
+    gen_dir = os.path.join(workdir, "generated_tests")
+    cli(["sample", "--emotion", "all", "--samples", "2", "--seed", "123",
+         "--config", os.path.join(REPO, "configs/gan.yaml"),
+         "--workdir", workdir, "--out", gen_dir])
+
+    # diagnostics
+    splits_dir = os.path.join(workdir, "data/splits")
+    processed = os.path.join(workdir, "data/processed")
+    cli(["diagnose", "--split", "train", "--splits-dir", splits_dir,
+         "--processed-dir", processed])
+    cli(["tsne", "--split", "train", "--splits-dir", splits_dir,
+         "--processed-dir", processed, "--out", workdir])
+
+    # summarize
+    def last_scalars(log_dir, tags):
+        files = [f for f in os.listdir(log_dir) if f.startswith("events.out")]
+        out = {}
+        for f in sorted(files):
+            for tag, v, s in read_tfevents(os.path.join(log_dir, f)):
+                if tag in tags:
+                    out.setdefault(tag, []).append((s, v))
+        return {t: sorted(vs) for t, vs in out.items()}
+
+    gan_logs = last_scalars(
+        os.path.join(workdir, "experiments/gan/logs"),
+        ("Loss/Critic", "Loss/Generator_Adv", "Loss/Generator_Emo", "epoch_seconds"),
+    )
+    ae_logs = last_scalars(
+        os.path.join(workdir, "experiments/ae"), ("loss/val_total", "epoch_seconds")
+    )
+    ed_logs = last_scalars(
+        os.path.join(workdir, "data/experiments/ed"), ("acc/val", "loss/val", "epoch_seconds")
+    )
+
+    stats = {os.path.basename(p): analyze_file(os.path.join(gen_dir, p))
+             for p in sorted(os.listdir(gen_dir))}
+
+    def curve(tag, logs):
+        vs = logs.get(tag, [])
+        if not vs:
+            return "n/a"
+        return f"{vs[0][1]:.4f} → {vs[-1][1]:.4f} ({len(vs)} epochs)"
+
+    def mean_epoch_s(logs):
+        vs = logs.get("epoch_seconds", [])
+        return f"{np.mean([v for _, v in vs[1:]]):.3f}s" if len(vs) > 1 else "n/a"
+
+    lines = [
+        "# RESULTS — end-to-end demo training run (single TPU v5e chip)",
+        "",
+        f"Corpus: {per_emotion * 4} synthetic emotion-labelled songs "
+        "(reference regime: 1282 songs, same split ratios, same hyperparameters).",
+        f"Total wall-clock for the full pipeline: **{total:.1f}s** "
+        "(the reference trains for hours on a laptop GPU).",
+        "",
+        "## Training curves",
+        "",
+        f"- VAE val total loss: {curve('loss/val_total', ae_logs)}; "
+        f"epoch time {mean_epoch_s(ae_logs)}",
+        f"- ED val accuracy: {curve('acc/val', ed_logs)}; "
+        f"epoch time {mean_epoch_s(ed_logs)}",
+        f"- GAN critic loss: {curve('Loss/Critic', gan_logs)}",
+        f"- GAN generator adversarial: {curve('Loss/Generator_Adv', gan_logs)}",
+        f"- GAN generator emotion CE: {curve('Loss/Generator_Emo', gan_logs)} "
+        f"(reference: 2.004 → 1.414 over 50 epochs)",
+        f"- GAN epoch time: {mean_epoch_s(gan_logs)} "
+        "(reference: 50 epochs ≈ hours on laptop GPU)",
+        "",
+        "## Generated sample statistics (melogan analyze-midi)",
+        "",
+        "| file | bpm | notes | avg pitch | uniq pitches | avg vel | notes/s |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, s in stats.items():
+        if "error" in s:
+            continue
+        lines.append(
+            f"| {name} | {s['tempo_bpm']} | {s['n_notes']} | {s['avg_pitch']} | "
+            f"{s['unique_pitches']} | {s['avg_velocity']} | {s['notes_per_sec']} |"
+        )
+    lines += [
+        "",
+        f"t-SNE latent visualization: `experiments/demo_run/train_latent_tsne_visualization.png`",
+        "",
+        "_All artifacts under `experiments/demo_run/` (gitignored); this file is the summary._",
+    ]
+    with open(os.path.join(REPO, "RESULTS.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main(
+        workdir=sys.argv[1] if len(sys.argv) > 1 else None,
+        per_emotion=int(sys.argv[2]) if len(sys.argv) > 2 else 320,
+        epochs=int(sys.argv[3]) if len(sys.argv) > 3 else None,
+    )
