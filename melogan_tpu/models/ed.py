@@ -20,6 +20,7 @@ from flax import linen as nn
 from melogan_tpu.models.layers import (
     Conv1d,
     Dropout,
+    SpectralNormLinear,
     TorchBatchNorm,
     TorchLinear,
     adaptive_avg_pool_1,
@@ -70,11 +71,15 @@ class MLPClassifier(nn.Module):
     hidden_dims: Tuple[int, ...] = (256, 128)
     n_classes: int = 4
     dropout: float = 0.2
+    use_sn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         for h in self.hidden_dims:
-            x = TorchLinear(features=h)(x)
+            if self.use_sn:
+                x = SpectralNormLinear(features=h)(x, update_stats=train)
+            else:
+                x = TorchLinear(features=h)(x)
             x = gelu_exact(x)
             x = Dropout(rate=self.dropout)(x, deterministic=not train)
         return TorchLinear(features=self.n_classes)(x)
@@ -91,6 +96,7 @@ class EmotionDiscriminator(nn.Module):
     mlp_hidden: Tuple[int, ...] = (256, 128)
     n_classes: int = 4
     dropout: float = 0.2
+    use_spectral_norm: bool = False
 
     def setup(self):
         if self.input_mode == "notes":
@@ -104,7 +110,8 @@ class EmotionDiscriminator(nn.Module):
         else:
             raise ValueError("input_mode must be 'latent' or 'notes'")
         self.classifier = MLPClassifier(
-            hidden_dims=self.mlp_hidden, n_classes=self.n_classes, dropout=self.dropout
+            hidden_dims=self.mlp_hidden, n_classes=self.n_classes,
+            dropout=self.dropout, use_sn=self.use_spectral_norm,
         )
 
     def __call__(self, x, train: bool = True):
@@ -137,4 +144,5 @@ class EmotionDiscriminator(nn.Module):
             mlp_hidden=tuple(get("mlp_hidden", (256, 128))),
             n_classes=int(get("n_classes", 4)),
             dropout=float(get("dropout", 0.2)),
+            use_spectral_norm=bool(get("use_spectral_norm", False)),
         )

@@ -29,6 +29,7 @@ from melogan_tpu.models.layers import (
     Conv1d,
     ConvTranspose1d,
     Dropout,
+    SpectralNormLinear,
     TorchBatchNorm,
     TorchLayerNorm,
     TorchLinear,
@@ -185,12 +186,16 @@ class FeatureEncoder(nn.Module):
     hidden_dims: Tuple[int, ...] = (256, 128)
     out_dim: int = 128
     dropout: float = 0.2
+    use_sn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = TorchLayerNorm()(x)
         for h in self.hidden_dims:
-            x = TorchLinear(features=h, gan_init=True)(x)
+            if self.use_sn:
+                x = SpectralNormLinear(features=h)(x, update_stats=train)
+            else:
+                x = TorchLinear(features=h, gan_init=True)(x)
             x = gelu_exact(x)
             x = Dropout(rate=self.dropout)(x, deterministic=not train)
         return TorchLinear(features=self.out_dim, gan_init=True)(x)
@@ -201,4 +206,5 @@ class FeatureEncoder(nn.Module):
             hidden_dims=tuple(cfg.encoder_hidden),
             out_dim=cfg.encoder_out_dim,
             dropout=cfg.encoder_dropout if dropout is None else dropout,
+            use_sn=cfg.encoder_use_sn,
         )

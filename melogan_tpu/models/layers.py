@@ -108,6 +108,44 @@ class TorchLinear(nn.Module):
         return y
 
 
+class SpectralNormLinear(nn.Module):
+    """Dense layer with spectral normalization (power iteration).
+
+    The reference exposes optional spectral norm on the ED MLP and the
+    feature encoder (ed_model.py:28-33, feature_encoder.py:22-29; disabled in
+    the shipped configs). One power-iteration step per forward in train mode,
+    matching torch's ``spectral_norm`` semantics; the left singular vector
+    estimate lives in the ``spectral`` variable collection.
+    """
+
+    features: int
+    eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = True):
+        fan_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_kaiming_uniform(fan_in), (fan_in, self.features)
+        )
+        bias = self.param("bias", torch_bias_uniform(fan_in), (self.features,))
+        u_var = self.variable(
+            "spectral",
+            "u",
+            lambda: jax.random.normal(jax.random.PRNGKey(0), (self.features,)),
+        )
+        u = u_var.value
+        # one power-iteration step on W^T (features, fan_in)
+        v = kernel @ u
+        v = v / (jnp.linalg.norm(v) + self.eps)
+        u_new = kernel.T @ v
+        u_new = u_new / (jnp.linalg.norm(u_new) + self.eps)
+        sigma = v @ (kernel @ u_new)
+        if update_stats and not self.is_initializing():
+            u_var.value = jax.lax.stop_gradient(u_new)
+        w = kernel / jnp.maximum(jax.lax.stop_gradient(sigma), self.eps)
+        return jnp.dot(x, w, precision=default_precision(), preferred_element_type=jnp.float32) + bias
+
+
 # ---------------------------------------------------------------------------
 # Conv1d / ConvTranspose1d with torch-exact geometry
 # ---------------------------------------------------------------------------

@@ -211,3 +211,31 @@ def test_gan_init_statistics():
             assert abs(float(jnp.std(leaf)) - 0.02) < 0.005, name
         elif "bias" in name:
             assert float(jnp.abs(leaf).max()) == 0.0, name
+
+
+def test_spectral_norm_bounds_singular_value(rng):
+    from melogan_tpu.models.layers import SpectralNormLinear
+
+    x = jnp.asarray(rng.normal(size=(4, 32)), jnp.float32)
+    mod = SpectralNormLinear(features=16)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    # scale up the kernel so normalization has something to do
+    variables = {
+        "params": {
+            "kernel": variables["params"]["kernel"] * 25.0,
+            "bias": variables["params"]["bias"],
+        },
+        "spectral": variables["spectral"],
+    }
+    for _ in range(30):  # power iteration converges
+        y, mut = mod.apply(variables, x, update_stats=True, mutable=["spectral"])
+        variables = {"params": variables["params"], **mut}
+    # effective weight = kernel / sigma must have top singular value ~1
+    kernel = np.asarray(variables["params"]["kernel"])
+    u = np.asarray(variables["spectral"]["u"])
+    v = kernel @ u
+    v /= np.linalg.norm(v)
+    u2 = kernel.T @ v
+    sigma = float(v @ (kernel @ (u2 / np.linalg.norm(u2))))
+    top_sv = np.linalg.svd(kernel / sigma, compute_uv=False)[0]
+    np.testing.assert_allclose(top_sv, 1.0, atol=1e-3)
