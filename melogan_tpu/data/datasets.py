@@ -128,8 +128,23 @@ def load_split(
     split_csv: str, processed_dir: str, numeric_input_dim: int = 6, verbose: bool = True
 ) -> SplitData:
     paths, emotions, dropped = resolve_split(split_csv, processed_dir)
-    if verbose and dropped:
-        print(f"[WARN] dropped {len(dropped)} unresolvable rows from {split_csv}")
+    if dropped:
+        if verbose:
+            print(f"[WARN] dropped {len(dropped)} unresolvable rows from {split_csv}")
+        # persist the filtered view (reference ed_dataset.py:477-485 behavior)
+        from melogan_tpu.data.npz import read_split_csv, write_filtered_csv
+
+        rows = read_split_csv(split_csv)
+        dropped_keys = {tuple(sorted(r.items())) for r in dropped}
+        kept = [r for r in rows if tuple(sorted(r.items())) not in dropped_keys]
+        out = os.path.join(
+            os.path.dirname(os.path.abspath(split_csv)),
+            f"auto_filtered_{os.path.basename(split_csv)}",
+        )
+        try:
+            write_filtered_csv(split_csv, kept, out)
+        except OSError:
+            pass
     notes, moods, feats, names = [], [], [], []
     for path, emo in zip(paths, emotions):
         s = load_sample(path, numeric_input_dim)
