@@ -182,7 +182,7 @@ def cmd_train_gan(args):
 
     _, metrics = gan_loop.train(
         cfg, ed_cfg, train_data, latents=latents, ed_variables=ed_variables,
-        workdir=args.workdir,
+        workdir=args.workdir, resume=getattr(args, "resume", False),
     )
     print(json.dumps(metrics))
 
@@ -380,6 +380,8 @@ def build_parser():
     s.add_argument("--splits-dir", default="data/splits")
     s.add_argument("--processed-dir", default="data/processed")
     s.add_argument("--epochs", type=int, default=None)
+    s.add_argument("--resume", action="store_true",
+                   help="restart from the newest periodic checkpoint")
     s.set_defaults(fn=cmd_train_gan)
 
     s = sub.add_parser("sample", help="emotion-conditioned MIDI generation")

@@ -20,7 +20,7 @@ import numpy as np
 from melogan_tpu.config import EDConfig, GANConfig
 from melogan_tpu.data.datasets import SplitData, stack_gan_groups
 from melogan_tpu.train import gan_step
-from melogan_tpu.utils.checkpoint import save_checkpoint
+from melogan_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from melogan_tpu.utils.metrics import MetricsWriter
 
 
@@ -33,10 +33,14 @@ def train(
     workdir: Optional[str] = None,
     epochs: Optional[int] = None,
     verbose: bool = True,
+    resume: bool = False,
 ) -> Tuple[gan_step.GANTrainState, Dict[str, float]]:
     """Full Stage-3 run. ``ed_variables`` is the pre-trained frozen emotion
     discriminator ({'params': ..., 'batch_stats': ...}); when absent the ED is
-    random (the reference warns and proceeds, train_gan.py:128-129)."""
+    random (the reference warns and proceeds, train_gan.py:128-129).
+    ``resume=True`` restarts from the newest periodic checkpoint, including
+    both optimizer states — the resume path the reference never implemented
+    (SURVEY.md §5)."""
     models = gan_step.build_models(cfg, ed_cfg)
     state = gan_step.init_state(cfg, models, seed=cfg.seed, ed_variables=ed_variables)
     group_fn, tail_fn = gan_step.make_train_steps(cfg, models)
@@ -46,6 +50,33 @@ def train(
     ckpt_dir = os.path.join(workdir, cfg.checkpoint_dir) if workdir else cfg.checkpoint_dir
     log_dir = os.path.join(workdir, cfg.log_dir) if workdir else cfg.log_dir
     writer = MetricsWriter(log_dir)
+
+    start_epoch = 1
+    if resume:
+        latest = latest_checkpoint(ckpt_dir, "gan_epoch")
+        if latest:
+            ckpt = load_checkpoint(
+                latest,
+                target={
+                    "epoch": 0,
+                    "G": {"params": state.gen_params, "batch_stats": state.gen_stats},
+                    "D": {"params": state.critic_params},
+                    "E_num": {"params": state.fe_params},
+                    "opt_G": state.opt_g,
+                    "opt_D": state.opt_d,
+                },
+            )
+            state = state.replace(
+                gen_params=ckpt["G"]["params"],
+                gen_stats=ckpt["G"]["batch_stats"],
+                critic_params=ckpt["D"]["params"],
+                fe_params=ckpt["E_num"]["params"],
+                opt_g=ckpt["opt_G"],
+                opt_d=ckpt["opt_D"],
+            )
+            start_epoch = int(ckpt["epoch"]) + 1
+            if verbose:
+                print(f"[INFO] resumed from {latest} at epoch {start_epoch}")
 
     notes = train_data.notes_gan()
     emotion_idx = train_data.emotion_idx.astype(np.int32)
@@ -57,8 +88,11 @@ def train(
 
     rng = np.random.default_rng(cfg.seed)
     n_epochs = epochs or cfg.epochs
+    # replay the data-order RNG so a resumed run consumes the same stream
+    for _ in range(start_epoch - 1):
+        rng.permutation(notes.shape[0])
     history: Dict[str, float] = {}
-    for epoch in range(1, n_epochs + 1):
+    for epoch in range(start_epoch, n_epochs + 1):
         t0 = time.perf_counter()
         groups, tail = stack_gan_groups(
             notes, emotion_idx, latents, numeric,

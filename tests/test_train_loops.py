@@ -2,6 +2,8 @@
 mechanics (plateau, early stop, checkpoints) behave, latents export."""
 import os
 
+import jax
+
 import numpy as np
 import pytest
 
@@ -151,3 +153,29 @@ def test_beta_schedule():
     assert beta_schedule(1, 4, 10.0) == 2.5
     assert beta_schedule(4, 4, 10.0) == 10.0
     assert beta_schedule(9, 4, 10.0) == 10.0
+
+
+def test_gan_resume_from_checkpoint(splits, tmp_path, rng):
+    """Kill-and-resume: a resumed run restores params + optimizer state and
+    continues from the next epoch."""
+    train_data, _ = splits
+    cfg = GANConfig(
+        max_notes=64, batch_size=4, noise_dim=16, latent_dim=8, gen_hidden=32,
+        epochs=2, save_freq=2,
+    )
+    ed_cfg = EDConfig(max_notes=64, notes_blocks=2, notes_hidden=32, mlp_hidden=(16,))
+    state1, _ = gan_loop.train(cfg, ed_cfg, train_data, workdir=str(tmp_path), verbose=False)
+
+    # resume for 2 more epochs
+    cfg4 = GANConfig(
+        max_notes=64, batch_size=4, noise_dim=16, latent_dim=8, gen_hidden=32,
+        epochs=4, save_freq=2,
+    )
+    state2, metrics = gan_loop.train(
+        cfg4, ed_cfg, train_data, workdir=str(tmp_path), verbose=False, resume=True
+    )
+    assert metrics["epoch"] == 4
+    # params actually moved past the restored point
+    a = jax.tree_util.tree_leaves(state1.gen_params)[0]
+    b = jax.tree_util.tree_leaves(state2.gen_params)[0]
+    assert not np.allclose(np.asarray(a), np.asarray(b))
