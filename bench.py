@@ -81,15 +81,14 @@ def _bench_train(iters: int = 20, warmup: int = 2):
 def _bench_latency(sampler, n: int = 20):
     import io
 
-    from melogan_tpu.midi.codec import piano_roll_to_song
+    from melogan_tpu.midi.codec import render_to_bytes
     from melogan_tpu.sampling import EMOTION_BPM, emotion_scale
 
     lat = []
     for i in range(n):
         t0 = time.perf_counter()
         notes = sampler.sample_notes(["happy"], seed=i)[0]
-        song = piano_roll_to_song(notes, bpm=EMOTION_BPM["happy"], scale=emotion_scale("happy"))
-        _ = song.to_bytes()
+        _ = render_to_bytes(notes, bpm=EMOTION_BPM["happy"], scale=emotion_scale("happy"))
         lat.append(time.perf_counter() - t0)
     lat.sort()
     return lat[len(lat) // 2]

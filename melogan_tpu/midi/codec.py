@@ -181,6 +181,40 @@ def piano_roll_to_song(
     return song
 
 
+def render_to_bytes(
+    notes_array: np.ndarray,
+    bpm: float = 120.0,
+    scale: str = "major",
+    root_key: int = 0,
+    instrument_name: str = "Acoustic Grand Piano",
+) -> bytes:
+    """Serving fast path: normalized notes → `.mid` bytes with no per-note
+    Python objects (vectorized render → tick arrays → native C++ encoder,
+    falling back to the object model when the native library is absent).
+    Byte-identical to :func:`save_piano_roll_to_midi` output."""
+    from melogan_tpu.midi.midifile import DEFAULT_RESOLUTION
+    from melogan_tpu.midi.native import encode_song_native
+
+    try:
+        program = instrument_name_to_program(instrument_name)
+    except KeyError:
+        program = 0
+    bpm = max(60.0, min(float(bpm), 180.0))
+    pitch, velocity, start, end = render_piano_roll(notes_array, bpm, scale, root_key)
+
+    ts = 60.0 / (bpm * DEFAULT_RESOLUTION)
+    tempo_us = int(6e7 / (60.0 / (ts * DEFAULT_RESOLUTION)))
+    start_tick = np.round(np.asarray(start, np.float64) / ts).astype(np.int64)
+    end_tick = np.round(np.asarray(end, np.float64) / ts).astype(np.int64)
+    encoded = encode_song_native(
+        pitch.astype(np.int32), velocity.astype(np.int32), start_tick, end_tick,
+        program=program, channel=0, tempo_us=tempo_us, division=DEFAULT_RESOLUTION,
+    )
+    if encoded is not None:
+        return encoded
+    return piano_roll_to_song(notes_array, bpm, scale, root_key, instrument_name).to_bytes()
+
+
 def save_piano_roll_to_midi(
     notes_array: np.ndarray,
     output_path: str,

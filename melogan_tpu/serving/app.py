@@ -32,7 +32,7 @@ from socketserver import ThreadingMixIn
 import numpy as np
 
 from melogan_tpu.config import GANConfig
-from melogan_tpu.midi.codec import piano_roll_to_song
+from melogan_tpu.midi.codec import piano_roll_to_song, render_to_bytes
 from melogan_tpu.models.text_emotion import backend_name, predict_emotion
 from melogan_tpu.sampling import EMOTION_BPM, Sampler, emotion_scale
 
@@ -195,10 +195,9 @@ def build_app(state: AppState):
                     status="400 Bad Request",
                 )
             notes = state.sampler.sample_notes([emotion], seed=state.next_seed())[0]
-            song = piano_roll_to_song(
+            body = render_to_bytes(
                 notes, bpm=EMOTION_BPM[emotion], scale=emotion_scale(emotion)
             )
-            body = song.to_bytes()
             start_response(
                 "200 OK",
                 [

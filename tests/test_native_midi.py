@@ -68,3 +68,16 @@ def test_native_speedup(rng):
     t_python = timeit(lambda: song.to_bytes(allow_native=False))
     # informative, not strict: native should not be slower
     assert t_native <= t_python * 1.5, (t_native, t_python)
+
+
+def test_render_to_bytes_matches_object_path(rng):
+    from melogan_tpu.midi.codec import render_to_bytes, save_piano_roll_to_midi
+    import tempfile, os
+
+    notes = rng.normal(0, 0.8, size=(300, 4)).astype(np.float32)
+    fast = render_to_bytes(notes, bpm=133, scale="dorian")
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "x.mid")
+        save_piano_roll_to_midi(notes, path, bpm=133, scale="dorian", verbose=False)
+        slow = open(path, "rb").read()
+    assert fast == slow
