@@ -123,6 +123,22 @@ def run(cpu_baseline: bool = False):
     train_steps = _bench_train(iters=15)
     p50_latency = _bench_latency(sampler)
 
+    # fast-math variant: bf16 MXU passes for pure inference throughput
+    # (the headline number stays f32 — deterministic bytes)
+    fast_samples = None
+    try:
+        from melogan_tpu.models.layers import set_default_precision
+
+        set_default_precision(jax.lax.Precision.DEFAULT)
+        fast_sampler = Sampler(GANConfig(), seed=0)
+        fast_samples = _bench_sampling(fast_sampler, batch=512, iters=10)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] fast-math sampling failed: {e}", file=sys.stderr)
+    finally:
+        from melogan_tpu.models.layers import set_default_precision
+
+        set_default_precision(jax.lax.Precision.HIGHEST)
+
     # CPU baseline in a subprocess (fresh backend)
     cpu = {"samples_per_sec": None, "train_steps_per_sec": None}
     try:
@@ -154,6 +170,7 @@ def run(cpu_baseline: bool = False):
             else None
         ),
         "p50_midi_gen_latency_ms": round(p50_latency * 1000, 2),
+        "bf16_samples_per_sec": round(fast_samples, 2) if fast_samples else None,
         "cpu_samples_per_sec": round(cpu["samples_per_sec"], 2) if cpu.get("samples_per_sec") else None,
     }
     print(json.dumps(out))

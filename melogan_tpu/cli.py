@@ -97,8 +97,6 @@ def cmd_train_ae(args):
 
 
 def cmd_encode(args):
-    import jax
-
     from melogan_tpu.config import AEConfig
     from melogan_tpu.models.vae import VAE
     from melogan_tpu.train import vae_loop

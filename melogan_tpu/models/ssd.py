@@ -211,6 +211,7 @@ class FaceDetector:
         self.variables = variables
         self.priors = jnp.asarray(generate_priors())
         self._forward = jax.jit(self._detect)
+        self._nms = jax.jit(nms)
 
     def _detect(self, variables, x):
         loc, conf = self.model.apply(variables, x)
@@ -224,8 +225,7 @@ class FaceDetector:
         x = jax.image.resize(x, (INPUT_SIZE, INPUT_SIZE, 3), "bilinear")
         x = x - jnp.asarray(MEAN_BGR)
         boxes, probs = self._forward(self.variables, x[None])
-        boxes, probs = np.asarray(boxes[0]), np.asarray(probs[0])
-        order, s, b, keep = nms(jnp.asarray(boxes), jnp.asarray(probs))
+        order, s, b, keep = self._nms(boxes[0], probs[0])
         s, b, keep = np.asarray(s), np.asarray(b), np.asarray(keep)
         rows = []
         for i in range(len(s)):

@@ -168,6 +168,14 @@ def train(
     data_rng = np.random.default_rng(cfg.seed)
     val_batches = stack_epoch(x_val, cfg.batch_size, data_rng, shuffle=False)
 
+    # jitted recon forward: an unjitted apply dispatches hundreds of ops per
+    # epoch through the device tunnel (~20s/epoch on the remote TPU)
+    recon_fn = jax.jit(
+        lambda params, stats, x: model.apply(
+            {"params": params, "batch_stats": stats}, x, train=False
+        )[0]
+    )
+
     best_state = state
     history: Dict[str, float] = {}
     for epoch in range(1, cfg.epochs + 1):
@@ -206,11 +214,7 @@ def train(
             )
 
         if recon_dumps and epoch % cfg.recon_freq == 0 and fixed_val.shape[0]:
-            recon = model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                jnp.asarray(fixed_val),
-                train=False,
-            )[0]
+            recon = recon_fn(state.params, state.batch_stats, jnp.asarray(fixed_val))
             for i, name in enumerate(fixed_names):
                 base = os.path.splitext(os.path.basename(name))[0]
                 try:
