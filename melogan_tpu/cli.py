@@ -203,15 +203,19 @@ def cmd_sample(args):
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     emotions = [args.emotion] if args.emotion != "all" else ["happy", "sad", "angry", "calm"]
+    # one device batch for all prompts; per-file jittered bpm around the
+    # emotion base (test_gan reconstruction; shipped artifact bpms scatter
+    # ~±15% around the map)
+    prompts, paths, bpms = [], [], []
     for emotion in emotions:
         for i in range(1, args.samples + 1):
-            # jittered bpm around the emotion base (test_gan reconstruction;
-            # shipped artifact bpms scatter ~±15% around the map)
-            bpm = float(EMOTION_BPM[emotion] * (1.0 + 0.15 * rng.standard_normal()))
-            out = os.path.join(args.out, f"test_{emotion}_{i}.mid")
-            sampler.generate_midi(emotion, out, seed=int(rng.integers(0, 2**31)), bpm=bpm)
-            print(f"[INFO] wrote {out} (bpm {max(60, min(bpm, 180)):.0f}, "
-                  f"{emotion_scale(emotion)})")
+            prompts.append(emotion)
+            paths.append(os.path.join(args.out, f"test_{emotion}_{i}.mid"))
+            bpms.append(float(EMOTION_BPM[emotion] * (1.0 + 0.15 * rng.standard_normal())))
+    sampler.generate_many(prompts, paths, seed=int(rng.integers(0, 2**31)), bpms=bpms)
+    for emotion, out, bpm in zip(prompts, paths, bpms):
+        print(f"[INFO] wrote {out} (bpm {max(60, min(bpm, 180)):.0f}, "
+              f"{emotion_scale(emotion)})")
 
 
 def cmd_pipeline(args):

@@ -115,6 +115,28 @@ class Sampler:
         )
         return np.asarray(notes)
 
+    def generate_many(
+        self,
+        emotions,
+        out_paths,
+        seed: int = 0,
+        bpms=None,
+    ):
+        """Bulk generation: ONE device batch for all prompts, then per-file
+        byte encoding (native codec). Returns the written paths."""
+        from melogan_tpu.midi.codec import render_to_bytes
+
+        assert len(emotions) == len(out_paths)
+        notes = self.sample_notes(list(emotions), seed=seed)
+        written = []
+        for i, (emotion, path) in enumerate(zip(emotions, out_paths)):
+            bpm = bpms[i] if bpms is not None else EMOTION_BPM[emotion]
+            data = render_to_bytes(notes[i], bpm=bpm, scale=emotion_scale(emotion))
+            with open(path, "wb") as f:
+                f.write(data)
+            written.append(path)
+        return written
+
     def generate_midi(
         self,
         emotion: str,
