@@ -21,7 +21,6 @@ threaded WSGI server shares it safely (JAX dispatch is thread-safe).
 """
 from __future__ import annotations
 
-import io
 import json
 import os
 import threading
