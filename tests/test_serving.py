@@ -111,3 +111,24 @@ def test_malformed_json_body(server):
     )
     resp = urllib.request.urlopen(r, timeout=30)
     assert json.loads(resp.read())["emotion"] == "calm"  # fail-soft default
+
+
+def test_concurrent_generate_requests(server):
+    """8 threads × 4 requests: every response is a valid MIDI file and the
+    camera/text routes stay responsive (thread-safety of the shared jitted
+    sampler + locked state)."""
+    import concurrent.futures
+
+    base, _ = server
+
+    def one(i):
+        emotion = ["happy", "sad", "angry", "calm"][i % 4]
+        status, headers, body = req(base, "/generate", {"emotion": emotion})
+        assert status == 200 and body[:4] == b"MThd"
+        status, _, _ = req(base, "/get_camera_emotion")
+        assert status == 200
+        return len(body)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        sizes = list(ex.map(one, range(32)))
+    assert all(s > 100 for s in sizes)
