@@ -130,3 +130,23 @@ def test_cross_entropy_matches_torch(rng):
         torch.nn.functional.cross_entropy(torch.tensor(logits), torch.tensor(labels))
     )
     np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+
+def test_group_step_conditioning_mode(rng):
+    """INTEGRATION_MODE=conditioning: the AE latent is concatenated into the
+    generator input; the full fused step must train end to end."""
+    cfg = tiny_cfg(integration_mode="conditioning")
+    models = gan_step.build_models(cfg, tiny_ed_cfg())
+    state = gan_step.init_state(cfg, models, seed=0)
+    group_step = jax.jit(gan_step.make_train_steps(cfg, models)[0])
+    batches = make_batches(rng, cfg, cfg.critic_iters)
+    new_state, metrics = group_step(state, batches)
+    assert np.isfinite(float(metrics["loss_d_sum"]))
+    assert np.isfinite(float(metrics["loss_g_emo"]))
+    # latents must actually influence the generator: different latents in the
+    # same state produce different fake scores
+    real, emo, lat, num = batches
+    lat2 = lat + 1.0
+    _, m1 = group_step(state, (real, emo, lat, num))
+    _, m2 = group_step(state, (real, emo, lat2, num))
+    assert float(m1["loss_g_adv"]) != float(m2["loss_g_adv"])
