@@ -86,18 +86,24 @@ def make_epoch_fns(cfg: EDConfig, model: EmotionDiscriminator):
         rng, k_drop = jax.random.split(state.rng)
 
         def loss_fn(params):
-            out = model.apply(
-                apply_vars(params, state.batch_stats),
-                x,
-                train=True,
-                rngs={"dropout": k_drop},
-                mutable=["batch_stats"] if state.batch_stats else [],
-            )
             if state.batch_stats:
-                logits, mutated = out
+                logits, mutated = model.apply(
+                    apply_vars(params, state.batch_stats),
+                    x,
+                    train=True,
+                    rngs={"dropout": k_drop},
+                    mutable=["batch_stats"],
+                )
                 stats = mutated["batch_stats"]
             else:
-                logits, stats = out, state.batch_stats
+                # latent mode: no batch-norm collections to thread
+                logits = model.apply(
+                    apply_vars(params, state.batch_stats),
+                    x,
+                    train=True,
+                    rngs={"dropout": k_drop},
+                )
+                stats = state.batch_stats
             loss = cross_entropy(logits, y)
             acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
             return loss, (stats, acc)

@@ -179,3 +179,19 @@ def test_gan_resume_from_checkpoint(splits, tmp_path, rng):
     a = jax.tree_util.tree_leaves(state1.gen_params)[0]
     b = jax.tree_util.tree_leaves(state2.gen_params)[0]
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_ed_latent_mode_training(splits, tmp_path, rng):
+    """input_mode='latent' (no batch-norm collections): trains end to end."""
+    train_data, val_data = splits
+    lat_tr = rng.normal(size=(train_data.n, 8)).astype(np.float32)
+    lat_tr += train_data.emotion_idx[:, None]  # separable signal
+    lat_va = rng.normal(size=(val_data.n, 8)).astype(np.float32)
+    lat_va += val_data.emotion_idx[:, None]
+    cfg = EDConfig(input_mode="latent", latent_dim=8, mlp_hidden=(16,),
+                   batch_size=8, num_epochs=10)
+    cfg.optimizer.lr = 1e-2
+    state, metrics = ed_loop.train(
+        cfg, train_data, val_data, lat_tr, lat_va, workdir=str(tmp_path), verbose=False
+    )
+    assert ed_loop.evaluate(cfg, state, train_data, latents=lat_tr)["accuracy"] > 0.7
