@@ -92,3 +92,29 @@ def test_entry_compiles_single_chip():
     out = jax.jit(fn)(*args)
     assert out.shape == (8, 512, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@needs_8
+def test_sharded_sampling_matches_single_device(rng):
+    """Batch-sharded generator inference over the mesh must produce exactly
+    the same samples as single-device execution (same rng, same params)."""
+    from melogan_tpu.config import GANConfig
+    from melogan_tpu.sampling import Sampler
+
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    sampler = Sampler(cfg, seed=0)
+    idx = jnp.zeros((16,), jnp.int32)
+    key = jax.random.PRNGKey(3)
+
+    single = np.asarray(
+        sampler._step(sampler.gen_variables, sampler.fe_variables, key, idx, batch=16)
+    )
+
+    mesh = make_mesh(8)
+    gen_sharded = jax.device_put(sampler.gen_variables, replicated_sharding(mesh))
+    fe_sharded = jax.device_put(sampler.fe_variables, replicated_sharding(mesh))
+    idx_sharded = jax.device_put(idx, batch_sharding(mesh, 1))
+    sharded = np.asarray(
+        sampler._step(gen_sharded, fe_sharded, key, idx_sharded, batch=16)
+    )
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
