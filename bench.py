@@ -119,7 +119,9 @@ def run(cpu_baseline: bool = False):
         print("CPU_BASELINE " + json.dumps(result))
         return result
 
-    samples_per_sec = _bench_sampling(sampler, batch=512, iters=10)
+    # batch 8192: dispatch overhead dominates small batches on the remote
+    # device (throughput sweep: 32k/s @128 -> 297k/s @8192); still 28 ms/batch
+    samples_per_sec = _bench_sampling(sampler, batch=8192, iters=5)
     train_steps = _bench_train(iters=15)
     p50_latency = _bench_latency(sampler)
 
@@ -131,7 +133,7 @@ def run(cpu_baseline: bool = False):
 
         set_default_precision(jax.lax.Precision.DEFAULT)
         fast_sampler = Sampler(GANConfig(), seed=0)
-        fast_samples = _bench_sampling(fast_sampler, batch=512, iters=10)
+        fast_samples = _bench_sampling(fast_sampler, batch=8192, iters=5)
     except Exception as e:  # noqa: BLE001
         print(f"[bench] fast-math sampling failed: {e}", file=sys.stderr)
     finally:
