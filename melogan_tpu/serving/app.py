@@ -105,7 +105,45 @@ INDEX_HTML = """<!DOCTYPE html>
 <button onclick="gen('angry')">angry</button>
 <button onclick="gen('calm')">calm</button>
 <button onclick="gen(document.getElementById('emotion').textContent)">generate (detected)</button>
+<h3>Camera</h3>
+<video id="cam" width="320" height="240" autoplay muted playsinline style="background:#000"></video><br>
+<button onclick="startCam()">start camera</button>
+<button onclick="captureEmotion()">detect emotion from camera</button>
+<span id="camEmotion">-</span>
 <div id="log"></div>
+<script>
+let camStream = null;
+async function startCam() {
+  try {
+    camStream = await navigator.mediaDevices.getUserMedia({video: true});
+    document.getElementById('cam').srcObject = camStream;
+  } catch (e) {
+    document.getElementById('log').textContent = 'camera unavailable: ' + e;
+  }
+}
+async function captureEmotion() {
+  const video = document.getElementById('cam');
+  const canvas = document.createElement('canvas');
+  canvas.width = 96; canvas.height = 96;
+  const ctx = canvas.getContext('2d');
+  ctx.drawImage(video, 0, 0, 96, 96);
+  const data = ctx.getImageData(0, 0, 96, 96).data;
+  const gray = [];
+  for (let y = 0; y < 96; y++) {
+    const row = [];
+    for (let x = 0; x < 96; x++) {
+      const i = (y * 96 + x) * 4;
+      row.push(0.299 * data[i] + 0.587 * data[i+1] + 0.114 * data[i+2]);
+    }
+    gray.push(row);
+  }
+  const r = await fetch('/camera_frame', {method:'POST', headers:{'Content-Type':'application/json'},
+    body: JSON.stringify({frame: gray})});
+  const j = await r.json();
+  document.getElementById('camEmotion').textContent = j.emotion || j.error;
+  if (j.emotion) document.getElementById('emotion').textContent = j.emotion;
+}
+</script>
 <script>
 async function detect() {
   const r = await fetch('/get_text_emotion', {method:'POST', headers:{'Content-Type':'application/json'},
