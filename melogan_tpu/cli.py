@@ -27,8 +27,6 @@ import argparse
 import json
 import os
 import sys
-from typing import Optional
-
 import numpy as np
 
 

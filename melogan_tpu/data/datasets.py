@@ -22,10 +22,9 @@ Semantics parity:
 """
 from __future__ import annotations
 
-import math
 import os
 from dataclasses import dataclass
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 

@@ -30,7 +30,6 @@ import numpy as np
 
 from melogan_tpu.data.npz import (
     MAX_NOTES,
-    PAD_PITCH,
     Sample,
     pad_notes,
     resolve_split,

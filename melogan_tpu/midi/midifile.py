@@ -26,7 +26,6 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from melogan_tpu.midi import smf
-from melogan_tpu.midi.gm import instrument_name_to_program
 
 DEFAULT_RESOLUTION = 220
 

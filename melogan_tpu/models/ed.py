@@ -11,7 +11,7 @@ runs frozen inside the generator loss (reference src/gan/train_gan.py:236-245).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ the TPU lane dimension. Convolutions lower to XLA ``conv_general_dilated``
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,9 +21,6 @@ Detections mirror cv2.dnn output: (N, 7) rows of
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Dict, List, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

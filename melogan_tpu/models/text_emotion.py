@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Dict, Optional
+from typing import Dict
 
 # 28-label → 4-emotion map (behavioral contract from the reference,
 # textClassification/text.py:8-43).

@@ -11,7 +11,7 @@ The whole model is one XLA program; batch-norm state lives in ``batch_stats``.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -7,8 +7,6 @@ numerically validated against each other in tests.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -19,7 +19,6 @@ Design (see /opt/skills/guides/pallas_guide.md):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,8 +12,7 @@ psum/all-gather on ICI.
 """
 from __future__ import annotations
 
-import math
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import numpy as np

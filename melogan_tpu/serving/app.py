@@ -31,7 +31,7 @@ from socketserver import ThreadingMixIn
 import numpy as np
 
 from melogan_tpu.config import GANConfig
-from melogan_tpu.midi.codec import piano_roll_to_song, render_to_bytes
+from melogan_tpu.midi.codec import render_to_bytes
 from melogan_tpu.models.text_emotion import backend_name, predict_emotion
 from melogan_tpu.sampling import EMOTION_BPM, Sampler, emotion_scale
 

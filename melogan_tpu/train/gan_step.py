@@ -26,7 +26,6 @@ the 'data' axis and XLA inserts the gradient/batch-stat all-reduces on ICI.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

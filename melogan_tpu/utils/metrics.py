@@ -12,7 +12,7 @@ import json
 import os
 import struct
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 # ---------------------------------------------------------------------------
 # CRC32C (Castagnoli), required by the TFRecord framing

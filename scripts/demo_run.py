@@ -7,7 +7,6 @@ size (320 songs/emotion ≈ the reference's 1282): preprocess → splits → VAE
 → diagnostics. Writes artifacts under the workdir and a RESULTS.md summary at
 the repo root.
 """
-import json
 import os
 import sys
 import time

@@ -7,7 +7,6 @@ Reuses the demo-run corpus: retrains the VAE with a gentler KL schedule
 collapsed (melogan diagnose), trains the ED in ``input_mode='latent'`` on
 them, and renders the emotion-colored t-SNE. Appends findings to RESULTS.md.
 """
-import json
 import os
 import sys
 
