@@ -180,3 +180,25 @@ def test_stack_gan_groups_covers_epoch(rng):
         [groups[0][0][..., 0, 0].ravel(), tail[0][..., 0, 0].ravel()]
     )
     assert len(np.unique(seen)) == len(seen)
+
+
+def test_preprocess_reference_golden_midi(reference_dir, tmp_path):
+    """The preprocessing pipeline must ingest the reference's real shipped
+    .mid artifacts (pretty_midi-written, running-status, vel-0 offs)."""
+    import glob
+
+    from melogan_tpu.data.preprocess import preprocess_midi_file
+
+    files = sorted(glob.glob(os.path.join(reference_dir, "good_gens1", "*.mid")))[:4]
+    for path in files:
+        emotion = os.path.basename(path).split("_")[1]
+        sample, feats = preprocess_midi_file(path, emotion)
+        assert sample.notes.shape == (512, 4)
+        valid = sample.notes[:, 0] >= 0
+        assert valid.sum() > 100  # golden files carry ~500 notes
+        assert 36 - 11 <= sample.notes[valid, 0].min()
+        assert sample.notes[valid, 0].max() <= 96
+        assert (sample.notes[valid, 2] > 0).all()  # durations positive
+        assert feats.shape == (6,)
+        assert 60 <= feats[0] <= 180  # tempo within renderer clamp
+        assert feats[5] == 0.0
