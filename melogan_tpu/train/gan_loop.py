@@ -43,9 +43,9 @@ def train(
     (SURVEY.md §5)."""
     models = gan_step.build_models(cfg, ed_cfg)
     state = gan_step.init_state(cfg, models, seed=cfg.seed, ed_variables=ed_variables)
-    group_fn, tail_fn = gan_step.make_train_steps(cfg, models)
-    group_fn = jax.jit(group_fn)
+    group_fn, tail_fn, epoch_fn = gan_step.make_train_steps(cfg, models)
     tail_fn = jax.jit(tail_fn)
+    epoch_fn = jax.jit(epoch_fn)
 
     ckpt_dir = os.path.join(workdir, cfg.checkpoint_dir) if workdir else cfg.checkpoint_dir
     log_dir = os.path.join(workdir, cfg.log_dir) if workdir else cfg.log_dir
@@ -99,13 +99,17 @@ def train(
             batch_size=cfg.batch_size, group=cfg.critic_iters, rng=rng,
         )
         ep_d, ep_adv, ep_emo, n_steps, n_gsteps = 0.0, 0.0, 0.0, 0, 0
-        for batches in groups:
-            state, m = group_fn(state, jax.tree_util.tree_map(jnp.asarray, batches))
-            ep_d += float(m["loss_d_sum"])
-            ep_adv += float(m["loss_g_adv"])
-            ep_emo += float(m["loss_g_emo"])
-            n_steps += cfg.critic_iters
-            n_gsteps += 1
+        if groups:
+            # all full groups in ONE dispatch: stack to (G, critic_iters, B, ...)
+            stacks = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *groups
+            )
+            state, m = epoch_fn(state, stacks)
+            ep_d += float(jnp.sum(m["loss_d_sum"]))
+            ep_adv += float(jnp.sum(m["loss_g_adv"]))
+            ep_emo += float(jnp.sum(m["loss_g_emo"]))
+            n_steps += cfg.critic_iters * len(groups)
+            n_gsteps += len(groups)
         if tail is not None:
             state, m = tail_fn(state, jax.tree_util.tree_map(jnp.asarray, tail))
             ep_d += float(m["loss_d_sum"])

@@ -141,7 +141,7 @@ def _gradient_penalty(critic: Critic, critic_params, real, fake, emb, alpha):
 
 
 def make_train_steps(cfg: GANConfig, models: GANModels):
-    """Build (group_step, critic_only_step) pure functions (to be jitted).
+    """Build (group_step, critic_only_step, epoch_step) pure functions (to be jitted).
 
     group_step(state, batches) with each batch field stacked to
     (critic_iters, B, ...): runs ``critic_iters`` critic updates then one
@@ -266,6 +266,23 @@ def make_train_steps(cfg: GANConfig, models: GANModels):
         }
         return new_state, metrics
 
+    # -- epoch-level fusion: scan group steps in ONE dispatch ---------------
+    def epoch_step(state: GANTrainState, group_stacks):
+        """group_stacks: tuple of arrays stacked to (G, critic_iters, B, ...).
+
+        Runs G fused group steps inside a single jitted program — the whole
+        epoch body is one dispatch (the group step itself is ~0.5 ms on
+        device; per-dispatch host↔device latency dominates otherwise).
+        Returns per-group metric arrays.
+        """
+
+        def body(st, batches):
+            st, m = group_step(st, batches)
+            return st, m
+
+        state, metrics = jax.lax.scan(body, state, group_stacks)
+        return state, metrics
+
     # -- critic-only tail --------------------------------------------------
     def critic_only_step(state: GANTrainState, batches):
         carry = (
@@ -286,4 +303,4 @@ def make_train_steps(cfg: GANConfig, models: GANModels):
         )
         return new_state, {"loss_d_sum": jnp.sum(d_losses), "gp_mean": jnp.mean(gps)}
 
-    return group_step, critic_only_step
+    return group_step, critic_only_step, epoch_step

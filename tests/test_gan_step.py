@@ -58,7 +58,7 @@ def test_group_step_updates_everything(rng):
     cfg = tiny_cfg()
     models = gan_step.build_models(cfg, tiny_ed_cfg())
     state = gan_step.init_state(cfg, models, seed=0)
-    group_step, tail_step = gan_step.make_train_steps(cfg, models)
+    group_step, tail_step, _ = gan_step.make_train_steps(cfg, models)
     group_step = jax.jit(group_step)
     tail_step = jax.jit(tail_step)
 
@@ -96,7 +96,7 @@ def test_critic_loss_decreases_on_fixed_batch(rng):
     cfg = tiny_cfg()
     models = gan_step.build_models(cfg, tiny_ed_cfg())
     state = gan_step.init_state(cfg, models, seed=0)
-    group_step, tail_step = gan_step.make_train_steps(cfg, models)
+    group_step, tail_step, _ = gan_step.make_train_steps(cfg, models)
     tail_step = jax.jit(tail_step)
 
     one = make_batches(rng, cfg, 1)
@@ -113,7 +113,7 @@ def test_ed_frozen_eval_inside_g_loss(rng):
     cfg = tiny_cfg()
     models = gan_step.build_models(cfg, tiny_ed_cfg())
     state = gan_step.init_state(cfg, models, seed=0)
-    group_step, _ = gan_step.make_train_steps(cfg, models)
+    group_step, _, _ = gan_step.make_train_steps(cfg, models)
     group_step = jax.jit(group_step)
     batches = make_batches(rng, cfg, cfg.critic_iters)
     _, m1 = group_step(state, batches)
@@ -150,3 +150,32 @@ def test_group_step_conditioning_mode(rng):
     _, m1 = group_step(state, (real, emo, lat, num))
     _, m2 = group_step(state, (real, emo, lat2, num))
     assert float(m1["loss_g_adv"]) != float(m2["loss_g_adv"])
+
+
+def test_epoch_step_matches_sequential_groups(rng):
+    """One fused epoch dispatch must equal running the groups sequentially."""
+    cfg = tiny_cfg()
+    models = gan_step.build_models(cfg, tiny_ed_cfg())
+    group_step, _, epoch_step = gan_step.make_train_steps(cfg, models)
+    group_step = jax.jit(group_step)
+    epoch_step = jax.jit(epoch_step)
+
+    state0 = gan_step.init_state(cfg, models, seed=0)
+    g1 = make_batches(rng, cfg, cfg.critic_iters)
+    g2 = make_batches(rng, cfg, cfg.critic_iters)
+
+    # sequential
+    s_seq, m1 = group_step(state0, g1)
+    s_seq, m2 = group_step(s_seq, g2)
+
+    # fused scan over both groups
+    stacks = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), g1, g2)
+    s_fused, m = epoch_step(state0, stacks)
+
+    np.testing.assert_allclose(float(m["loss_d_sum"][0]), float(m1["loss_d_sum"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m["loss_d_sum"][1]), float(m2["loss_d_sum"]), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_seq.gen_params),
+        jax.tree_util.tree_leaves(s_fused.gen_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
