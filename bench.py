@@ -56,26 +56,28 @@ def _bench_train(iters: int = 20, warmup: int = 2):
     cfg = GANConfig()  # reference shapes: batch 32, 512×4 notes
     models = gan_step.build_models(cfg, EDConfig())
     state = gan_step.init_state(cfg, models, seed=0)
-    group_step = jax.jit(gan_step.make_train_steps(cfg, models)[0])
+    # fused-epoch path (the rate the real training loop achieves):
+    # G groups of critic_iters batches per dispatch
+    epoch_step = jax.jit(gan_step.make_train_steps(cfg, models)[2])
 
     rng = np.random.default_rng(0)
-    k, b = cfg.critic_iters, cfg.batch_size
+    g, k, b = 4, cfg.critic_iters, cfg.batch_size
     batches = (
-        jnp.asarray(rng.normal(size=(k, b, cfg.max_notes, cfg.note_dim)), jnp.float32),
-        jnp.asarray(rng.integers(0, 4, size=(k, b)), jnp.int32),
-        jnp.asarray(rng.normal(size=(k, b, cfg.latent_dim)), jnp.float32),
-        jnp.asarray(rng.normal(size=(k, b, cfg.numeric_input_dim)), jnp.float32),
+        jnp.asarray(rng.normal(size=(g, k, b, cfg.max_notes, cfg.note_dim)), jnp.float32),
+        jnp.asarray(rng.integers(0, 4, size=(g, k, b)), jnp.int32),
+        jnp.asarray(rng.normal(size=(g, k, b, cfg.latent_dim)), jnp.float32),
+        jnp.asarray(rng.normal(size=(g, k, b, cfg.numeric_input_dim)), jnp.float32),
     )
     for _ in range(warmup):
-        state, metrics = group_step(state, batches)
+        state, metrics = epoch_step(state, batches)
     jax.block_until_ready(metrics)
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, metrics = group_step(state, batches)
+        state, metrics = epoch_step(state, batches)
     jax.block_until_ready(metrics)
     dt = time.perf_counter() - t0
-    # one group = critic_iters reference batch-steps
-    return iters * k / dt
+    # one dispatch = g groups = g·critic_iters reference batch-steps
+    return iters * g * k / dt
 
 
 def _bench_latency(sampler, n: int = 20):
