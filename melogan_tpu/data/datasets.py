@@ -215,6 +215,25 @@ def class_balance_weights(labels: np.ndarray) -> np.ndarray:
     return np.array([1.0 / counts[int(l)] for l in labels], np.float64)
 
 
+def epoch_group_indices(
+    n: int, batch_size: int, group: int, rng: np.random.Generator
+) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
+    """One epoch's shuffled gather indices: (groups (G, group, B) or None,
+    tail (K, B) or None). drop_last=True parity with the reference loop."""
+    order = rng.permutation(n)
+    n_batches = n // batch_size
+    idx = order[: n_batches * batch_size].reshape(n_batches, batch_size)
+    n_groups = n_batches // group
+    groups = (
+        idx[: n_groups * group].reshape(n_groups, group, batch_size)
+        if n_groups
+        else None
+    )
+    rem = n_batches - n_groups * group
+    tail = idx[n_groups * group :] if rem else None
+    return groups, tail
+
+
 def stack_gan_groups(
     notes: np.ndarray,
     emotion_idx: np.ndarray,
@@ -228,25 +247,13 @@ def stack_gan_groups(
     WGAN group step, plus a (K, B, ...) critic-only tail for the remainder
     (identical data consumption to the reference's per-batch loop)."""
     n = notes.shape[0]
-    order = rng.permutation(n)
-    n_batches = n // batch_size  # drop_last=True parity
-    idx = order[: n_batches * batch_size].reshape(n_batches, batch_size)
-
-    n_groups = n_batches // group
+    group_idx, tail_idx = epoch_group_indices(n, batch_size, group, rng)
     groups = []
-    for g in range(n_groups):
-        sel = idx[g * group : (g + 1) * group]
-        groups.append(
-            (
-                notes[sel],
-                emotion_idx[sel],
-                latents[sel],
-                numeric[sel],
-            )
-        )
+    if group_idx is not None:
+        for sel in group_idx:
+            groups.append((notes[sel], emotion_idx[sel], latents[sel], numeric[sel]))
     tail = None
-    rem = n_batches - n_groups * group
-    if rem:
-        sel = idx[n_groups * group :]
+    if tail_idx is not None:
+        sel = tail_idx
         tail = (notes[sel], emotion_idx[sel], latents[sel], numeric[sel])
     return groups, tail

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from melogan_tpu.config import EDConfig, GANConfig
-from melogan_tpu.data.datasets import SplitData, stack_gan_groups
+from melogan_tpu.data.datasets import SplitData, epoch_group_indices
 from melogan_tpu.train import gan_step
 from melogan_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from melogan_tpu.utils.metrics import MetricsWriter
@@ -43,9 +43,9 @@ def train(
     (SURVEY.md §5)."""
     models = gan_step.build_models(cfg, ed_cfg)
     state = gan_step.init_state(cfg, models, seed=cfg.seed, ed_variables=ed_variables)
-    group_fn, tail_fn, epoch_fn = gan_step.make_train_steps(cfg, models)
+    group_fn, tail_fn, epoch_fn, indexed_fn = gan_step.make_train_steps(cfg, models)
     tail_fn = jax.jit(tail_fn)
-    epoch_fn = jax.jit(epoch_fn)
+    indexed_fn = jax.jit(indexed_fn)
 
     ckpt_dir = os.path.join(workdir, cfg.checkpoint_dir) if workdir else cfg.checkpoint_dir
     log_dir = os.path.join(workdir, cfg.log_dir) if workdir else cfg.log_dir
@@ -86,6 +86,15 @@ def train(
             print("[WARN] latent feats length mismatch; using zero latents")
         latents = np.zeros((notes.shape[0], cfg.latent_dim), np.float32)
 
+    # device-resident epoch arrays: per epoch the host sends only gather
+    # indices (~KB) instead of the stacked batches (~MB)
+    data_dev = (
+        jnp.asarray(notes),
+        jnp.asarray(emotion_idx),
+        jnp.asarray(latents),
+        jnp.asarray(numeric),
+    )
+
     rng = np.random.default_rng(cfg.seed)
     n_epochs = epochs or cfg.epochs
     # replay the data-order RNG so a resumed run consumes the same stream
@@ -94,26 +103,23 @@ def train(
     history: Dict[str, float] = {}
     for epoch in range(start_epoch, n_epochs + 1):
         t0 = time.perf_counter()
-        groups, tail = stack_gan_groups(
-            notes, emotion_idx, latents, numeric,
-            batch_size=cfg.batch_size, group=cfg.critic_iters, rng=rng,
+        group_idx, tail_idx = epoch_group_indices(
+            notes.shape[0], cfg.batch_size, cfg.critic_iters, rng
         )
         ep_d, ep_adv, ep_emo, n_steps, n_gsteps = 0.0, 0.0, 0.0, 0, 0
-        if groups:
-            # all full groups in ONE dispatch: stack to (G, critic_iters, B, ...)
-            stacks = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *groups
-            )
-            state, m = epoch_fn(state, stacks)
+        if group_idx is not None:
+            state, m = indexed_fn(state, data_dev, jnp.asarray(group_idx, jnp.int32))
             ep_d += float(jnp.sum(m["loss_d_sum"]))
             ep_adv += float(jnp.sum(m["loss_g_adv"]))
             ep_emo += float(jnp.sum(m["loss_g_emo"]))
-            n_steps += cfg.critic_iters * len(groups)
-            n_gsteps += len(groups)
-        if tail is not None:
+            n_steps += cfg.critic_iters * group_idx.shape[0]
+            n_gsteps += group_idx.shape[0]
+        if tail_idx is not None:
+            sel = tail_idx
+            tail = (notes[sel], emotion_idx[sel], latents[sel], numeric[sel])
             state, m = tail_fn(state, jax.tree_util.tree_map(jnp.asarray, tail))
             ep_d += float(m["loss_d_sum"])
-            n_steps += tail[0].shape[0]
+            n_steps += tail_idx.shape[0]
         dt = time.perf_counter() - t0
 
         # reference averaging: D over all batch-steps, G over G-steps

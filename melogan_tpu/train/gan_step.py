@@ -141,7 +141,8 @@ def _gradient_penalty(critic: Critic, critic_params, real, fake, emb, alpha):
 
 
 def make_train_steps(cfg: GANConfig, models: GANModels):
-    """Build (group_step, critic_only_step, epoch_step) pure functions (to be jitted).
+    """Build (group_step, critic_only_step, epoch_step, indexed_epoch_step)
+    pure functions (to be jitted).
 
     group_step(state, batches) with each batch field stacked to
     (critic_iters, B, ...): runs ``critic_iters`` critic updates then one
@@ -283,6 +284,30 @@ def make_train_steps(cfg: GANConfig, models: GANModels):
         state, metrics = jax.lax.scan(body, state, group_stacks)
         return state, metrics
 
+    # -- device-resident-data epoch: host sends only the index array --------
+    def indexed_epoch_step(state: GANTrainState, data, idx):
+        """``data``: the full device-resident epoch arrays
+        (notes (N, L, 4), emotion_idx (N,), latents (N, latent), numeric
+        (N, 6)); ``idx``: (G, critic_iters, B) int32 gather indices.
+
+        The per-epoch host→device transfer shrinks from the stacked batches
+        (~MBs) to the index array (~KBs); batch gathering happens on-device
+        inside the scanned program.
+        """
+        notes_all, emot_all, lat_all, num_all = data
+
+        def body(st, idx_g):
+            batches = (
+                notes_all[idx_g],
+                emot_all[idx_g],
+                lat_all[idx_g],
+                num_all[idx_g],
+            )
+            return group_step(st, batches)
+
+        state, metrics = jax.lax.scan(body, state, idx)
+        return state, metrics
+
     # -- critic-only tail --------------------------------------------------
     def critic_only_step(state: GANTrainState, batches):
         carry = (
@@ -303,4 +328,4 @@ def make_train_steps(cfg: GANConfig, models: GANModels):
         )
         return new_state, {"loss_d_sum": jnp.sum(d_losses), "gp_mean": jnp.mean(gps)}
 
-    return group_step, critic_only_step, epoch_step
+    return group_step, critic_only_step, epoch_step, indexed_epoch_step

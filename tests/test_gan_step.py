@@ -58,7 +58,7 @@ def test_group_step_updates_everything(rng):
     cfg = tiny_cfg()
     models = gan_step.build_models(cfg, tiny_ed_cfg())
     state = gan_step.init_state(cfg, models, seed=0)
-    group_step, tail_step, _ = gan_step.make_train_steps(cfg, models)
+    group_step, tail_step, _, _ = gan_step.make_train_steps(cfg, models)
     group_step = jax.jit(group_step)
     tail_step = jax.jit(tail_step)
 
@@ -96,7 +96,7 @@ def test_critic_loss_decreases_on_fixed_batch(rng):
     cfg = tiny_cfg()
     models = gan_step.build_models(cfg, tiny_ed_cfg())
     state = gan_step.init_state(cfg, models, seed=0)
-    group_step, tail_step, _ = gan_step.make_train_steps(cfg, models)
+    group_step, tail_step, _, _ = gan_step.make_train_steps(cfg, models)
     tail_step = jax.jit(tail_step)
 
     one = make_batches(rng, cfg, 1)
@@ -113,7 +113,7 @@ def test_ed_frozen_eval_inside_g_loss(rng):
     cfg = tiny_cfg()
     models = gan_step.build_models(cfg, tiny_ed_cfg())
     state = gan_step.init_state(cfg, models, seed=0)
-    group_step, _, _ = gan_step.make_train_steps(cfg, models)
+    group_step, _, _, _ = gan_step.make_train_steps(cfg, models)
     group_step = jax.jit(group_step)
     batches = make_batches(rng, cfg, cfg.critic_iters)
     _, m1 = group_step(state, batches)
@@ -156,7 +156,7 @@ def test_epoch_step_matches_sequential_groups(rng):
     """One fused epoch dispatch must equal running the groups sequentially."""
     cfg = tiny_cfg()
     models = gan_step.build_models(cfg, tiny_ed_cfg())
-    group_step, _, epoch_step = gan_step.make_train_steps(cfg, models)
+    group_step, _, epoch_step, _ = gan_step.make_train_steps(cfg, models)
     group_step = jax.jit(group_step)
     epoch_step = jax.jit(epoch_step)
 
@@ -179,3 +179,39 @@ def test_epoch_step_matches_sequential_groups(rng):
         jax.tree_util.tree_leaves(s_fused.gen_params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_indexed_epoch_matches_stacked_epoch(rng):
+    """Device-resident indexed gathering must equal explicit batch stacking."""
+    cfg = tiny_cfg()
+    models = gan_step.build_models(cfg, tiny_ed_cfg())
+    _, _, epoch_step, indexed_step = gan_step.make_train_steps(cfg, models)
+    epoch_step = jax.jit(epoch_step)
+    indexed_step = jax.jit(indexed_step)
+    state0 = gan_step.init_state(cfg, models, seed=0)
+
+    n = 48
+    notes = jnp.asarray(rng.normal(size=(n, cfg.max_notes, 4)), jnp.float32)
+    emo = jnp.asarray(rng.integers(0, 4, size=(n,)), jnp.int32)
+    lat = jnp.asarray(rng.normal(size=(n, cfg.latent_dim)), jnp.float32)
+    num = jnp.asarray(rng.normal(size=(n, cfg.numeric_input_dim)), jnp.float32)
+
+    from melogan_tpu.data.datasets import epoch_group_indices
+
+    data_rng = np.random.default_rng(7)
+    gidx, tidx = epoch_group_indices(n, cfg.batch_size, cfg.critic_iters, data_rng)
+    assert gidx is not None
+
+    stacks = (notes[gidx], emo[gidx], lat[gidx], num[gidx])
+    s_stacked, m_stacked = epoch_step(state0, stacks)
+    s_indexed, m_indexed = indexed_step(
+        state0, (notes, emo, lat, num), jnp.asarray(gidx, jnp.int32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_stacked["loss_d_sum"]), np.asarray(m_indexed["loss_d_sum"]), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_stacked.critic_params),
+        jax.tree_util.tree_leaves(s_indexed.critic_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
