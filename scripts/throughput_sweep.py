@@ -24,7 +24,7 @@ def main():
     from melogan_tpu.sampling import Sampler
 
     sampler = Sampler(GANConfig(), seed=0)
-    for batch in (128, 512, 2048, 8192):
+    for batch in (128, 512, 2048, 8192, 16384, 32768):
         idx = jnp.zeros((batch,), jnp.int32)
         step = sampler._step
         for i in range(2):
