@@ -131,17 +131,10 @@ def run(cpu_baseline: bool = False):
     # (the headline number stays f32 — deterministic bytes)
     fast_samples = None
     try:
-        from melogan_tpu.models.layers import set_default_precision
-
-        set_default_precision(jax.lax.Precision.DEFAULT)
-        fast_sampler = Sampler(GANConfig(), seed=0)
+        fast_sampler = Sampler(GANConfig(), seed=0, fast_math=True)
         fast_samples = _bench_sampling(fast_sampler, batch=8192, iters=5)
     except Exception as e:  # noqa: BLE001
         print(f"[bench] fast-math sampling failed: {e}", file=sys.stderr)
-    finally:
-        from melogan_tpu.models.layers import set_default_precision
-
-        set_default_precision(jax.lax.Precision.HIGHEST)
 
     # CPU baseline in a subprocess (fresh backend)
     cpu = {"samples_per_sec": None, "train_steps_per_sec": None}

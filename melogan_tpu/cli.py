@@ -279,7 +279,8 @@ def cmd_serve(args):
     from melogan_tpu.serving.app import serve
 
     serve(host=args.host, port=args.port, workdir=args.workdir,
-          config=args.config, checkpoint=args.checkpoint)
+          config=args.config, checkpoint=args.checkpoint,
+          fast_math=getattr(args, "fast_math", False))
 
 
 def cmd_roll_to_midi(args):
@@ -304,6 +305,27 @@ def cmd_clean(args):
         print(f"[INFO] removed {len(report['deleted'])} artifact paths")
     elif not args.confirm:
         print("[INFO] pass --confirm to actually delete")
+
+
+def cmd_logs(args):
+    from melogan_tpu.utils.metrics import read_tfevents
+
+    events = []
+    for root, _, files in os.walk(args.log_dir):
+        for f in files:
+            if f.startswith("events.out"):
+                events.extend(read_tfevents(os.path.join(root, f)))
+    tags = sorted({t for t, _, _ in events})
+    if args.tag:
+        series = sorted(((s, v) for t, v, s in events if t == args.tag))
+        for step, value in series:
+            print(f"{step}\t{value}")
+    else:
+        for tag in tags:
+            series = sorted(((s, v) for t, v, s in events if t == tag))
+            if series:
+                print(f"{tag}: {series[0][1]:.4f} -> {series[-1][1]:.4f} "
+                      f"({len(series)} points)")
 
 
 def cmd_bench(args):
@@ -428,6 +450,8 @@ def build_parser():
     s.add_argument("--workdir", default=".")
     s.add_argument("--config", default="configs/gan.yaml")
     s.add_argument("--checkpoint", default=None)
+    s.add_argument("--fast-math", action="store_true", dest="fast_math",
+                   help="bf16 MXU passes: ~2x throughput, non-f32-deterministic bytes")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("roll-to-midi", help="raw (pitch,vel,dur,start) .npy → .mid")
@@ -440,6 +464,11 @@ def build_parser():
     s.add_argument("--workdir", default=".")
     s.add_argument("--confirm", action="store_true")
     s.set_defaults(fn=cmd_clean)
+
+    s = sub.add_parser("logs", help="inspect tfevents training curves")
+    s.add_argument("log_dir")
+    s.add_argument("--tag", default=None)
+    s.set_defaults(fn=cmd_logs)
 
     s = sub.add_parser("bench", help="benchmark harness")
     s.set_defaults(fn=cmd_bench)

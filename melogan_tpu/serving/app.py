@@ -260,6 +260,7 @@ def serve(
     workdir: str = ".",
     config: str = "configs/gan.yaml",
     checkpoint: Optional[str] = None,
+    fast_math: bool = False,
 ):
     cfg = GANConfig.from_yaml(config) if os.path.exists(config) else GANConfig()
     gen_vars = fe_vars = None
@@ -272,7 +273,7 @@ def serve(
     else:
         print(f"[WARN] GAN checkpoint not found at {ckpt_path}; serving random weights")
 
-    sampler = Sampler(cfg, gen_variables=gen_vars, fe_variables=fe_vars)
+    sampler = Sampler(cfg, gen_variables=gen_vars, fe_variables=fe_vars, fast_math=fast_math)
     # warm the XLA program before accepting traffic
     sampler.sample_notes(["happy"], seed=0)
     state = AppState(cfg, sampler)

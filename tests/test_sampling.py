@@ -39,3 +39,18 @@ def test_emotion_scale_map():
     assert emotion_scale("calm") == "major"
     assert emotion_scale("sad") == "minor"
     assert emotion_scale("angry") == "minor"
+
+
+def test_fast_math_sampler():
+    """fast_math traces under default precision without leaking the global."""
+    from melogan_tpu.config import GANConfig
+    from melogan_tpu.models.layers import default_precision
+    import jax
+
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    before = default_precision()
+    s = Sampler(cfg, seed=0, fast_math=True)
+    notes = s.sample_notes(["happy"], seed=1)
+    assert notes.shape == (1, 64, 4)
+    assert np.isfinite(notes).all()
+    assert default_precision() == before == jax.lax.Precision.HIGHEST
