@@ -204,3 +204,26 @@ def test_write_read_roundtrip(tmp_path, rng):
         instruments=back.instruments,
     )
     assert rebuilt.to_bytes() == path.read_bytes()
+
+
+def test_parser_rejects_garbage(rng):
+    from melogan_tpu.midi.midifile import read_midi
+
+    with pytest.raises(ValueError):
+        read_midi(b"not a midi file at all")
+    # truncated header
+    with pytest.raises((ValueError, IndexError, Exception)):
+        read_midi(b"MThd\x00\x00\x00\x06\x00\x01")
+
+
+def test_parser_survives_truncated_track(reference_dir):
+    """A file cut mid-track must raise, not hang or return garbage silently."""
+    import glob
+    from melogan_tpu.midi.midifile import read_midi
+
+    path = sorted(glob.glob(os.path.join(reference_dir, "good_gens1", "*.mid")))[0]
+    data = open(path, "rb").read()
+    try:
+        read_midi(data[: len(data) // 2])
+    except (ValueError, IndexError):
+        pass  # clean failure is acceptable
