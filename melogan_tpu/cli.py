@@ -90,7 +90,10 @@ def cmd_train_ae(args):
         cfg.epochs = args.epochs
     train_data = _load_split(args, "train")
     val_data = _load_split(args, "val")
-    _, metrics = vae_loop.train(cfg, train_data, val_data, workdir=args.workdir)
+    _, metrics = vae_loop.train(
+        cfg, train_data, val_data, workdir=args.workdir,
+        resume=getattr(args, "resume", False),
+    )
     print(json.dumps(metrics))
 
 
@@ -130,7 +133,10 @@ def cmd_train_ed(args):
     if cfg.input_mode == "latent":
         lat_tr = np.load(os.path.join(args.splits_dir, "train", "encoder_feats.npy"))
         lat_va = np.load(os.path.join(args.splits_dir, "val", "encoder_feats.npy"))
-    _, metrics = ed_loop.train(cfg, train_data, val_data, lat_tr, lat_va, workdir=args.workdir)
+    _, metrics = ed_loop.train(
+        cfg, train_data, val_data, lat_tr, lat_va, workdir=args.workdir,
+        resume=getattr(args, "resume", False),
+    )
     print(json.dumps(metrics))
 
 
@@ -374,6 +380,7 @@ def build_parser():
         s.add_argument("--splits-dir", default="data/splits")
         s.add_argument("--processed-dir", default="data/processed")
         s.add_argument("--epochs", type=int, default=None)
+        s.add_argument("--resume", action="store_true")
         s.set_defaults(fn=fn)
 
     s = sub.add_parser("encode", help="export µ latents per split")

@@ -26,7 +26,7 @@ from melogan_tpu.data.datasets import SplitData, class_balance_weights
 from melogan_tpu.models.ed import EmotionDiscriminator
 from melogan_tpu.train.gan_step import cross_entropy
 from melogan_tpu.train.harness import EarlyStopping, ReduceLROnPlateau
-from melogan_tpu.utils.checkpoint import save_checkpoint
+from melogan_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from melogan_tpu.utils.metrics import MetricsWriter
 
 
@@ -159,6 +159,7 @@ def train(
     val_latents: Optional[np.ndarray] = None,
     workdir: Optional[str] = None,
     verbose: bool = True,
+    resume: bool = False,
 ) -> Tuple[EDTrainState, Dict[str, float]]:
     model = EmotionDiscriminator.from_config(cfg)
     state = init_state(cfg, model, seed=cfg.seed)
@@ -186,8 +187,32 @@ def train(
     )
     stopper = EarlyStopping(patience=cfg.early_stopping_patience)
 
+    start_epoch = 1
+    if resume:
+        latest = latest_checkpoint(ckpt_dir, "ed_epoch")
+        if latest:
+            from flax import serialization
+
+            raw = load_checkpoint(latest)
+            state = state.replace(
+                params=serialization.from_state_dict(state.params, raw["params"]),
+                batch_stats=serialization.from_state_dict(
+                    state.batch_stats, raw["batch_stats"]
+                ),
+                opt_state=serialization.from_state_dict(state.opt_state, raw["opt_state"]),
+            )
+            start_epoch = int(raw["epoch"]) + 1
+            for _ in range(start_epoch - 1):
+                if weights is not None:
+                    p = weights / weights.sum()
+                    rng.choice(len(y_train), size=len(y_train), replace=True, p=p)
+                else:
+                    rng.permutation(len(y_train))
+            if verbose:
+                print(f"[ED] resumed from {latest} at epoch {start_epoch}")
+
     best_state, best_metrics = state, {}
-    for epoch in range(1, cfg.num_epochs + 1):
+    for epoch in range(start_epoch, cfg.num_epochs + 1):
         t0 = time.perf_counter()
         if weights is not None:
             p = weights / weights.sum()

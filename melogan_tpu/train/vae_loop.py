@@ -29,7 +29,7 @@ from melogan_tpu.data.datasets import SplitData, ae_denormalize
 from melogan_tpu.midi.codec import save_recon_midi
 from melogan_tpu.models.vae import VAE, vae_loss
 from melogan_tpu.train.harness import EarlyStopping, ReduceLROnPlateau, beta_schedule
-from melogan_tpu.utils.checkpoint import save_checkpoint
+from melogan_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from melogan_tpu.utils.metrics import MetricsWriter
 
 
@@ -145,8 +145,11 @@ def train(
     workdir: Optional[str] = None,
     verbose: bool = True,
     recon_dumps: bool = True,
+    resume: bool = False,
 ) -> Tuple[VAETrainState, Dict[str, float]]:
-    """Full Stage-1 training run; returns (best-state, final metrics)."""
+    """Full Stage-1 training run; returns (best-state, final metrics).
+    ``resume=True`` restarts from ``ae_best.ckpt`` (params, optimizer state,
+    epoch, scheduler/early-stop state)."""
     model = VAE.from_config(cfg)
     state = init_state(cfg, model, seed=cfg.seed)
     train_epoch, eval_epoch = make_epoch_fns(cfg, model)
@@ -166,6 +169,29 @@ def train(
     plateau = ReduceLROnPlateau(factor=0.5, patience=5, min_lr=1e-6)
     stopper = EarlyStopping(patience=cfg.early_stop_patience)
     data_rng = np.random.default_rng(cfg.seed)
+
+    start_epoch = 1
+    best_path = os.path.join(ckpt_dir, "ae_best.ckpt")
+    if resume and os.path.exists(best_path):
+        from flax import serialization
+
+        raw = load_checkpoint(best_path)  # tolerant of older field sets
+        state = state.replace(
+            params=serialization.from_state_dict(state.params, raw["params"]),
+            batch_stats=serialization.from_state_dict(
+                state.batch_stats, raw["batch_stats"]
+            ),
+            opt_state=serialization.from_state_dict(state.opt_state, raw["opt_state"]),
+        )
+        start_epoch = int(raw["epoch"]) + 1
+        best = float(raw.get("best_val", float("inf")))
+        stopper.best = plateau.best = best
+        state = set_lr(state, float(raw.get("lr", cfg.lr)))
+        for _ in range(start_epoch - 1):
+            data_rng.permutation(x_train.shape[0])  # replay data-order stream
+        if verbose:
+            print(f"[AE] resumed from {best_path} at epoch {start_epoch}")
+
     val_batches = stack_epoch(x_val, cfg.batch_size, data_rng, shuffle=False)
 
     # jitted recon forward: an unjitted apply dispatches hundreds of ops per
@@ -178,7 +204,7 @@ def train(
 
     best_state = state
     history: Dict[str, float] = {}
-    for epoch in range(1, cfg.epochs + 1):
+    for epoch in range(start_epoch, cfg.epochs + 1):
         beta = beta_schedule(epoch, cfg.kld_warmup_epochs, cfg.beta)
         t0 = time.perf_counter()
         batches = stack_epoch(x_train, cfg.batch_size, data_rng, shuffle=True)
@@ -237,6 +263,8 @@ def train(
                     "params": state.params,
                     "batch_stats": state.batch_stats,
                     "opt_state": state.opt_state,
+                    "best_val": stopper.best,
+                    "lr": new_lr,
                 },
             )
         if stop:

@@ -195,3 +195,26 @@ def test_ed_latent_mode_training(splits, tmp_path, rng):
         cfg, train_data, val_data, lat_tr, lat_va, workdir=str(tmp_path), verbose=False
     )
     assert ed_loop.evaluate(cfg, state, train_data, latents=lat_tr)["accuracy"] > 0.7
+
+
+def test_vae_resume_from_checkpoint(splits, tmp_path):
+    train_data, val_data = splits
+    cfg = AEConfig(max_notes=64, batch_size=8, epochs=2, recon_save_count=0)
+    vae_loop.train(cfg, train_data, val_data, workdir=str(tmp_path),
+                   verbose=False, recon_dumps=False)
+    cfg4 = AEConfig(max_notes=64, batch_size=8, epochs=4, recon_save_count=0)
+    _, metrics = vae_loop.train(cfg4, train_data, val_data, workdir=str(tmp_path),
+                                verbose=False, recon_dumps=False, resume=True)
+    assert metrics.get("epoch", 0) >= 3  # continued past the restored epoch
+
+
+def test_ed_resume_from_checkpoint(splits, tmp_path):
+    train_data, val_data = splits
+    cfg = EDConfig(max_notes=64, notes_blocks=2, notes_hidden=32, mlp_hidden=(16,),
+                   batch_size=8, num_epochs=5, save_freq=2)
+    ed_loop.train(cfg, train_data, val_data, workdir=str(tmp_path), verbose=False)
+    cfg8 = EDConfig(max_notes=64, notes_blocks=2, notes_hidden=32, mlp_hidden=(16,),
+                    batch_size=8, num_epochs=8, save_freq=2)
+    _, metrics = ed_loop.train(cfg8, train_data, val_data, workdir=str(tmp_path),
+                               verbose=False, resume=True)
+    assert metrics.get("epoch", 0) >= 5
