@@ -154,6 +154,11 @@ class Critic(nn.Module):
 
     Deliberately batch-norm-free (gradient-penalty training), conditioned on
     the numeric embedding by concatenation before the score head.
+
+    Convolutions are pinned to the XLA path (``pallas=False``): the gradient
+    penalty differentiates the critic's input-gradient again w.r.t. its
+    params (reference src/gan/utils.py:75-90), and the Pallas kernels'
+    ``custom_vjp`` backward is only first-order differentiable.
     """
 
     emb_dim: int = 256
@@ -161,14 +166,25 @@ class Critic(nn.Module):
 
     @nn.compact
     def __call__(self, notes, numeric_embedding=None):
+        if self.numeric_embed_dim > 0:
+            assert numeric_embedding is not None, (
+                "critic configured with a numeric conditioning embedding "
+                f"(numeric_embed_dim={self.numeric_embed_dim}) but none was passed"
+            )
+            assert numeric_embedding.shape[-1] == self.numeric_embed_dim, (
+                f"numeric embedding dim {numeric_embedding.shape[-1]} != "
+                f"configured {self.numeric_embed_dim}"
+            )
         x = notes
         for ch in (64, 128, 256):
-            x = Conv1d(features=ch, kernel_size=5, stride=2, padding=2, gan_init=True)(x)
+            x = Conv1d(
+                features=ch, kernel_size=5, stride=2, padding=2, gan_init=True, pallas=False
+            )(x)
             x = leaky_relu_02(x)
         x = adaptive_avg_pool_1(x)
         x = TorchLinear(features=self.emb_dim, gan_init=True)(x)
         x = leaky_relu_02(x)
-        if numeric_embedding is not None:
+        if self.numeric_embed_dim > 0:
             x = jnp.concatenate([x, numeric_embedding], axis=1)
         score = TorchLinear(features=1, gan_init=True)(x)
         return jnp.squeeze(score, axis=1)
@@ -193,7 +209,7 @@ class FeatureEncoder(nn.Module):
         x = TorchLayerNorm()(x)
         for h in self.hidden_dims:
             if self.use_sn:
-                x = SpectralNormLinear(features=h)(x, update_stats=train)
+                x = SpectralNormLinear(features=h, gan_init=True)(x, update_stats=train)
             else:
                 x = TorchLinear(features=h, gan_init=True)(x)
             x = gelu_exact(x)

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from melogan_tpu.ops import conv as conv_ops
+
 # Default MXU precision for parity-sensitive layers. 'highest' keeps f32
 # accumulation semantics matching the reference (the models are small enough
 # that v5e f32-via-bf16-passes is nowhere near the bottleneck); switch to
@@ -120,14 +122,20 @@ class SpectralNormLinear(nn.Module):
 
     features: int
     eps: float = 1e-12
+    gan_init: bool = False
 
     @nn.compact
     def __call__(self, x, update_stats: bool = True):
         fan_in = x.shape[-1]
-        kernel = self.param(
-            "kernel", torch_kaiming_uniform(fan_in), (fan_in, self.features)
-        )
-        bias = self.param("bias", torch_bias_uniform(fan_in), (self.features,))
+        if self.gan_init:
+            # reference weights_init applies N(0, 0.02)/zero-bias to every
+            # Linear in GAN modules, including spectral-normed ones
+            kernel_init, bias_init = normal_002, zeros_init
+        else:
+            kernel_init = torch_kaiming_uniform(fan_in)
+            bias_init = torch_bias_uniform(fan_in)
+        kernel = self.param("kernel", kernel_init, (fan_in, self.features))
+        bias = self.param("bias", bias_init, (self.features,))
         u_var = self.variable(
             "spectral",
             "u",
@@ -155,6 +163,11 @@ class Conv1d(nn.Module):
     """1-D convolution over (B, L, C) with torch Conv1d geometry.
 
     out_len = floor((L + 2·padding − kernel_size) / stride) + 1
+
+    Dispatches through ``melogan_tpu.ops.conv`` — the Pallas TPU kernel when
+    the global pallas mode enables it, XLA ``conv_general_dilated`` otherwise.
+    ``pallas=False`` pins this layer to XLA (required where the conv must be
+    twice-differentiable, e.g. the WGAN-GP critic).
     """
 
     features: int
@@ -163,6 +176,7 @@ class Conv1d(nn.Module):
     padding: int = 0
     use_bias: bool = True
     gan_init: bool = False
+    pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x):
@@ -177,14 +191,13 @@ class Conv1d(nn.Module):
         kernel = self.param(
             "kernel", kernel_init, (self.kernel_size, in_ch, self.features)
         )
-        y = jax.lax.conv_general_dilated(
+        y = conv_ops.conv1d(
             x,
             kernel,
-            window_strides=(self.stride,),
-            padding=[(self.padding, self.padding)],
-            dimension_numbers=("NHC", "HIO", "NHC"),
+            stride=self.stride,
+            padding=self.padding,
             precision=default_precision(),
-            preferred_element_type=jnp.float32,
+            pallas=self.pallas,
         )
         if self.use_bias:
             bias = self.param("bias", bias_init, (self.features,))
@@ -208,6 +221,7 @@ class ConvTranspose1d(nn.Module):
     output_padding: int = 0
     use_bias: bool = True
     gan_init: bool = False
+    pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x):
@@ -226,17 +240,14 @@ class ConvTranspose1d(nn.Module):
         kernel = self.param(
             "kernel", kernel_init, (self.kernel_size, in_ch, self.features)
         )
-        pad_lo = self.kernel_size - 1 - self.padding
-        pad_hi = self.kernel_size - 1 - self.padding + self.output_padding
-        y = jax.lax.conv_general_dilated(
+        y = conv_ops.conv_transpose1d(
             x,
-            jnp.flip(kernel, axis=0),
-            window_strides=(1,),
-            padding=[(pad_lo, pad_hi)],
-            lhs_dilation=(self.stride,),
-            dimension_numbers=("NHC", "HIO", "NHC"),
+            kernel,
+            stride=self.stride,
+            padding=self.padding,
+            output_padding=self.output_padding,
             precision=default_precision(),
-            preferred_element_type=jnp.float32,
+            pallas=self.pallas,
         )
         if self.use_bias:
             bias = self.param("bias", bias_init, (self.features,))

@@ -18,6 +18,12 @@ exists to control tiling/precision explicitly and as the substrate for
 further fusion work.
 """
 
-from melogan_tpu.ops.conv import conv1d, conv_transpose1d, use_pallas, set_use_pallas
+from melogan_tpu.ops.conv import (
+    conv1d,
+    conv_transpose1d,
+    pallas_mode,
+    set_use_pallas,
+    use_pallas,
+)
 
-__all__ = ["conv1d", "conv_transpose1d", "use_pallas", "set_use_pallas"]
+__all__ = ["conv1d", "conv_transpose1d", "pallas_mode", "use_pallas", "set_use_pallas"]

@@ -1,25 +1,85 @@
 """Conv front-end: Pallas fast path with XLA fallback.
 
 ``conv1d`` / ``conv_transpose1d`` take (B, L, C) inputs and HIO kernels and
-dispatch to the Pallas implementation when enabled (and when shapes are
-TPU-friendly), else to ``lax.conv_general_dilated``. The two paths are
-numerically validated against each other in tests.
+dispatch to the Pallas implementation when enabled, else to
+``lax.conv_general_dilated``. The two paths are numerically validated against
+each other in tests. ALL model convolutions route through this module
+(``models/layers.py`` Conv1d / ConvTranspose1d), so flipping the mode swaps
+the production compute path.
+
+Modes (``set_use_pallas`` / ``MELOGAN_PALLAS`` env var):
+
+- ``"off"``  — always XLA.
+- ``"auto"`` — Pallas on TPU, XLA elsewhere (the production default: compiled
+  Mosaic kernels need real TPU hardware).
+- ``"on"``   — Pallas everywhere; on non-TPU backends the kernels run in
+  Pallas interpret mode (slow, used by CPU tests to exercise the real
+  production code path).
+
+Per-call override: pass ``pallas=False`` to force XLA regardless of mode.
+The WGAN-GP critic does this — the Pallas kernels register first-order
+``custom_vjp`` backward rules, and the gradient penalty's grad-of-grad
+through the critic requires twice-differentiable convolutions
+(reference src/gan/utils.py:75-90).
+
+Pallas is also bypassed when a non-HIGHEST precision is requested (the
+bf16 fast-math sampling path): the kernels accumulate in f32 at HIGHEST
+precision by construction, so honoring a lower-precision request means XLA.
 """
 from __future__ import annotations
+
+import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-_USE_PALLAS = False
+_VALID_MODES = ("off", "auto", "on")
 
 
-def set_use_pallas(enabled: bool) -> None:
-    global _USE_PALLAS
-    _USE_PALLAS = bool(enabled)
+def _mode_from_env() -> str:
+    raw = os.environ.get("MELOGAN_PALLAS", "auto").strip().lower()
+    if raw in ("1", "true", "yes"):
+        return "on"
+    if raw in ("0", "false", "no"):
+        return "off"
+    return raw if raw in _VALID_MODES else "auto"
+
+
+_MODE = _mode_from_env()
+
+
+def set_use_pallas(mode) -> None:
+    """Set the global conv dispatch mode: ``True``/``"on"``, ``False``/``"off"``,
+    or ``"auto"`` (Pallas on TPU only)."""
+    global _MODE
+    if mode is True:
+        _MODE = "on"
+    elif mode is False:
+        _MODE = "off"
+    elif mode in _VALID_MODES:
+        _MODE = mode
+    else:
+        raise ValueError(f"invalid pallas mode {mode!r}; expected bool or one of {_VALID_MODES}")
+
+
+def pallas_mode() -> str:
+    return _MODE
 
 
 def use_pallas() -> bool:
-    return _USE_PALLAS
+    """Whether the Pallas path is active for the current backend."""
+    if _MODE == "off":
+        return False
+    if _MODE == "on":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _precision_allows_pallas(precision) -> bool:
+    # the kernels are f32/HIGHEST by construction; a lower-precision request
+    # (bf16 fast-math) must be honored by XLA instead
+    return precision is None or precision == jax.lax.Precision.HIGHEST
 
 
 def _xla_conv1d(x, w, stride: int, padding: int, precision=None):
@@ -48,18 +108,39 @@ def _xla_conv_transpose1d(x, w, stride: int, padding: int, output_padding: int, 
     )
 
 
-def conv1d(x, w, stride: int = 1, padding: int = 0, precision=None):
-    """(B, L, Cin) ⊛ (K, Cin, Cout) → (B, Lout, Cout), torch geometry."""
-    if _USE_PALLAS and jax.default_backend() == "tpu":
+def conv1d(
+    x,
+    w,
+    stride: int = 1,
+    padding: int = 0,
+    precision=None,
+    pallas: Optional[bool] = None,
+):
+    """(B, L, Cin) ⊛ (K, Cin, Cout) → (B, Lout, Cout), torch geometry.
+
+    ``pallas``: force (True) or forbid (False) the Pallas path; ``None``
+    defers to the global mode.
+    """
+    enabled = use_pallas() if pallas is None else pallas
+    if enabled and _precision_allows_pallas(precision):
         from melogan_tpu.ops.pallas.conv1d import pallas_conv1d
 
         return pallas_conv1d(x, w, stride=stride, padding=padding)
     return _xla_conv1d(x, w, stride, padding, precision)
 
 
-def conv_transpose1d(x, w, stride: int = 2, padding: int = 0, output_padding: int = 0, precision=None):
+def conv_transpose1d(
+    x,
+    w,
+    stride: int = 2,
+    padding: int = 0,
+    output_padding: int = 0,
+    precision=None,
+    pallas: Optional[bool] = None,
+):
     """(B, L, Cin) transposed-conv (K, Cin, Cout) → torch ConvTranspose1d geometry."""
-    if _USE_PALLAS and jax.default_backend() == "tpu":
+    enabled = use_pallas() if pallas is None else pallas
+    if enabled and _precision_allows_pallas(precision):
         from melogan_tpu.ops.pallas.conv1d import pallas_conv_transpose1d
 
         return pallas_conv_transpose1d(

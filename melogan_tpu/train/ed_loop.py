@@ -201,6 +201,15 @@ def train(
                 ),
                 opt_state=serialization.from_state_dict(state.opt_state, raw["opt_state"]),
             )
+            if "rng" in raw:  # device RNG (dropout) — step-identical resume
+                state = state.replace(rng=jnp.asarray(raw["rng"], jnp.uint32))
+            if "lr" in raw:
+                state = set_lr(state, float(raw["lr"]))
+            # scheduler/early-stop wait counters (older ckpts lack them)
+            if "plateau" in raw:
+                plateau.load_state_dict(raw["plateau"])
+            if "stopper" in raw:
+                stopper.load_state_dict(raw["stopper"])
             start_epoch = int(raw["epoch"]) + 1
             for _ in range(start_epoch - 1):
                 if weights is not None:
@@ -247,22 +256,29 @@ def train(
                 f"val loss {val_loss:.4f} acc {float(vm['acc']):.3f} | {dt:.2f}s"
             )
 
-        if epoch % cfg.save_freq == 0:
-            save_checkpoint(
-                os.path.join(ckpt_dir, f"ed_epoch{epoch:04d}.ckpt"),
-                {"epoch": epoch, "params": state.params, "batch_stats": state.batch_stats,
-                 "opt_state": state.opt_state},
-            )
-
+        # stopper BEFORE the periodic save so checkpointed wait counters are
+        # post-epoch (a resumed run is then step-identical to straight-through)
         stop = stopper.step(val_loss)
+
+        def _ckpt_tree():
+            return {
+                "epoch": epoch,
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "rng": state.rng,
+                "lr": new_lr,
+                "plateau": plateau.state_dict(),
+                "stopper": stopper.state_dict(),
+            }
+
+        if epoch % cfg.save_freq == 0:
+            save_checkpoint(os.path.join(ckpt_dir, f"ed_epoch{epoch:04d}.ckpt"), _ckpt_tree())
+
         if stopper.improved:
             best_state = state
             best_metrics = {"epoch": epoch, "val_loss": val_loss, "val_acc": float(vm["acc"])}
-            save_checkpoint(
-                os.path.join(ckpt_dir, "ed_best.ckpt"),
-                {"epoch": epoch, "params": state.params, "batch_stats": state.batch_stats,
-                 "opt_state": state.opt_state},
-            )
+            save_checkpoint(os.path.join(ckpt_dir, "ed_best.ckpt"), _ckpt_tree())
         if stop:
             if verbose:
                 print(f"[ED] early stop at epoch {epoch}")

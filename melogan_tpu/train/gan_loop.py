@@ -55,26 +55,24 @@ def train(
     if resume:
         latest = latest_checkpoint(ckpt_dir, "gan_epoch")
         if latest:
-            ckpt = load_checkpoint(
-                latest,
-                target={
-                    "epoch": 0,
-                    "G": {"params": state.gen_params, "batch_stats": state.gen_stats},
-                    "D": {"params": state.critic_params},
-                    "E_num": {"params": state.fe_params},
-                    "opt_G": state.opt_g,
-                    "opt_D": state.opt_d,
-                },
-            )
+            from flax import serialization
+
+            raw = load_checkpoint(latest)  # tolerant of older field sets
             state = state.replace(
-                gen_params=ckpt["G"]["params"],
-                gen_stats=ckpt["G"]["batch_stats"],
-                critic_params=ckpt["D"]["params"],
-                fe_params=ckpt["E_num"]["params"],
-                opt_g=ckpt["opt_G"],
-                opt_d=ckpt["opt_D"],
+                gen_params=serialization.from_state_dict(state.gen_params, raw["G"]["params"]),
+                gen_stats=serialization.from_state_dict(state.gen_stats, raw["G"]["batch_stats"]),
+                critic_params=serialization.from_state_dict(state.critic_params, raw["D"]["params"]),
+                fe_params=serialization.from_state_dict(state.fe_params, raw["E_num"]["params"]),
+                opt_g=serialization.from_state_dict(state.opt_g, raw["opt_G"]),
+                opt_d=serialization.from_state_dict(state.opt_d, raw["opt_D"]),
             )
-            start_epoch = int(ckpt["epoch"]) + 1
+            # device RNG stream + group-step counter: with these a resumed run
+            # consumes the identical noise/α/dropout stream as straight-through
+            if "rng" in raw:
+                state = state.replace(rng=jnp.asarray(raw["rng"], jnp.uint32))
+            if "step" in raw:
+                state = state.replace(step=jnp.asarray(raw["step"], jnp.int32))
+            start_epoch = int(raw["epoch"]) + 1
             if verbose:
                 print(f"[INFO] resumed from {latest} at epoch {start_epoch}")
 
@@ -148,6 +146,8 @@ def train(
                     "E_num": {"params": state.fe_params},
                     "opt_G": state.opt_g,
                     "opt_D": state.opt_d,
+                    "rng": state.rng,
+                    "step": state.step,
                 },
             )
 

@@ -183,9 +183,20 @@ def train(
             ),
             opt_state=serialization.from_state_dict(state.opt_state, raw["opt_state"]),
         )
+        if "rng" in raw:  # device RNG stream (reparam noise) — step-identical resume
+            state = state.replace(rng=jnp.asarray(raw["rng"], jnp.uint32))
         start_epoch = int(raw["epoch"]) + 1
         best = float(raw.get("best_val", float("inf")))
-        stopper.best = plateau.best = best
+        # full scheduler/early-stop state (wait counters) when present;
+        # older checkpoints fall back to best-only restoration
+        if "plateau" in raw:
+            plateau.load_state_dict(raw["plateau"])
+        else:
+            plateau.best = best
+        if "stopper" in raw:
+            stopper.load_state_dict(raw["stopper"])
+        else:
+            stopper.best = best
         state = set_lr(state, float(raw.get("lr", cfg.lr)))
         for _ in range(start_epoch - 1):
             data_rng.permutation(x_train.shape[0])  # replay data-order stream
@@ -263,8 +274,11 @@ def train(
                     "params": state.params,
                     "batch_stats": state.batch_stats,
                     "opt_state": state.opt_state,
+                    "rng": state.rng,
                     "best_val": stopper.best,
                     "lr": new_lr,
+                    "plateau": plateau.state_dict(),
+                    "stopper": stopper.state_dict(),
                 },
             )
         if stop:

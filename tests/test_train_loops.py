@@ -218,3 +218,92 @@ def test_ed_resume_from_checkpoint(splits, tmp_path):
     _, metrics = ed_loop.train(cfg8, train_data, val_data, workdir=str(tmp_path),
                                verbose=False, resume=True)
     assert metrics.get("epoch", 0) >= 5
+
+
+# ---------------------------------------------------------------------------
+# Step-identical resume (VERDICT r1 item 8): interrupted-and-resumed training
+# must reproduce the straight-through run exactly — scheduler/early-stop wait
+# counters, device RNG streams, and data order all checkpointed and replayed.
+# ---------------------------------------------------------------------------
+
+
+def _leaves_equal(a, b, atol=0.0):
+    la, lb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=atol, rtol=0)
+
+
+def test_vae_resume_is_step_identical(splits, tmp_path):
+    train_data, val_data = splits
+    kw = dict(max_notes=64, batch_size=8, recon_save_count=0)
+    straight, _ = vae_loop.train(
+        AEConfig(epochs=4, **kw), train_data, val_data,
+        workdir=str(tmp_path / "straight"), verbose=False, recon_dumps=False,
+    )
+    vae_loop.train(
+        AEConfig(epochs=2, **kw), train_data, val_data,
+        workdir=str(tmp_path / "resumed"), verbose=False, recon_dumps=False,
+    )
+    resumed, _ = vae_loop.train(
+        AEConfig(epochs=4, **kw), train_data, val_data,
+        workdir=str(tmp_path / "resumed"), verbose=False, recon_dumps=False, resume=True,
+    )
+    _leaves_equal(straight.params, resumed.params)
+    _leaves_equal(straight.batch_stats, resumed.batch_stats)
+
+
+def test_ed_resume_is_step_identical(splits, tmp_path):
+    train_data, val_data = splits
+    kw = dict(max_notes=64, notes_blocks=2, notes_hidden=32, mlp_hidden=(16,),
+              batch_size=8, save_freq=2)
+    straight, _ = ed_loop.train(
+        EDConfig(num_epochs=6, **kw), train_data, val_data,
+        workdir=str(tmp_path / "straight"), verbose=False,
+    )
+    ed_loop.train(
+        EDConfig(num_epochs=4, **kw), train_data, val_data,
+        workdir=str(tmp_path / "resumed"), verbose=False,
+    )
+    resumed, _ = ed_loop.train(
+        EDConfig(num_epochs=6, **kw), train_data, val_data,
+        workdir=str(tmp_path / "resumed"), verbose=False, resume=True,
+    )
+    _leaves_equal(straight.params, resumed.params)
+    _leaves_equal(straight.batch_stats, resumed.batch_stats)
+
+
+def test_gan_resume_is_step_identical(splits, tmp_path):
+    train_data, _ = splits
+    kw = dict(max_notes=64, batch_size=4, noise_dim=16, latent_dim=8,
+              gen_hidden=32, save_freq=2)
+    ed_cfg = EDConfig(max_notes=64, notes_blocks=2, notes_hidden=32, mlp_hidden=(16,))
+    straight, _ = gan_loop.train(
+        GANConfig(epochs=4, **kw), ed_cfg, train_data,
+        workdir=str(tmp_path / "straight"), verbose=False,
+    )
+    gan_loop.train(
+        GANConfig(epochs=2, **kw), ed_cfg, train_data,
+        workdir=str(tmp_path / "resumed"), verbose=False,
+    )
+    resumed, _ = gan_loop.train(
+        GANConfig(epochs=4, **kw), ed_cfg, train_data,
+        workdir=str(tmp_path / "resumed"), verbose=False, resume=True,
+    )
+    _leaves_equal(straight.gen_params, resumed.gen_params)
+    _leaves_equal(straight.critic_params, resumed.critic_params)
+    _leaves_equal(straight.gen_stats, resumed.gen_stats)
+    _leaves_equal(straight.fe_params, resumed.fe_params)
+
+
+def test_harness_state_dict_roundtrip():
+    p = ReduceLROnPlateau(patience=3)
+    s = EarlyStopping(patience=5)
+    for m in (1.0, 1.1, 1.2, 0.9, 0.95):
+        p.step(m, 1e-3)
+        s.step(m)
+    p2, s2 = ReduceLROnPlateau(patience=3), EarlyStopping(patience=5)
+    p2.load_state_dict(p.state_dict())
+    s2.load_state_dict(s.state_dict())
+    assert (p2.best, p2.num_bad_epochs) == (p.best, p.num_bad_epochs)
+    assert (s2.best, s2.num_bad_epochs) == (s.best, s.num_bad_epochs)
