@@ -5,11 +5,17 @@ classifier whose top label is mapped to the four music emotions (happy / sad /
 angry / calm, default calm).
 
 Backends, in order:
-1. HF transformers go_emotions pipeline when the model is available locally
-   (offline-gated — this environment has zero egress, so the ~500 MB download
-   the reference performs at import time is never attempted);
-2. a self-contained lexicon classifier scoring the same 28 go_emotions
-   categories from keyword matches, then applying the identical 28→4 map.
+1. the TPU-native JAX RoBERTa classifier (``models/roberta.py``) converted
+   from a local HF checkpoint dir (``MELOGAN_TEXT_MODEL_DIR``) — the real
+   go_emotions model running as one XLA program;
+2. the HF transformers pipeline on the same local dir (torch CPU), if the
+   JAX conversion fails;
+3. a self-contained lexicon classifier scoring the same 28 go_emotions
+   categories from keyword matches — last-resort fallback only.
+
+All backends apply the identical 28→4 label map. No backend ever downloads
+(the reference pulls ~500 MB from the hub at import time,
+textClassification/text.py:48-58; this environment is offline by design).
 """
 from __future__ import annotations
 
@@ -95,18 +101,23 @@ def _load_classifier():
     global _classifier, _backend
     if _classifier is not None:
         return _classifier
-    # offline-first: only touch transformers if a local cache might exist
-    if os.environ.get("MELOGAN_TEXT_MODEL_DIR"):
+    model_dir = os.environ.get("MELOGAN_TEXT_MODEL_DIR")
+    if model_dir:
+        # preferred: TPU-native JAX RoBERTa (one XLA program per bucket shape)
+        try:
+            from melogan_tpu.models.roberta import RobertaTextClassifier  # noqa: PLC0415
+
+            _classifier = RobertaTextClassifier(model_dir)
+            _backend = "jax-roberta"
+            return _classifier
+        except Exception as e:  # noqa: BLE001
+            print(f"[WARN] JAX RoBERTa backend unavailable ({e}); trying transformers")
         try:
             os.environ.setdefault("HF_HUB_OFFLINE", "1")
             os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
             from transformers import pipeline  # noqa: PLC0415
 
-            _classifier = pipeline(
-                "text-classification",
-                model=os.environ["MELOGAN_TEXT_MODEL_DIR"],
-                top_k=1,
-            )
+            _classifier = pipeline("text-classification", model=model_dir, top_k=1)
             _backend = "transformers"
             return _classifier
         except Exception as e:  # noqa: BLE001
@@ -114,6 +125,13 @@ def _load_classifier():
     _classifier = LexiconClassifier()
     _backend = "lexicon"
     return _classifier
+
+
+def reset_backend() -> None:
+    """Drop the cached classifier (tests / env change)."""
+    global _classifier, _backend
+    _classifier = None
+    _backend = None
 
 
 def backend_name() -> str:
