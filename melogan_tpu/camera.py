@@ -55,11 +55,19 @@ class CameraEmotion:
         self.face_detector = face_detector  # optional SSD FaceDetector
         self._lock = threading.Lock()
         self._current = "calm"
+        self._last_box: Optional[Tuple[int, int, int, int]] = None
 
     @property
     def current_emotion(self) -> str:
         with self._lock:
             return self._current
+
+    @property
+    def last_box(self) -> Optional[Tuple[int, int, int, int]]:
+        """Face box (x1, y1, x2, y2) from the most recent frame (for the
+        MJPEG overlay, reference camera/camera.py:104-106)."""
+        with self._lock:
+            return self._last_box
 
     def process_frame(self, frame: np.ndarray, conf_threshold: float = 0.5) -> str:
         """One frame → detected emotion (updates ``current_emotion``)."""
@@ -89,6 +97,7 @@ class CameraEmotion:
             emotion = "calm"
         with self._lock:
             self._current = emotion
+            self._last_box = (x1, y1, x2, y2)
         return emotion
 
     def generate_emotions(self, frames: Iterator[np.ndarray]) -> Iterator[str]:

@@ -5,8 +5,9 @@ dependency-free WSGI stack (Flask is not in this image):
 
 - ``GET  /``                   web UI
 - ``POST /get_text_emotion``   {"text": ...} → {"emotion": ...}
-- ``GET  /video_feed``         MJPEG camera stream (503 when no camera
-                               backend is available in the deployment)
+- ``GET  /video_feed``         MJPEG camera stream (multipart/x-mixed-replace
+                               of annotated JPEG frames from the configured
+                               frame source; 503 when no source is configured)
 - ``GET  /get_camera_emotion`` latest camera-detected emotion
 - ``POST /generate``           {"emotion": ...} → audio/midi download
 - ``POST /camera_frame``       raw grayscale frame → emotion (the
@@ -37,7 +38,7 @@ from melogan_tpu.sampling import EMOTION_BPM, Sampler, emotion_scale
 
 
 class AppState:
-    def __init__(self, cfg: GANConfig, sampler: Sampler):
+    def __init__(self, cfg: GANConfig, sampler: Sampler, frame_source=None):
         self.cfg = cfg
         self.sampler = sampler
         self.seed_counter = 0
@@ -52,6 +53,13 @@ class AppState:
             self.camera = load_default_fer()
         except Exception:  # noqa: BLE001 — camera model optional
             self.camera = None
+        # MJPEG source: any (re-)iterable of (H, W, 3) uint8 RGB frames
+        self.frame_source = frame_source
+        self.camera_pipeline = None
+        if frame_source is not None and self.camera is not None:
+            from melogan_tpu.camera import CameraEmotion
+
+            self.camera_pipeline = CameraEmotion(fer=self.camera)
 
     @property
     def camera_emotion(self) -> str:
@@ -184,6 +192,7 @@ def build_app(state: AppState):
                     "status": "ok",
                     "text_backend": backend_name(),
                     "camera_backend": "xception" if state.camera else None,
+                    "video_feed": state.frame_source is not None,
                     "generator": "loaded",
                 },
             )
@@ -197,11 +206,27 @@ def build_app(state: AppState):
             return _json_response(start_response, {"emotion": state.camera_emotion})
 
         if method == "GET" and path == "/video_feed":
-            return _json_response(
-                start_response,
-                {"error": "no camera device available in this deployment; "
-                          "POST grayscale frames to /camera_frame instead"},
-                status="503 Service Unavailable",
+            if state.frame_source is None:
+                return _json_response(
+                    start_response,
+                    {"error": "no camera frame source configured; "
+                              "POST grayscale frames to /camera_frame instead"},
+                    status="503 Service Unavailable",
+                )
+            from melogan_tpu.serving.video import BOUNDARY, mjpeg_parts
+
+            start_response(
+                "200 OK",
+                [("Content-Type", f"multipart/x-mixed-replace; boundary={BOUNDARY}")],
+            )
+
+            def _set_emotion(e):
+                state.camera_emotion = e
+
+            return mjpeg_parts(
+                iter(state.frame_source),
+                state.camera_pipeline,
+                on_emotion=_set_emotion,
             )
 
         if method == "POST" and path == "/camera_frame":
@@ -261,7 +286,11 @@ def serve(
     config: str = "configs/gan.yaml",
     checkpoint: Optional[str] = None,
     fast_math: bool = False,
+    camera_source: Optional[str] = None,
 ):
+    """``camera_source``: None (no /video_feed) or "synthetic" (built-in test
+    pattern; also enabled by MELOGAN_CAMERA_SOURCE=synthetic). A real capture
+    device would plug in as any iterable of RGB frames."""
     cfg = GANConfig.from_yaml(config) if os.path.exists(config) else GANConfig()
     gen_vars = fe_vars = None
     ckpt_path = checkpoint or os.path.join(workdir, cfg.checkpoint_dir, "gan_final.ckpt")
@@ -276,7 +305,13 @@ def serve(
     sampler = Sampler(cfg, gen_variables=gen_vars, fe_variables=fe_vars, fast_math=fast_math)
     # warm the XLA program before accepting traffic
     sampler.sample_notes(["happy"], seed=0)
-    state = AppState(cfg, sampler)
+    source = camera_source or os.environ.get("MELOGAN_CAMERA_SOURCE")
+    frame_source = None
+    if source == "synthetic":
+        from melogan_tpu.serving.video import SyntheticFrameSource
+
+        frame_source = SyntheticFrameSource()
+    state = AppState(cfg, sampler, frame_source=frame_source)
     httpd = make_server(host, port, build_app(state), server_class=ThreadingWSGIServer)
     print(f"[INIT] serving on http://{host}:{port} (text backend: {backend_name()})")
     httpd.serve_forever()

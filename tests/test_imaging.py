@@ -1,0 +1,72 @@
+"""Self-contained imaging ops: baseline JPEG encoder (validated against a
+standard decoder) and annotation primitives."""
+import io
+
+import numpy as np
+import pytest
+
+from melogan_tpu.imaging import draw_rect, draw_text, encode_jpeg
+
+
+def _decode(data: bytes) -> np.ndarray:
+    Image = pytest.importorskip("PIL.Image")
+    return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.float64)
+
+
+def _smooth_image(h=120, w=160):
+    x = np.linspace(0, 255, w)
+    y = np.linspace(0, 255, h)
+    gx, gy = np.meshgrid(x, y)
+    img = np.stack([gx, gy, np.full((h, w), 128.0)], -1).astype(np.uint8)
+    img[30:60, 40:90] = [220, 50, 50]
+    return img
+
+
+def test_jpeg_decodes_with_standard_decoder():
+    img = _smooth_image()
+    data = encode_jpeg(img, quality=85)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    dec = _decode(data)
+    assert dec.shape == img.shape
+    psnr = 10 * np.log10(255**2 / np.mean((dec - img.astype(np.float64)) ** 2))
+    assert psnr > 32, f"PSNR {psnr:.1f} dB too low"
+
+
+def test_jpeg_quality_ladder():
+    img = _smooth_image()
+    sizes = [len(encode_jpeg(img, q)) for q in (20, 60, 95)]
+    assert sizes[0] < sizes[1] < sizes[2]  # higher quality -> more bytes
+    dec_lo = _decode(encode_jpeg(img, 20))
+    dec_hi = _decode(encode_jpeg(img, 95))
+    err_lo = np.mean((dec_lo - img.astype(np.float64)) ** 2)
+    err_hi = np.mean((dec_hi - img.astype(np.float64)) ** 2)
+    assert err_hi < err_lo
+
+
+def test_jpeg_non_multiple_of_8_and_grayscale(rng):
+    img = rng.integers(0, 256, (37, 53, 3)).astype(np.uint8)
+    dec = _decode(encode_jpeg(img, 75))
+    assert dec.shape == (37, 53, 3)
+    gray = rng.integers(0, 256, (41, 31)).astype(np.uint8)
+    dec = _decode(encode_jpeg(gray, 75))
+    assert dec.shape == (41, 31, 3)
+
+
+def test_jpeg_extreme_values():
+    for v in (0, 255):
+        img = np.full((16, 16, 3), v, np.uint8)
+        dec = _decode(encode_jpeg(img, 90))
+        assert abs(float(dec.mean()) - v) < 3
+
+
+def test_draw_rect_and_text():
+    img = np.zeros((60, 80, 3), np.uint8)
+    draw_rect(img, 10, 10, 50, 40, color=(0, 255, 0), thickness=2)
+    assert (img[10, 10:51, 1] == 255).all()  # top edge
+    assert (img[10:41, 50, 1] == 255).all()  # right edge
+    assert img[25, 30, 1] == 0  # interior untouched
+    draw_text(img, "happy 9%", 2, 45, color=(255, 0, 0))
+    assert (img[45:, :, 0] == 255).sum() > 20  # glyph pixels rendered
+    # out-of-bounds draw must not raise
+    draw_rect(img, -5, -5, 200, 200)
+    draw_text(img, "calm", 70, 55)

@@ -132,3 +132,75 @@ def test_concurrent_generate_requests(server):
     with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
         sizes = list(ex.map(one, range(32)))
     assert all(s > 100 for s in sizes)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG /video_feed (VERDICT r1 item 5): multipart/x-mixed-replace streaming
+# of annotated frames from a pluggable frame source.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def video_server():
+    from melogan_tpu.serving.video import SyntheticFrameSource
+
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    state = AppState(
+        cfg, Sampler(cfg, seed=0), frame_source=SyntheticFrameSource(n_frames=3)
+    )
+    httpd = make_server("127.0.0.1", 0, build_app(state), server_class=ThreadingWSGIServer)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", state
+    httpd.shutdown()
+
+
+def _read_mjpeg_parts(raw: bytes):
+    """Split a multipart/x-mixed-replace byte stream into JPEG payloads."""
+    parts = []
+    for chunk in raw.split(b"--frame")[1:]:
+        idx = chunk.find(b"\r\n\r\n")
+        if idx < 0:
+            continue
+        payload = chunk[idx + 4:].rstrip(b"\r\n")
+        if payload:
+            parts.append(payload)
+    return parts
+
+
+def test_video_feed_streams_jpeg_parts(video_server):
+    base, state = video_server
+    resp = urllib.request.urlopen(base + "/video_feed", timeout=120)
+    assert resp.status == 200
+    assert resp.headers["Content-Type"].startswith("multipart/x-mixed-replace")
+    raw = resp.read()  # finite synthetic source -> stream terminates
+    parts = _read_mjpeg_parts(raw)
+    assert len(parts) >= 2, f"expected >=2 JPEG parts, got {len(parts)}"
+    for p in parts:
+        assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"  # SOI/EOI
+    # frames are decodable standard JPEG (PIL is test-only)
+    try:
+        import io
+        from PIL import Image
+    except ImportError:
+        return
+    img = np.asarray(Image.open(io.BytesIO(parts[0])).convert("RGB"))
+    assert img.shape == (240, 320, 3)
+    # annotation overlay present: some saturated green pixels from the box
+    green = (img[..., 1] > 180) & (img[..., 0] < 120) & (img[..., 2] < 120)
+    assert green.sum() > 50
+
+
+def test_video_feed_updates_camera_emotion(video_server):
+    base, state = video_server
+    urllib.request.urlopen(base + "/video_feed", timeout=120).read()
+    status, _, body = req(base, "/get_camera_emotion")
+    assert status == 200
+    assert json.loads(body)["emotion"] in ("happy", "sad", "angry", "calm")
+
+
+def test_video_feed_healthz_flag(video_server):
+    base, _ = video_server
+    status, _, body = req(base, "/healthz")
+    assert status == 200 and json.loads(body)["video_feed"] is True
