@@ -1,50 +1,72 @@
-"""ResNet-10 SSD-300 face detector as a single XLA program.
+"""ResNet-10 SSD-300 face detector: prototxt-exact topology, one XLA program.
 
-JAX implementation of the reference's OpenCV-DNN face detector architecture
-(camera/deploy.prototxt.txt — res10_300x300 SSD; the trained .caffemodel is a
-missing large blob in the reference repo, so weights must be converted
-externally or the detector runs with its heuristic fallback — see
-``melogan_tpu.camera``).
+Faithful JAX implementation of the reference's OpenCV-DNN face detector
+(camera/camera.py:37, camera/deploy.prototxt.txt — res10_300x300 SSD). The
+graph below follows the prototxt layer-for-layer (112 layers):
 
-Structure (faithful to the prototxt):
-- input 300×300 BGR, mean-subtracted (104, 177, 123) — camera/camera.py:80
-- ResNet-10 backbone: 7×7/2 conv → 3×3/2 maxpool → 4 residual stages
-  (64, 128, 256, 512; stages 2-4 stride 2 with 1×1 expand shortcuts)
-- SSD extra feature layers (conv6_1/2 … conv9_1/2) and mbox heads with
-  loc+conf predictions on 6 feature maps
-- prior boxes with the prototxt's min/max sizes, aspect ratios, steps and
-  variances; decode + per-class softmax + NMS, all inside jit
+- data_bn/data_scale input normalization
+- conv1_h 7×7/2 (+BN/Scale/ReLU) → 3×3/2 ceil-mode max-pool  (300→150→75)
+- layer_64_1: plain residual block, 32ch, stride 1           (75)
+- layer_128_1: pre-act block, 128ch, stride 2, 1×1 expand    (38)
+- layer_256_1: pre-act block, 256ch, stride 2, 1×1 expand    (19)
+  · the 38×38 pre-activation (layer_256_1_bn1+scale+relu) is the
+    conv4_3_norm tap, through an L2 Normalize layer (scale init 20)
+- layer_512_1: pre-act block, stride 1 with DILATED 3×3 (pad 2, dilation 2),
+  128→256, 1×1 expand; + last_bn_h/scale/relu → fc7          (19)
+- extras conv6_1/2 (→10), conv7_1/2 (→5), conv8_1/2 and conv9_1/2 at
+  stride 1 (feature maps STAY 5×5 — unlike classic VGG-SSD)
+- six mbox loc/conf 3×3 heads; PriorBox min/max/aspect/step per prototxt
+  (8892 priors), softmax over 2 classes, CENTER_SIZE decode with variances
+  (0.1, 0.1, 0.2, 0.2), NMS 0.45 / top_k 400 / keep 200
 
-Detections mirror cv2.dnn output: (N, 7) rows of
-(image_id, class_id, confidence, x1, y1, x2, y2) in relative coordinates.
+Weights load directly from a user-supplied ``.caffemodel`` via
+``melogan_tpu.models.caffe`` (the reference's own trained blob is missing
+from its repo, .MISSING_LARGE_BLOBS:1 — the loader is validated against
+synthetic caffemodel files in tests). Detections mirror cv2.dnn output:
+(N, 7) rows of (image_id, class_id, confidence, x1, y1, x2, y2).
 """
 from __future__ import annotations
 
 import math
+from typing import Dict, List, Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
-from flax import linen as nn
+
+from melogan_tpu.models.caffe import CaffeLayer, read_caffemodel
 
 INPUT_SIZE = 300
 MEAN_BGR = (104.0, 177.0, 123.0)
+BN_EPS = 1e-5  # caffe BatchNormParameter default
+NORM_EPS = 1e-10  # caffe NormalizeLayer eps
 
-# PriorBox configuration from deploy.prototxt.txt (6 mbox sources)
+# PriorBox configuration straight from deploy.prototxt.txt. Feature-map sizes
+# follow caffe conv arithmetic (conv8/9 are stride 1 ⇒ fm stays 5).
 PRIOR_CONFIG = [
-    # (feature_map, step, min_size, max_size, aspect_ratios)
-    dict(fm=38, step=8, min_size=30.0, max_size=60.0, ars=(2.0,)),
-    dict(fm=19, step=16, min_size=60.0, max_size=111.0, ars=(2.0, 3.0)),
-    dict(fm=10, step=32, min_size=111.0, max_size=162.0, ars=(2.0, 3.0)),
-    dict(fm=5, step=64, min_size=162.0, max_size=213.0, ars=(2.0, 3.0)),
-    dict(fm=3, step=100, min_size=213.0, max_size=264.0, ars=(2.0,)),
-    dict(fm=2, step=300, min_size=264.0, max_size=315.0, ars=(2.0,)),
+    dict(src="conv4_3_norm", fm=38, step=8, min_size=30.0, max_size=60.0, ars=(2.0,)),
+    dict(src="fc7", fm=19, step=16, min_size=60.0, max_size=111.0, ars=(2.0, 3.0)),
+    dict(src="conv6_2_h", fm=10, step=32, min_size=111.0, max_size=162.0, ars=(2.0, 3.0)),
+    dict(src="conv7_2_h", fm=5, step=64, min_size=162.0, max_size=213.0, ars=(2.0, 3.0)),
+    dict(src="conv8_2_h", fm=5, step=100, min_size=213.0, max_size=264.0, ars=(2.0,)),
+    dict(src="conv9_2_h", fm=5, step=300, min_size=264.0, max_size=315.0, ars=(2.0,)),
 ]
 VARIANCES = (0.1, 0.1, 0.2, 0.2)
 NUM_CLASSES = 2  # background, face
+# DetectionOutput params (deploy.prototxt.txt detection_out layer)
+NMS_THRESHOLD = 0.45
+NMS_TOP_K = 400
+KEEP_TOP_K = 200
+
+
+def priors_per_cell(cfg) -> int:
+    # caffe PriorBox: min box + sqrt(min·max) box + (ar, 1/ar) per aspect
+    return 2 + 2 * len(cfg["ars"])
 
 
 def generate_priors() -> np.ndarray:
-    """All prior boxes as (P, 4) cxcywh in relative coords (flip=true, clip=false)."""
+    """(P, 4) cxcywh priors in relative coords, caffe generation order
+    (min, sqrt(min·max), then ar/flip pairs; offset 0.5, clip=false)."""
     priors = []
     for cfg in PRIOR_CONFIG:
         fm, step = cfg["fm"], cfg["step"]
@@ -65,104 +87,262 @@ def generate_priors() -> np.ndarray:
     return np.asarray(priors, np.float32)
 
 
-def priors_per_cell(cfg) -> int:
-    return 2 + 2 * len(cfg["ars"])
+# ---------------------------------------------------------------------------
+# Declarative conv table: drives init, the caffemodel loader, and shape tests.
+# (name, in_ch, out_ch, kernel, stride, pad, dilation, bias)
+# ---------------------------------------------------------------------------
+
+_head = lambda cfg, kind: priors_per_cell(cfg) * (4 if kind == "loc" else NUM_CLASSES)
+
+CONV_SPECS = [
+    ("conv1_h", 3, 32, 7, 2, 3, 1, True),
+    ("layer_64_1_conv1_h", 32, 32, 3, 1, 1, 1, False),
+    ("layer_64_1_conv2_h", 32, 32, 3, 1, 1, 1, False),
+    ("layer_128_1_conv1_h", 32, 128, 3, 2, 1, 1, False),
+    ("layer_128_1_conv2", 128, 128, 3, 1, 1, 1, False),
+    ("layer_128_1_conv_expand_h", 32, 128, 1, 2, 0, 1, False),
+    ("layer_256_1_conv1", 128, 256, 3, 2, 1, 1, False),
+    ("layer_256_1_conv2", 256, 256, 3, 1, 1, 1, False),
+    ("layer_256_1_conv_expand", 128, 256, 1, 2, 0, 1, False),
+    ("layer_512_1_conv1_h", 256, 128, 3, 1, 1, 1, False),
+    ("layer_512_1_conv2_h", 128, 256, 3, 1, 2, 2, False),  # dilated
+    ("layer_512_1_conv_expand_h", 256, 256, 1, 1, 0, 1, False),
+    ("conv6_1_h", 256, 128, 1, 1, 0, 1, True),
+    ("conv6_2_h", 128, 256, 3, 2, 1, 1, True),
+    ("conv7_1_h", 256, 64, 1, 1, 0, 1, True),
+    ("conv7_2_h", 64, 128, 3, 2, 1, 1, True),
+    ("conv8_1_h", 128, 64, 1, 1, 0, 1, True),
+    ("conv8_2_h", 64, 128, 3, 1, 1, 1, True),
+    ("conv9_1_h", 128, 64, 1, 1, 0, 1, True),
+    ("conv9_2_h", 64, 128, 3, 1, 1, 1, True),
+    ("conv4_3_norm_mbox_loc", 128, _head(PRIOR_CONFIG[0], "loc"), 3, 1, 1, 1, True),
+    ("conv4_3_norm_mbox_conf", 128, _head(PRIOR_CONFIG[0], "conf"), 3, 1, 1, 1, True),
+    ("fc7_mbox_loc", 256, _head(PRIOR_CONFIG[1], "loc"), 3, 1, 1, 1, True),
+    ("fc7_mbox_conf", 256, _head(PRIOR_CONFIG[1], "conf"), 3, 1, 1, 1, True),
+    ("conv6_2_mbox_loc", 256, _head(PRIOR_CONFIG[2], "loc"), 3, 1, 1, 1, True),
+    ("conv6_2_mbox_conf", 256, _head(PRIOR_CONFIG[2], "conf"), 3, 1, 1, 1, True),
+    ("conv7_2_mbox_loc", 128, _head(PRIOR_CONFIG[3], "loc"), 3, 1, 1, 1, True),
+    ("conv7_2_mbox_conf", 128, _head(PRIOR_CONFIG[3], "conf"), 3, 1, 1, 1, True),
+    ("conv8_2_mbox_loc", 128, _head(PRIOR_CONFIG[4], "loc"), 3, 1, 1, 1, True),
+    ("conv8_2_mbox_conf", 128, _head(PRIOR_CONFIG[4], "conf"), 3, 1, 1, 1, True),
+    ("conv9_2_mbox_loc", 128, _head(PRIOR_CONFIG[5], "loc"), 3, 1, 1, 1, True),
+    ("conv9_2_mbox_conf", 128, _head(PRIOR_CONFIG[5], "conf"), 3, 1, 1, 1, True),
+]
+
+# BatchNorm/Scale pairs: (bn_name, scale_name, channels)
+BN_SPECS = [
+    ("data_bn", "data_scale", 3),
+    ("conv1_bn_h", "conv1_scale_h", 32),
+    ("layer_64_1_bn2_h", "layer_64_1_scale2_h", 32),
+    ("layer_128_1_bn1_h", "layer_128_1_scale1_h", 32),
+    ("layer_128_1_bn2", "layer_128_1_scale2", 128),
+    ("layer_256_1_bn1", "layer_256_1_scale1", 128),
+    ("layer_256_1_bn2", "layer_256_1_scale2", 256),
+    ("layer_512_1_bn1", "layer_512_1_scale1", 256),
+    ("layer_512_1_bn2_h", "layer_512_1_scale2_h", 128),
+    ("last_bn_h", "last_scale_h", 256),
+]
 
 
-class _ConvBN(nn.Module):
-    features: int
-    kernel: int
-    stride: int = 1
-    use_relu: bool = True
-
-    @nn.compact
-    def __call__(self, x):
-        pad = self.kernel // 2
-        x = nn.Conv(
-            self.features, (self.kernel, self.kernel), (self.stride, self.stride),
-            padding=[(pad, pad), (pad, pad)], use_bias=False,
-        )(x)
-        x = nn.BatchNorm(use_running_average=True, epsilon=1e-5)(x)
-        scale = self.param("scale", nn.initializers.ones, (self.features,))
-        bias = self.param("scale_bias", nn.initializers.zeros, (self.features,))
-        x = x * scale + bias  # caffe Scale layer after BatchNorm
-        return jax.nn.relu(x) if self.use_relu else x
-
-
-class _ResBlock(nn.Module):
-    """Pre-activation residual block (the prototxt's layer_N pattern)."""
-
-    features: int
-    stride: int = 1
-    expand: bool = False
-
-    @nn.compact
-    def __call__(self, x):
-        pre = nn.BatchNorm(use_running_average=True, epsilon=1e-5)(x)
-        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
-        bias = self.param("scale_bias", nn.initializers.zeros, (x.shape[-1],))
-        pre = jax.nn.relu(pre * scale + bias)
-        h = _ConvBN(self.features, 3, self.stride)(pre)
-        h = nn.Conv(
-            self.features, (3, 3), (1, 1), padding=[(1, 1), (1, 1)], use_bias=False
-        )(h)
-        if self.expand:
-            shortcut = nn.Conv(
-                self.features, (1, 1), (self.stride, self.stride), use_bias=False
-            )(pre)
-        else:
-            shortcut = x
-        return h + shortcut
+def init_params(seed: int = 0) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """Random msra-style init with every tensor in its converted-weight shape
+    (weights: HWIO). Real use loads a trained caffemodel instead."""
+    rng = np.random.default_rng(seed)
+    params: Dict[str, Dict[str, jnp.ndarray]] = {}
+    for name, cin, cout, k, _s, _p, _d, bias in CONV_SPECS:
+        fan_in = cin * k * k
+        w = rng.normal(0.0, math.sqrt(2.0 / fan_in), (k, k, cin, cout))
+        entry = {"w": jnp.asarray(w, jnp.float32)}
+        if bias:
+            entry["b"] = jnp.zeros((cout,), jnp.float32)
+        params[name] = entry
+    for bn, sc, ch in BN_SPECS:
+        params[bn] = {
+            "mean": jnp.zeros((ch,), jnp.float32),
+            "var": jnp.ones((ch,), jnp.float32),
+        }
+        params[sc] = {
+            "gamma": jnp.ones((ch,), jnp.float32),
+            "beta": jnp.zeros((ch,), jnp.float32),
+        }
+    params["conv4_3_norm"] = {"scale": jnp.full((128,), 20.0, jnp.float32)}
+    return params
 
 
-class SSDFace(nn.Module):
-    """Complete detector matching the prototxt's 6-source mbox ladder."""
+def load_caffemodel(path: str) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """Convert a res10 SSD ``.caffemodel`` into the forward's param pytree.
 
-    @nn.compact
-    def __call__(self, x):
-        # data normalization
-        x = nn.BatchNorm(use_running_average=True, epsilon=1e-5)(x)
-        s = self.param("data_scale", nn.initializers.ones, (x.shape[-1],))
-        b = self.param("data_scale_bias", nn.initializers.zeros, (x.shape[-1],))
-        x = x * s + b
+    Caffe blob layouts handled: Convolution (out,in,kh,kw)→HWIO (+bias);
+    BatchNorm [mean_sum, var_sum, scale_factor] with the moving-average
+    scale-factor fold; Scale [gamma, beta]; Normalize [per-channel scale].
+    """
+    layers = read_caffemodel(path)
 
-        x = _ConvBN(32, 7, 2)(x)  # 150
-        x = nn.max_pool(x, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])  # 75
-        x = _ResBlock(32, 1)(x)
-        x = _ResBlock(64, 2, expand=True)(x)  # 38  (conv4_3-equivalent tap)
-        src1 = x
-        x = _ResBlock(128, 2, expand=True)(x)  # 19
-        x = _ResBlock(256, 2, expand=True)(x)  # 10 (but fc7 tap is at 19)
-        # fc7-equivalent tap: the prototxt's fc7 source is the 19×19 map; our
-        # stage emits 10×10 after the 256 stage, so tap before it:
-        # rebuild faithfully: taps at 38 (src1), 19 (src2), then extras.
-        src3 = x  # 10×10
+    def need(name: str) -> CaffeLayer:
+        if name not in layers:
+            raise KeyError(f"caffemodel is missing layer {name!r}")
+        return layers[name]
 
-        def extra(x, ch, stride, pad=1):
-            x = nn.Conv(ch // 2, (1, 1), use_bias=True)(x)
-            x = jax.nn.relu(x)
-            x = nn.Conv(ch, (3, 3), (stride, stride), padding=[(pad, pad), (pad, pad)], use_bias=True)(x)
-            return jax.nn.relu(x)
+    params: Dict[str, Dict[str, jnp.ndarray]] = {}
+    for name, cin, cout, k, _s, _p, _d, bias in CONV_SPECS:
+        layer = need(name)
+        w = np.asarray(layer.blobs[0], np.float32).reshape(cout, cin, k, k)
+        entry = {"w": jnp.asarray(w.transpose(2, 3, 1, 0))}
+        if bias:
+            if len(layer.blobs) < 2:
+                raise ValueError(f"conv layer {name!r} expected a bias blob")
+            entry["b"] = jnp.asarray(np.asarray(layer.blobs[1], np.float32).reshape(cout))
+        params[name] = entry
+    for bn, sc, ch in BN_SPECS:
+        blobs = need(bn).blobs
+        sf = float(np.asarray(blobs[2]).reshape(-1)[0]) if len(blobs) > 2 else 1.0
+        inv = 1.0 / sf if sf != 0 else 0.0
+        params[bn] = {
+            "mean": jnp.asarray(np.asarray(blobs[0], np.float32).reshape(ch) * inv),
+            "var": jnp.asarray(np.asarray(blobs[1], np.float32).reshape(ch) * inv),
+        }
+        sblobs = need(sc).blobs
+        params[sc] = {
+            "gamma": jnp.asarray(np.asarray(sblobs[0], np.float32).reshape(ch)),
+            "beta": jnp.asarray(np.asarray(sblobs[1], np.float32).reshape(ch)),
+        }
+    params["conv4_3_norm"] = {
+        "scale": jnp.asarray(np.asarray(need("conv4_3_norm").blobs[0], np.float32).reshape(128))
+    }
+    return params
 
-        src2 = _ConvBN(256, 3, 1)(src1)  # 38 → refine
-        src2 = nn.max_pool(src2, (2, 2), (2, 2))  # 19
-        src4 = extra(src3, 256, 2)  # 5
-        src5 = extra(src4, 128, 2, pad=1)  # 3
-        src6 = extra(src5, 128, 2, pad=1)  # 2
 
-        sources = [src1, src2, src3, src4, src5, src6]
-        locs, confs = [], []
-        for src, cfg in zip(sources, PRIOR_CONFIG):
-            n = priors_per_cell(cfg)
-            loc = nn.Conv(n * 4, (3, 3), padding=[(1, 1), (1, 1)])(src)
-            conf = nn.Conv(n * NUM_CLASSES, (3, 3), padding=[(1, 1), (1, 1)])(src)
-            locs.append(loc.reshape(loc.shape[0], -1, 4))
-            confs.append(conf.reshape(conf.shape[0], -1, NUM_CLASSES))
-        return jnp.concatenate(locs, axis=1), jnp.concatenate(confs, axis=1)
+def to_caffe_layers(params) -> List[CaffeLayer]:
+    """Inverse of ``load_caffemodel`` (round-trip tests / export)."""
+    out: List[CaffeLayer] = []
+    for name, cin, cout, k, _s, _p, _d, bias in CONV_SPECS:
+        blobs = [np.asarray(params[name]["w"]).transpose(3, 2, 0, 1)]
+        if bias:
+            blobs.append(np.asarray(params[name]["b"]))
+        out.append(CaffeLayer(name=name, type="Convolution", blobs=blobs))
+    for bn, sc, ch in BN_SPECS:
+        out.append(
+            CaffeLayer(
+                name=bn,
+                type="BatchNorm",
+                blobs=[
+                    np.asarray(params[bn]["mean"]),
+                    np.asarray(params[bn]["var"]),
+                    np.asarray([1.0], np.float32),
+                ],
+            )
+        )
+        out.append(
+            CaffeLayer(
+                name=sc,
+                type="Scale",
+                blobs=[np.asarray(params[sc]["gamma"]), np.asarray(params[sc]["beta"])],
+            )
+        )
+    out.append(
+        CaffeLayer(
+            name="conv4_3_norm",
+            type="Normalize",
+            blobs=[np.asarray(params["conv4_3_norm"]["scale"])],
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Forward graph (prototxt order)
+# ---------------------------------------------------------------------------
+
+_CONV_GEOM = {name: (s, p, d) for name, _i, _o, _k, s, p, d, _b in CONV_SPECS}
+
+
+def _conv(params, name, x):
+    stride, pad, dil = _CONV_GEOM[name]
+    y = jax.lax.conv_general_dilated(
+        x,
+        params[name]["w"],
+        window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        rhs_dilation=(dil, dil),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    b = params[name].get("b")
+    return y + b if b is not None else y
+
+
+def _bn_scale(params, bn, sc, x):
+    p, q = params[bn], params[sc]
+    return (x - p["mean"]) * jax.lax.rsqrt(p["var"] + BN_EPS) * q["gamma"] + q["beta"]
+
+
+def _bn_scale_relu(params, bn, sc, x):
+    return jax.nn.relu(_bn_scale(params, bn, sc, x))
+
+
+def forward(params, x):
+    """(B, 300, 300, 3) mean-subtracted BGR → (loc (B, P, 4), conf (B, P, 2))."""
+    x = _bn_scale(params, "data_bn", "data_scale", x)
+    x = _bn_scale_relu(params, "conv1_bn_h", "conv1_scale_h", _conv(params, "conv1_h", x))
+    # conv1_pool: caffe ceil-mode 3×3/2 max-pool (150 → 75): pad hi by 1
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (0, 1), (0, 1), (0, 0)],
+    )
+
+    # layer_64_1: plain residual (no pre-activation on the trunk input)
+    y = _bn_scale_relu(
+        params, "layer_64_1_bn2_h", "layer_64_1_scale2_h",
+        _conv(params, "layer_64_1_conv1_h", x),
+    )
+    x = _conv(params, "layer_64_1_conv2_h", y) + x
+
+    # layer_128_1: pre-activation, stride 2, 1×1 expand shortcut
+    pre = _bn_scale_relu(params, "layer_128_1_bn1_h", "layer_128_1_scale1_h", x)
+    y = _conv(params, "layer_128_1_conv1_h", pre)
+    y = _bn_scale_relu(params, "layer_128_1_bn2", "layer_128_1_scale2", y)
+    y = _conv(params, "layer_128_1_conv2", y)
+    x = y + _conv(params, "layer_128_1_conv_expand_h", pre)
+
+    # layer_256_1 — its pre-activation (38×38×128) is the conv4_3_norm tap
+    pre256 = _bn_scale_relu(params, "layer_256_1_bn1", "layer_256_1_scale1", x)
+    y = _conv(params, "layer_256_1_conv1", pre256)
+    y = _bn_scale_relu(params, "layer_256_1_bn2", "layer_256_1_scale2", y)
+    y = _conv(params, "layer_256_1_conv2", y)
+    x = y + _conv(params, "layer_256_1_conv_expand", pre256)
+
+    # layer_512_1: stride 1, dilated 3×3 (pad 2, dilation 2)
+    pre = _bn_scale_relu(params, "layer_512_1_bn1", "layer_512_1_scale1", x)
+    y = _conv(params, "layer_512_1_conv1_h", pre)
+    y = _bn_scale_relu(params, "layer_512_1_bn2_h", "layer_512_1_scale2_h", y)
+    y = _conv(params, "layer_512_1_conv2_h", y)
+    x = y + _conv(params, "layer_512_1_conv_expand_h", pre)
+
+    fc7 = _bn_scale_relu(params, "last_bn_h", "last_scale_h", x)  # 19×19×256
+
+    c6 = jax.nn.relu(_conv(params, "conv6_2_h", jax.nn.relu(_conv(params, "conv6_1_h", fc7))))
+    c7 = jax.nn.relu(_conv(params, "conv7_2_h", jax.nn.relu(_conv(params, "conv7_1_h", c6))))
+    c8 = jax.nn.relu(_conv(params, "conv8_2_h", jax.nn.relu(_conv(params, "conv8_1_h", c7))))
+    c9 = jax.nn.relu(_conv(params, "conv9_2_h", jax.nn.relu(_conv(params, "conv9_1_h", c8))))
+
+    # conv4_3_norm: per-position L2 normalize across channels × learned scale
+    norm = jnp.sqrt(jnp.sum(jnp.square(pre256), axis=-1, keepdims=True)) + NORM_EPS
+    n43 = pre256 / norm * params["conv4_3_norm"]["scale"]
+
+    sources = {"conv4_3_norm": n43, "fc7": fc7, "conv6_2_h": c6,
+               "conv7_2_h": c7, "conv8_2_h": c8, "conv9_2_h": c9}
+    locs, confs = [], []
+    for cfg in PRIOR_CONFIG:
+        src = sources[cfg["src"]]
+        head = "conv4_3_norm" if cfg["src"] == "conv4_3_norm" else cfg["src"].removesuffix("_h")
+        loc = _conv(params, f"{head}_mbox_loc", src)
+        conf = _conv(params, f"{head}_mbox_conf", src)
+        locs.append(loc.reshape(loc.shape[0], -1, 4))
+        confs.append(conf.reshape(conf.shape[0], -1, NUM_CLASSES))
+    return jnp.concatenate(locs, axis=1), jnp.concatenate(confs, axis=1)
 
 
 def decode_boxes(loc, priors):
-    """SSD box decode with the prototxt variances."""
+    """CENTER_SIZE decode with the prototxt variances."""
     vx, vy, vw, vh = VARIANCES
     cx = priors[:, 0] + loc[..., 0] * vx * priors[:, 2]
     cy = priors[:, 1] + loc[..., 1] * vy * priors[:, 3]
@@ -171,8 +351,8 @@ def decode_boxes(loc, priors):
     return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
 
 
-def nms(boxes, scores, iou_threshold=0.45, top_k=200):
-    """Static-shape NMS inside jit: returns (keep_mask,) over top_k candidates."""
+def nms(boxes, scores, iou_threshold=NMS_THRESHOLD, top_k=NMS_TOP_K):
+    """Static-shape NMS inside jit over the top_k candidates."""
     top_k = min(top_k, scores.shape[0])
     order = jnp.argsort(-scores)[:top_k]
     b = boxes[order]
@@ -197,21 +377,27 @@ def nms(boxes, scores, iou_threshold=0.45, top_k=200):
 
 
 class FaceDetector:
-    """cv2.dnn-style interface over the jitted SSD program."""
+    """cv2.dnn-style interface over the jitted SSD program.
 
-    def __init__(self, variables=None, seed: int = 0):
-        self.model = SSDFace()
-        if variables is None:
-            variables = self.model.init(
-                jax.random.PRNGKey(seed), jnp.zeros((1, INPUT_SIZE, INPUT_SIZE, 3))
-            )
-        self.variables = variables
+    ``params`` may come from ``load_caffemodel(path)``; without trained
+    weights the detector is topology-complete but unscored (the camera
+    pipeline falls back to its heuristic localizer on empty detections).
+    """
+
+    def __init__(self, params=None, seed: int = 0, variables=None):
+        if params is None and variables is not None:  # legacy kwarg
+            params = variables
+        self.params = params if params is not None else init_params(seed)
         self.priors = jnp.asarray(generate_priors())
         self._forward = jax.jit(self._detect)
         self._nms = jax.jit(nms)
 
-    def _detect(self, variables, x):
-        loc, conf = self.model.apply(variables, x)
+    @classmethod
+    def from_caffemodel(cls, path: str) -> "FaceDetector":
+        return cls(params=load_caffemodel(path))
+
+    def _detect(self, params, x):
+        loc, conf = forward(params, x)
         probs = jax.nn.softmax(conf, axis=-1)[..., 1]  # face class
         boxes = decode_boxes(loc, self.priors)
         return boxes, probs
@@ -221,10 +407,11 @@ class FaceDetector:
         x = jnp.asarray(frame_bgr, jnp.float32)
         x = jax.image.resize(x, (INPUT_SIZE, INPUT_SIZE, 3), "bilinear")
         x = x - jnp.asarray(MEAN_BGR)
-        boxes, probs = self._forward(self.variables, x[None])
+        boxes, probs = self._forward(self.params, x[None])
         order, s, b, keep = self._nms(boxes[0], probs[0])
         s, b, keep = np.asarray(s), np.asarray(b), np.asarray(keep)
         rows = []
+        max_det = min(max_det, KEEP_TOP_K)
         for i in range(len(s)):
             if keep[i] and s[i] >= conf_threshold and len(rows) < max_det:
                 rows.append([0, 1, float(s[i]), *[float(v) for v in b[i]]])
