@@ -215,7 +215,7 @@ def cmd_sample(args):
         for i in range(1, args.samples + 1):
             prompts.append(emotion)
             paths.append(os.path.join(args.out, f"test_{emotion}_{i}.mid"))
-            bpms.append(float(EMOTION_BPM[emotion] * (1.0 + 0.15 * rng.standard_normal())))
+            bpms.append(float(EMOTION_BPM[emotion] * (1.0 + rng.uniform(-0.15, 0.15))))
     sampler.generate_many(prompts, paths, seed=int(rng.integers(0, 2**31)), bpms=bpms)
     for emotion, out, bpm in zip(prompts, paths, bpms):
         print(f"[INFO] wrote {out} (bpm {max(60, min(bpm, 180)):.0f}, "
@@ -249,10 +249,14 @@ def cmd_pipeline(args):
     cmd_train_ed(SimpleNamespace(**{**vars(base), "config": args.ed_config}))
     cmd_train_gan(SimpleNamespace(**{**vars(base), "config": args.gan_config,
                                      "ed_config": args.ed_config, "ed_ckpt": None}))
+    gen_dir = os.path.join(work, "generated_tests")
     cmd_sample(SimpleNamespace(
         workdir=work, config=args.gan_config, checkpoint=None, emotion="all",
-        samples=1, seed=42, out=os.path.join(work, "generated_tests"),
+        samples=2, seed=42, out=gen_dir,
     ))
+    # golden-band quality gate over the fresh samples (VERDICT r1 item 6)
+    if not getattr(args, "skip_quality_gate", False):
+        cmd_quality_gate(SimpleNamespace(dir=gen_dir, strict=True))
     print("[INFO] pipeline complete")
 
 
@@ -272,6 +276,26 @@ def cmd_analyze_midi(args):
     for path in args.files:
         stats = analyze_file(path)
         print(json.dumps({"file": os.path.basename(path), **stats}))
+
+
+def cmd_quality_gate(args):
+    """Check generated .mid files against the golden-artifact bands."""
+    from melogan_tpu.diagnostics.quality import gate_directory
+
+    report = gate_directory(args.dir)
+    for name, entry in report.get("files", {}).items():
+        status = "PASS" if not entry["violations"] else "FAIL"
+        print(f"[{status}] {name} ({entry['emotion']})")
+        for v in entry["violations"]:
+            print(f"         {v}")
+    if report.get("error"):
+        print(f"[FAIL] {report['error']}")
+    print(f"[{'PASS' if report['ok'] else 'FAIL'}] quality gate: "
+          f"{sum(1 for e in report.get('files', {}).values() if not e['violations'])}"
+          f"/{len(report.get('files', {}))} files within golden bands")
+    if not report["ok"] and getattr(args, "strict", True):
+        raise SystemExit(1)
+    return report
 
 
 def cmd_tsne(args):
@@ -432,6 +456,8 @@ def build_parser():
     s.add_argument("--ae-config", default="configs/ae.yaml", dest="ae_config")
     s.add_argument("--ed-config", default="configs/ed.yaml", dest="ed_config")
     s.add_argument("--gan-config", default="configs/gan.yaml", dest="gan_config")
+    s.add_argument("--skip-quality-gate", action="store_true", dest="skip_quality_gate",
+                   help="skip the final golden-band quality gate")
     s.set_defaults(fn=cmd_pipeline)
 
     s = sub.add_parser("diagnose", help="data-sanity diagnostics")
@@ -443,6 +469,15 @@ def build_parser():
     s = sub.add_parser("analyze-midi", help="per-file MIDI statistics")
     s.add_argument("files", nargs="+")
     s.set_defaults(fn=cmd_analyze_midi)
+
+    s = sub.add_parser(
+        "quality-gate",
+        help="check generated .mid files against the golden-artifact bands",
+    )
+    s.add_argument("dir")
+    s.add_argument("--no-strict", dest="strict", action="store_false",
+                   help="report violations without failing")
+    s.set_defaults(fn=cmd_quality_gate, strict=True)
 
     s = sub.add_parser("tsne", help="latent-space t-SNE visualization")
     s.add_argument("--split", default="train")

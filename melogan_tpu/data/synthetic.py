@@ -17,16 +17,27 @@ import numpy as np
 from melogan_tpu.midi.codec import SCALES
 from melogan_tpu.midi.midifile import MidiInstrument, MidiNote, MidiSong
 
-# per-emotion musical style: tempo, scale, pitch register, velocity, step beats
+# per-emotion musical style: tempo, scale, pitch register, velocity, step
+# beats. Registers/velocities are centered on the GOLDEN artifact statistics
+# (good_gens1 + generated_tests: avg pitch 46.9-56.7, avg velocity 78.9-84.4,
+# pitch range ~34-77) so a generator trained on this corpus emits samples
+# inside the golden quality bands (diagnostics/quality.py) while staying
+# emotion-differentiated.
 EMOTION_STYLES: Dict[str, Dict] = {
-    "happy": dict(bpm=(120, 150), scale="major", root=0, pitch=(64, 84), vel=(80, 110), step=(0.25, 0.5), dur=(0.25, 1.0)),
-    "sad": dict(bpm=(60, 80), scale="minor", root=9, pitch=(45, 65), vel=(40, 60), step=(0.5, 1.5), dur=(1.0, 3.0)),
-    "angry": dict(bpm=(140, 175), scale="minor", root=4, pitch=(38, 70), vel=(100, 127), step=(0.125, 0.375), dur=(0.125, 0.5)),
-    "calm": dict(bpm=(80, 100), scale="major", root=5, pitch=(55, 75), vel=(45, 70), step=(0.5, 1.0), dur=(0.5, 2.0)),
+    "happy": dict(bpm=(120, 150), scale="major", root=0, pitch=(44, 68), vel=(70, 95), step=(0.25, 0.5), dur=(0.25, 1.0)),
+    "sad": dict(bpm=(60, 80), scale="minor", root=9, pitch=(38, 58), vel=(60, 80), step=(0.5, 1.5), dur=(1.0, 3.0)),
+    "angry": dict(bpm=(140, 175), scale="minor", root=4, pitch=(36, 60), vel=(75, 100), step=(0.125, 0.375), dur=(0.125, 0.5)),
+    "calm": dict(bpm=(80, 100), scale="major", root=5, pitch=(42, 64), vel=(58, 80), step=(0.5, 1.0), dur=(0.5, 2.0)),
 }
 
 
-def synth_song(emotion: str, rng: np.random.Generator, n_notes: int = 256) -> MidiSong:
+def synth_song(emotion: str, rng: np.random.Generator, n_notes: int = 512) -> MidiSong:
+    """One synthetic song. Default length = MAX_NOTES (512): the golden
+    reference artifacts have 499-512 sounding notes per 512-event array
+    (good_gens1/, SURVEY.md §2.9) — shorter songs pad the (512, 4) tensor
+    with velocity-0 rows that the renderer's rest rule silences, and a GAN
+    trained on padding-heavy data collapses to rests (round-1 demo emitted
+    ~200-note samples off the old 256-note corpus)."""
     style = EMOTION_STYLES[emotion]
     bpm = float(rng.uniform(*style["bpm"]))
     spb = 60.0 / bpm
@@ -58,7 +69,7 @@ def generate_corpus(
     out_dir: str,
     n_per_emotion: int = 16,
     seed: int = 42,
-    n_notes: int = 256,
+    n_notes: int = 512,
 ) -> List[Tuple[str, str, str]]:
     """Write `.mid` files + a reference-schema manifest CSV.
 

@@ -1,0 +1,117 @@
+"""Golden-band generation quality gate (VERDICT r1 item 6).
+
+The bands in diagnostics/quality.py are constants derived from the 16 golden
+reference artifacts; these tests re-measure the artifacts and assert every
+one falls inside the bands (so the constants cannot drift from their source),
+then exercise the gate's failure modes — including the round-1 note-density
+regression (rest-collapsed ~200-note samples must FAIL).
+"""
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from melogan_tpu.diagnostics.quality import (
+    COMMON_BANDS,
+    EMOTION_BANDS,
+    check_stats,
+    gate_directory,
+    infer_emotion,
+    quality_gate,
+)
+
+
+def golden_paths(reference_dir):
+    paths = sorted(
+        glob.glob(os.path.join(reference_dir, "good_gens1", "*.mid"))
+        + glob.glob(os.path.join(reference_dir, "generated_tests", "*.mid"))
+    )
+    if len(paths) < 16:
+        pytest.skip("golden artifacts unavailable")
+    return paths
+
+
+def test_all_16_golden_artifacts_pass_the_gate(reference_dir):
+    report = quality_gate(golden_paths(reference_dir))
+    failures = {
+        n: e["violations"] for n, e in report["files"].items() if e["violations"]
+    }
+    assert report["ok"], f"golden artifacts violate their own bands: {failures}"
+    assert len(report["files"]) == 16
+
+
+def test_emotion_inference_from_filenames(reference_dir):
+    for p in golden_paths(reference_dir):
+        assert infer_emotion(p) in EMOTION_BANDS
+        assert infer_emotion(p) in os.path.basename(p)
+
+
+def test_rest_collapsed_sample_fails():
+    """A 200-sounding-note generation (the round-1 density regression) must
+    be rejected by the n_notes band."""
+    stats = {
+        "tempo_bpm": 140.0, "duration_sec": 60.0, "n_notes": 205,
+        "avg_pitch": 52.0, "min_pitch": 38, "max_pitch": 70,
+        "unique_pitches": 15, "avg_velocity": 82.0, "notes_per_sec": 3.4,
+        "avg_note_duration": 0.5,
+    }
+    violations = check_stats(stats, "happy")
+    assert any(v.startswith("n_notes") for v in violations)
+
+
+def test_out_of_band_bpm_and_velocity_fail():
+    base = {
+        "tempo_bpm": 140.0, "duration_sec": 60.0, "n_notes": 510,
+        "avg_pitch": 52.0, "min_pitch": 38, "max_pitch": 70,
+        "unique_pitches": 15, "avg_velocity": 82.0, "notes_per_sec": 3.4,
+        "avg_note_duration": 0.5,
+    }
+    assert check_stats(base, "happy") == []
+    assert any(v.startswith("tempo_bpm") for v in check_stats({**base, "tempo_bpm": 60.0}, "happy"))
+    assert any(v.startswith("avg_velocity") for v in check_stats({**base, "avg_velocity": 20.0}, "happy"))
+    assert any(v.startswith("notes_per_sec") for v in check_stats({**base, "notes_per_sec": 30.0}, "happy"))
+    assert check_stats({"error": "boom"}, "happy") == ["unreadable: boom"]
+
+
+def test_gate_directory_empty(tmp_path):
+    report = gate_directory(str(tmp_path))
+    assert not report["ok"] and "error" in report
+
+
+def test_synthetic_corpus_matches_golden_density(tmp_path, rng):
+    """The synthetic training corpus (demo pipeline input) must produce
+    (512, 4) arrays that are nearly padding-free, so a trained generator
+    does not learn the rest collapse."""
+    from melogan_tpu.data.preprocess import preprocess_midi_file
+    from melogan_tpu.data.synthetic import synth_song
+
+    for emotion in ("happy", "sad", "angry", "calm"):
+        song = synth_song(emotion, rng)
+        path = str(tmp_path / f"{emotion}.mid")
+        song.write(path)
+        sample, _feats = preprocess_midi_file(path, mood=emotion, max_notes=512)
+        notes = np.asarray(sample.notes)
+        assert notes.shape == (512, 4)
+        sounding = int((notes[:, 0] > 0).sum())
+        assert sounding >= 500, f"{emotion}: only {sounding}/512 sounding rows"
+
+
+def test_cli_quality_gate_subcommand(reference_dir, tmp_path, capsys):
+    import shutil
+
+    from melogan_tpu.cli import main as cli
+
+    src = golden_paths(reference_dir)[:4]
+    for p in src:
+        shutil.copy(p, tmp_path / os.path.basename(p))
+    cli(["quality-gate", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "[PASS] quality gate: 4/4" in out
+
+    # strict gate exits nonzero on an empty dir
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(SystemExit):
+        cli(["quality-gate", str(empty)])
+    cli(["quality-gate", str(empty), "--no-strict"])  # non-strict: no raise
