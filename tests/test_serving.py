@@ -204,3 +204,89 @@ def test_video_feed_healthz_flag(video_server):
     base, _ = video_server
     status, _, body = req(base, "/healthz")
     assert status == 200 and json.loads(body)["video_feed"] is True
+
+
+# ---------------------------------------------------------------------------
+# Sample pool (VERDICT r1 item 3): batched prefetched generation kills the
+# per-request dispatch floor.
+# ---------------------------------------------------------------------------
+
+
+def test_sample_pool_unique_fresh_samples():
+    from melogan_tpu.serving.pool import SamplePool
+
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    pool = SamplePool(Sampler(cfg, seed=0), target=8, refill_batch=16, background=False)
+    try:
+        pool.prefill()
+        a = pool.take("happy")
+        b = pool.take("happy")
+        assert a.shape == (64, 4) and b.shape == (64, 4)
+        assert not np.array_equal(a, b)  # every request gets a fresh sample
+        with pytest.raises(ValueError, match="unknown emotion"):
+            pool.take("bogus")
+    finally:
+        pool.close()
+
+
+def test_sample_pool_cold_miss_and_stats():
+    from melogan_tpu.serving.pool import SamplePool
+
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    pool = SamplePool(Sampler(cfg, seed=0), target=4, refill_batch=8, background=False)
+    try:
+        n = pool.take("sad")  # cold miss triggers a coalesced refill
+        assert n.shape == (64, 4)
+        s = pool.stats()
+        assert s["misses"] == 1 and s["hits"] == 0
+        pool.take("sad")
+        assert pool.stats()["hits"] == 1
+    finally:
+        pool.close()
+
+
+@pytest.fixture(scope="module")
+def pooled_server():
+    from melogan_tpu.serving.pool import SamplePool
+
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    sampler = Sampler(cfg, seed=0)
+    pool = SamplePool(sampler, target=8, refill_batch=32)
+    pool.prefill(timeout=120)
+    state = AppState(cfg, sampler, pool=pool)
+    httpd = make_server("127.0.0.1", 0, build_app(state), server_class=ThreadingWSGIServer)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", state
+    httpd.shutdown()
+    pool.close()
+
+
+def test_pooled_generate_serves_valid_unique_midi(pooled_server):
+    base, state = pooled_server
+    for _ in range(6):
+        status, headers, body = req(base, "/generate", {"emotion": "happy"})
+        assert status == 200 and body[:4] == b"MThd"
+    # each request consumed a distinct pool entry (freshness is asserted at
+    # the notes level in test_sample_pool_unique_fresh_samples — rendered
+    # bytes can collide under untrained-weight quantization)
+    status, _, body = req(base, "/healthz")
+    stats = json.loads(body)["sample_pool"]
+    assert stats is not None and stats["hits"] >= 1
+
+
+def test_pooled_generate_concurrent(pooled_server):
+    import concurrent.futures
+
+    base, _ = pooled_server
+
+    def one(i):
+        emotion = ["happy", "sad", "angry", "calm"][i % 4]
+        status, _, body = req(base, "/generate", {"emotion": emotion})
+        assert status == 200 and body[:4] == b"MThd"
+        return len(body)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        sizes = list(ex.map(one, range(32)))
+    assert all(s > 50 for s in sizes)
