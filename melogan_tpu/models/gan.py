@@ -54,7 +54,14 @@ class NoiseToLatent(nn.Module):
 
 
 class GeneratorDecoder(nn.Module):
-    """(B, latent_dim) → (B, max_notes, out_channels), raw values."""
+    """(B, latent_dim) → (B, max_notes, out_channels), raw values.
+
+    Eval mode (the sampling hot path) can run the whole upsampling stack —
+    three stride-2 transposed convs with their BatchNorm affines folded in —
+    as ONE fused Pallas kernel (``ops/pallas/decoder.py``), keeping all
+    intermediate activations in VMEM. Training mode always uses the layered
+    path (batch-norm statistics must be updated per stage).
+    """
 
     latent_dim: int = 128
     max_notes: int = 512
@@ -62,6 +69,8 @@ class GeneratorDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, latent, train: bool = True):
+        from melogan_tpu.ops import conv as conv_ops
+
         reduced_len = max(1, self.max_notes // 8)
         y = TorchLinear(features=512, gan_init=True)(latent)
         y = jax.nn.relu(y)
@@ -71,24 +80,44 @@ class GeneratorDecoder(nn.Module):
         y = y.reshape(y.shape[0], 256, reduced_len)
         y = jnp.transpose(y, (0, 2, 1))
 
-        y = ConvTranspose1d(
-            features=128, kernel_size=5, stride=2, padding=2, output_padding=1, gan_init=True
-        )(y)
-        y = TorchBatchNorm()(y, use_running_average=not train)
+        convs = [
+            ConvTranspose1d(
+                features=f, kernel_size=5, stride=2, padding=2, output_padding=1,
+                gan_init=True,
+            )
+            for f in (128, 64, self.out_channels)
+        ]
+        bns = [TorchBatchNorm() for _ in range(2)]
+
+        fuse = (
+            not train
+            and conv_ops.use_pallas()
+            and self.max_notes == 8 * reduced_len
+            and not self.is_mutable_collection("params")
+        )
+        if fuse:
+            from melogan_tpu.ops.pallas.decoder import fold_bn_affine, fused_decoder_tail
+
+            stages = []
+            for i, conv in enumerate(convs):
+                w = self.get_variable("params", conv.name)["kernel"]
+                b = self.get_variable("params", conv.name)["bias"]
+                if i < 2:
+                    bn_p = self.get_variable("params", bns[i].name)
+                    bn_s = self.get_variable("batch_stats", bns[i].name)
+                    w, b = fold_bn_affine(
+                        w, b, bn_s["mean"], bn_s["var"], bn_p["scale"], bn_p["bias"]
+                    )
+                stages.append((w, b))
+            return trim_or_pad_length(fused_decoder_tail(y, stages), self.max_notes)
+
+        y = convs[0](y)
+        y = bns[0](y, use_running_average=not train)
         y = jax.nn.relu(y)
-        y = ConvTranspose1d(
-            features=64, kernel_size=5, stride=2, padding=2, output_padding=1, gan_init=True
-        )(y)
-        y = TorchBatchNorm()(y, use_running_average=not train)
+        y = convs[1](y)
+        y = bns[1](y, use_running_average=not train)
         y = jax.nn.relu(y)
-        y = ConvTranspose1d(
-            features=self.out_channels,
-            kernel_size=5,
-            stride=2,
-            padding=2,
-            output_padding=1,
-            gan_init=True,
-        )(y)
+        y = convs[2](y)
         # no final activation: raw note values
         return trim_or_pad_length(y, self.max_notes)
 

@@ -41,6 +41,13 @@ def _pick_batch_tile(b: int, vmem_per_sample: int) -> int:
     return 1
 
 
+def _tiled(sublane: int, lane: int) -> int:
+    """f32 element count of a (…, sublane, lane) buffer after Mosaic (8, 128)
+    tile padding — narrow channel counts (e.g. the 4-channel note dim) pad to
+    a full 128 lane, inflating VMEM 32×; budgeting with raw sizes OOMs."""
+    return ((sublane + 7) // 8 * 8) * ((lane + 127) // 128 * 128)
+
+
 def _conv_out_len(l: int, k: int, stride: int, padding: int) -> int:
     return (l + 2 * padding - k) // stride + 1
 
@@ -83,9 +90,13 @@ def _pallas_conv1d_fwd_impl(x, w, stride: int, padding: int):
     # (B, S·Ls, Cin) → (S, B, Ls, Cin) parity streams (XLA-side reshuffle)
     streams = jnp.stack([xp[:, r::stride, :] for r in range(stride)], axis=0)
 
-    # per-sample VMEM: parity streams + K live (Lout, Cout) accumulator
-    # temporaries from the unrolled tap chain (Mosaic keeps them on-stack)
-    vmem = (stride * ls * cin + (k + 2) * lout * cout + k * lout * cin) * 4
+    # per-sample VMEM (tile-padded): parity streams + K live (Lout, Cout)
+    # accumulator temporaries from the unrolled tap chain (on-stack) + col slices
+    vmem = (
+        stride * _tiled(ls, cin)
+        + (k + 2) * _tiled(lout, cout)
+        + k * _tiled(lout, cin)
+    ) * 4
     bt = _pick_batch_tile(b, vmem)
     kernel = functools.partial(_conv1d_kernel, k=k, stride=stride, lout=lout)
     return pl.pallas_call(
@@ -156,7 +167,11 @@ def _pallas_convt_fwd_impl(x, w, stride: int, padding: int, output_padding: int)
     xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0)))
     lp = xp.shape[1]
 
-    vmem = (lp * cin + (k + 2) * stride * lmax * cout + lmax * k * cin) * 4
+    vmem = (
+        _tiled(lp, cin)
+        + (k + 2) * stride * _tiled(lmax, cout)
+        + k * _tiled(lmax, cin)
+    ) * 4
     bt = _pick_batch_tile(b, vmem)
     kernel = functools.partial(
         _convt_kernel, k=k, stride=stride, padding=padding, lmax=lmax, off0=-pad_lo
