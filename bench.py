@@ -163,17 +163,16 @@ def run(cpu_baseline: bool = False):
     pallas_samples = pallas_train = None
     if os.environ.get("MELOGAN_BENCH_PALLAS", "1") != "0":
         try:
-            from melogan_tpu.ops import conv as conv_ops
-
             conv_ops.set_use_pallas("on")
             pallas_sampler = Sampler(GANConfig(), seed=0)
             pallas_samples = _bench_sampling(pallas_sampler, batch=8192, iters=5)
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] pallas sampling variant failed: {e}", file=sys.stderr)
+        try:
             pallas_train = _bench_train(iters=15, pallas="on")
         except Exception as e:  # noqa: BLE001
-            print(f"[bench] pallas variant failed: {e}", file=sys.stderr)
+            print(f"[bench] pallas train variant failed: {e}", file=sys.stderr)
         finally:
-            from melogan_tpu.ops import conv as conv_ops
-
             conv_ops.set_use_pallas("off")
 
     # fast-math variant: bf16 MXU passes for pure inference throughput

@@ -56,24 +56,33 @@ def _taps(r: int) -> List[Tuple[int, int]]:
     ]
 
 
-def _pad_margin(x, margin: int = 1):
-    """Zero margin rows on the length (second-minor) axis via an update into
-    a zeros buffer (static indices — Mosaic-safe)."""
+# margin rows on each side of every plane's length axis. Only 1 row is
+# semantically needed (tap shifts are in {−1, 0, 1}), but Mosaic concatenate
+# along the sublane dim wants tile-aligned (multiple-of-8) operands —
+# dynamic_update_slice is not lowerable at all on TC.
+MARGIN = 8
+
+
+def _pad_margin(x):
+    """Zero margin rows on the length (second-minor) axis via tile-aligned
+    concatenation (Mosaic-safe)."""
     bt, m, c = x.shape
-    buf = jnp.zeros((bt, m + 2 * margin, c), x.dtype)
-    return jax.lax.dynamic_update_slice(buf, x, (0, margin, 0))
+    z = jnp.zeros((bt, MARGIN, c), x.dtype)
+    return jnp.concatenate([z, x, z], axis=1)
 
 
 def _decoder_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, o_ref, *, m):
-    """x: (BT, M+2, C0) zero-margined input; w_i pre-flipped (K, Cin, Cout);
-    o: (BT, 8, M, C3) parity planes of the logical (BT, 8·M, C3) output."""
-    planes = [x_ref[...]]  # margined planes (BT, M+2, Cin)
+    """x: (BT, M+2·MARGIN, C0) zero-margined input; w_i pre-flipped
+    (K, Cin, Cout); o: (BT, 8, M, C3) parity planes of the logical
+    (BT, 8·M, C3) output."""
+    planes = [x_ref[...]]  # margined planes (BT, M+2·MARGIN, Cin)
     stages = (
         (w1_ref[...], b1_ref[...], True),
         (w2_ref[...], b2_ref[...], True),
         (w3_ref[...], b3_ref[...], False),
     )
-    for w, b, relu in stages:
+    for stage_i, (w, b, relu) in enumerate(stages):
+        last = stage_i == len(stages) - 1
         s_in = len(planes)
         bt = planes[0].shape[0]
         cout = w.shape[-1]
@@ -84,11 +93,11 @@ def _decoder_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, o_ref
             for j, off in _taps(r):
                 u = s + off
                 p_idx, delta = u % s_in, u // s_in
-                # margined read: logical row (m' + delta) = index m' + delta + 1
+                # margined read: logical row (m' + delta) = index m' + delta + MARGIN
                 col = jax.lax.slice(
                     planes[p_idx],
-                    (0, 1 + delta, 0),
-                    (bt, 1 + delta + m, planes[p_idx].shape[-1]),
+                    (0, MARGIN + delta, 0),
+                    (bt, MARGIN + delta + m, planes[p_idx].shape[-1]),
                 )
                 acc = acc + jax.lax.dot_general(
                     col, w[j], (((2,), (0,)), ((), ())),
@@ -98,10 +107,11 @@ def _decoder_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, o_ref
             acc = acc + b
             if relu:
                 acc = jnp.maximum(acc, 0.0)
-            new_planes.append(_pad_margin(acc))
+            if last:  # no downstream taps — write straight out, no margins
+                o_ref[:, c] = acc
+            else:
+                new_planes.append(_pad_margin(acc))
         planes = new_planes
-    for c in range(8):
-        o_ref[:, c] = planes[c][:, 1:-1, :]
 
 
 def _pick_batch_tile(b: int, vmem_per_sample: int) -> int:
@@ -123,18 +133,19 @@ def fused_decoder_tail(x, stages: Sequence[Tuple[jnp.ndarray, jnp.ndarray]]):
     assert w1.shape[0] == K and w1.shape[1] == c0
     c1, c2, c3 = w1.shape[2], w2.shape[2], w3.shape[2]
 
-    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (1, 1), (0, 0)))
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (MARGIN, MARGIN), (0, 0)))
 
     # per-sample VMEM (Mosaic tile-padded sizes — narrow channel counts pad
     # to full 128 lanes): margined planes of two live stages + accumulators
     from melogan_tpu.ops.pallas.conv1d import _tiled
 
-    vmem = 4 * (
-        _tiled(m + 2, c0)
-        + 2 * _tiled(m + 2, c1) * 2
-        + 4 * _tiled(m + 2, c2) * 2
-        + 8 * _tiled(m + 2, c3) * 2
-        + 3 * _tiled(m, max(c1, c2, c3))
+    # live peak = max over stage transitions (earlier planes are dead)
+    mm = m + 2 * MARGIN
+    accs = 3 * _tiled(m, max(c1, c2, c3))
+    vmem = 4 * max(
+        _tiled(mm, c0) + 2 * _tiled(mm, c1) + accs,
+        2 * _tiled(mm, c1) + 4 * _tiled(mm, c2) + accs,
+        4 * _tiled(mm, c2) + 8 * _tiled(m, c3) + accs,
     )
     bt = _pick_batch_tile(b, vmem)
     kernel = functools.partial(_decoder_kernel, m=m)
@@ -144,7 +155,7 @@ def fused_decoder_tail(x, stages: Sequence[Tuple[jnp.ndarray, jnp.ndarray]]):
         kernel,
         grid=(b // bt,),
         in_specs=[
-            pl.BlockSpec((bt, m + 2, c0), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, m + 2 * MARGIN, c0), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, c0, c1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c1,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, c1, c2), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),

@@ -178,12 +178,12 @@ def test_pallas_env_mode_parsing(monkeypatch):
     for raw, expect in [
         ("1", "on"), ("true", "on"), ("on", "on"),
         ("0", "off"), ("false", "off"), ("off", "off"),
-        ("auto", "auto"), ("garbage", "auto"),
+        ("auto", "auto"), ("garbage", "off"),
     ]:
         monkeypatch.setenv("MELOGAN_PALLAS", raw)
         assert _mode_from_env() == expect
     monkeypatch.delenv("MELOGAN_PALLAS")
-    assert _mode_from_env() == "auto"
+    assert _mode_from_env() == "off"  # measured production default: XLA wins
 
 
 # ---------------------------------------------------------------------------
