@@ -58,12 +58,16 @@ def main(workdir: str = None, per_emotion: int = 320, epochs: int = None):
     cli(["tsne", "--split", "train", "--splits-dir", splits_dir,
          "--processed-dir", processed, "--out", workdir])
 
-    # summarize
+    # summarize — only the NEWEST events file (a reused workdir accumulates
+    # one file per run; merging them double-counts epochs)
     def last_scalars(log_dir, tags):
-        files = [f for f in os.listdir(log_dir) if f.startswith("events.out")]
+        files = sorted(
+            (f for f in os.listdir(log_dir) if f.startswith("events.out")),
+            key=lambda f: os.path.getmtime(os.path.join(log_dir, f)),
+        )
         out = {}
-        for f in sorted(files):
-            for tag, v, s in read_tfevents(os.path.join(log_dir, f)):
+        if files:
+            for tag, v, s in read_tfevents(os.path.join(log_dir, files[-1])):
                 if tag in tags:
                     out.setdefault(tag, []).append((s, v))
         return {t: sorted(vs) for t, vs in out.items()}
