@@ -38,6 +38,7 @@ class SamplePool:
         sampler,
         target: int = 64,
         refill_batch: int = 256,
+        max_refill: int = 8192,
         emotions: Optional[List[str]] = None,
         background: bool = True,
         seed: int = 0x5EED,
@@ -45,6 +46,12 @@ class SamplePool:
         self.sampler = sampler
         self.target = int(target)
         self.refill_batch = max(int(refill_batch), self.target)
+        # adaptive sizing: under sustained load the refill batch grows toward
+        # the drain rate (up to max_refill), amortizing the per-dispatch
+        # round trip — sustained throughput approaches the device's
+        # large-batch sampling rate instead of refill_batch/RTT
+        self.max_refill = max(int(max_refill), self.refill_batch)
+        self._drained = 0  # takes since the last refill
         self.emotions = list(emotions or EMOTIONS)
         self._pools: Dict[str, deque] = {e: deque() for e in self.emotions}
         self._lock = threading.Lock()  # protects pools + seed counter
@@ -73,10 +80,14 @@ class SamplePool:
             return [e for e in self.emotions if len(self._pools[e]) < self.target]
 
     def _refill(self, emotions: List[str]) -> None:
-        """One batched device dispatch covering every low emotion."""
+        """One batched device dispatch covering every low emotion; batch size
+        adapts to the drain rate since the previous refill."""
         if not emotions:
             return
-        per = max(1, self.refill_batch // len(emotions))
+        with self._lock:
+            drained, self._drained = self._drained, 0
+        size = max(self.refill_batch, min(self.max_refill, 2 * drained))
+        per = max(1, size // len(emotions))
         prompts = [e for e in emotions for _ in range(per)]
         with self._refill_lock:
             notes = self.sampler.sample_notes(prompts, seed=self._next_seed())
@@ -105,10 +116,12 @@ class SamplePool:
         with self._lock:
             if self._pools[emotion]:
                 self.hits += 1
+                self._drained += 1
                 note = self._pools[emotion].popleft()
                 self._wakeup.set()
                 return note
             self.misses += 1
+            self._drained += 1
         # cold miss: coalesce with any concurrent missers on the refill lock
         while True:
             with self._lock:

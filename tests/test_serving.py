@@ -290,3 +290,31 @@ def test_pooled_generate_concurrent(pooled_server):
     with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
         sizes = list(ex.map(one, range(32)))
     assert all(s > 50 for s in sizes)
+
+
+def test_sample_pool_adaptive_refill_batch():
+    """Under sustained drain the refill batch grows toward the drain rate
+    (amortizing the per-dispatch round trip)."""
+    from melogan_tpu.serving.pool import SamplePool
+
+    class StubSampler:
+        def __init__(self):
+            self.batches = []
+
+        def sample_notes(self, prompts, seed=0):
+            self.batches.append(len(prompts))
+            return np.zeros((len(prompts), 8, 4), np.float32)
+
+    stub = StubSampler()
+    pool = SamplePool(stub, target=4, refill_batch=16, max_refill=512, background=False)
+    try:
+        pool.prefill()
+        first = stub.batches[-1]
+        assert first == 16
+        for _ in range(100):  # heavy drain
+            pool.take("happy")
+        pool._refill(pool._low_emotions() or ["happy"])
+        assert stub.batches[-1] > first  # grew with the drain rate
+        assert stub.batches[-1] <= 512
+    finally:
+        pool.close()
