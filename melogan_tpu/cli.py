@@ -278,6 +278,54 @@ def cmd_analyze_midi(args):
         print(json.dumps({"file": os.path.basename(path), **stats}))
 
 
+def cmd_import_checkpoint(args):
+    """Convert a reference torch ``.pth`` checkpoint into this framework's
+    ``.ckpt`` format (migration path for reference users).
+
+    Reference layouts (SURVEY.md §5): ae_best {'epoch','model_state'} or a
+    raw state_dict (ae_final); ed_best {'epoch','model','optimizer','cfg'};
+    gan_final {'G','E_num'} state dicts.
+    """
+    import torch
+
+    from melogan_tpu.utils import torch_interop as ti
+    from melogan_tpu.utils.checkpoint import save_checkpoint
+
+    raw = torch.load(args.pth, map_location="cpu", weights_only=False)
+
+    if args.kind == "ae":
+        sd = raw.get("model_state", raw.get("model", raw)) if isinstance(raw, dict) else raw
+        variables = ti.convert_vae(sd)
+        tree = {
+            "epoch": int(raw.get("epoch", 0)) if isinstance(raw, dict) else 0,
+            "params": variables["params"],
+            "batch_stats": variables["batch_stats"],
+        }
+    elif args.kind == "ed":
+        from melogan_tpu.config import EDConfig
+
+        ed_cfg = EDConfig.from_yaml(args.ed_config) if args.ed_config else EDConfig()
+        sd = raw.get("model", raw) if isinstance(raw, dict) else raw
+        variables = ti.convert_ed(
+            sd, notes_blocks=ed_cfg.notes_blocks, mlp_hidden=len(ed_cfg.mlp_hidden)
+        )
+        tree = {
+            "epoch": int(raw.get("epoch", 0)) if isinstance(raw, dict) else 0,
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+        }
+    elif args.kind == "gan":
+        gen_vars, fe_vars = ti.convert_gan_final(raw)
+        tree = {"G": gen_vars, "E_num": fe_vars}
+    else:  # pragma: no cover - argparse choices guard this
+        raise ValueError(f"unknown kind {args.kind}")
+
+    save_checkpoint(args.out, tree)
+    print(f"[INFO] imported {args.kind} checkpoint {args.pth} -> {args.out}")
+    print("[NOTE] imported checkpoints carry params/stats for inference and "
+          "warm-starting; optimizer state is not part of the reference format")
+
+
 def cmd_quality_gate(args):
     """Check generated .mid files against the golden-artifact bands."""
     from melogan_tpu.diagnostics.quality import gate_directory
@@ -469,6 +517,16 @@ def build_parser():
     s = sub.add_parser("analyze-midi", help="per-file MIDI statistics")
     s.add_argument("files", nargs="+")
     s.set_defaults(fn=cmd_analyze_midi)
+
+    s = sub.add_parser(
+        "import-checkpoint",
+        help="convert a reference torch .pth checkpoint to .ckpt",
+    )
+    s.add_argument("pth")
+    s.add_argument("out")
+    s.add_argument("--kind", choices=["ae", "ed", "gan"], required=True)
+    s.add_argument("--ed-config", default=None, dest="ed_config")
+    s.set_defaults(fn=cmd_import_checkpoint)
 
     s = sub.add_parser(
         "quality-gate",

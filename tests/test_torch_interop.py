@@ -157,3 +157,101 @@ def test_critic_and_ed_conversion_shapes():
     converted = ti.convert_ed(sd, notes_blocks=2, mlp_hidden=2)
     tree_equal(converted["params"], p)
     tree_equal(converted["batch_stats"], st)
+
+
+def test_cli_import_checkpoint_gan(tmp_path, capsys):
+    """End-to-end migration: a reference-format torch gan_final.pth on disk →
+    `melogan import-checkpoint` → sampling from the imported .ckpt."""
+    torch = pytest.importorskip("torch")
+    from melogan_tpu.cli import main as cli
+    from melogan_tpu.train.gan_loop import load_gan_final
+
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    gen = Generator.from_config(cfg)
+    fe = FeatureEncoder.from_config(cfg)
+    gv = gen.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16)), None, jnp.zeros((1, 128)), train=False
+    )
+    fv = fe.init(jax.random.PRNGKey(1), jnp.zeros((1, 6)), train=False)
+
+    sd_g = {}
+    p, st = gv["params"], gv["batch_stats"]
+    _inv_linear(p["noise_to_latent"]["TorchLinear_0"], "noise_to_latent.net.0", sd_g)
+    _inv_linear(p["noise_to_latent"]["TorchLinear_1"], "noise_to_latent.net.2", sd_g)
+    _inv_linear(p["decoder"]["TorchLinear_0"], "decoder.pre.0", sd_g)
+    _inv_linear(p["decoder"]["TorchLinear_1"], "decoder.pre.2", sd_g)
+    for i, t in enumerate((0, 3, 6)):
+        _inv_convt(p["decoder"][f"ConvTranspose1d_{i}"], f"decoder.deconv.{t}", sd_g)
+    for i, t in enumerate((1, 4)):
+        _inv_bn(p["decoder"][f"TorchBatchNorm_{i}"], st["decoder"][f"TorchBatchNorm_{i}"], f"decoder.deconv.{t}", sd_g)
+    sd_f = {}
+    pf = fv["params"]
+    sd_f["net.0.weight"] = np.asarray(pf["TorchLayerNorm_0"]["scale"])
+    sd_f["net.0.bias"] = np.asarray(pf["TorchLayerNorm_0"]["bias"])
+    _inv_linear(pf["TorchLinear_0"], "net.1", sd_f)
+    _inv_linear(pf["TorchLinear_1"], "net.4", sd_f)
+    _inv_linear(pf["TorchLinear_2"], "net.7", sd_f)
+
+    # a real torch.save file, tensors included (the reference artifact format)
+    pth = str(tmp_path / "gan_final.pth")
+    torch.save(
+        {
+            "G": {k: torch.tensor(v) for k, v in sd_g.items()},
+            "E_num": {k: torch.tensor(v) for k, v in sd_f.items()},
+        },
+        pth,
+    )
+    out = str(tmp_path / "gan_final.ckpt")
+    cli(["import-checkpoint", pth, out, "--kind", "gan"])
+    assert "imported gan checkpoint" in capsys.readouterr().out
+
+    gen_vars, fe_vars = load_gan_final(out)
+    tree_equal(gen_vars["params"], p)
+    from melogan_tpu.sampling import Sampler
+
+    sampler = Sampler(cfg, gen_variables=gen_vars, fe_variables=fe_vars)
+    assert sampler.sample_notes(["happy"], seed=0).shape == (1, 64, 4)
+
+
+def test_cli_import_checkpoint_ae(tmp_path):
+    torch = pytest.importorskip("torch")
+    from melogan_tpu.cli import main as cli
+    from melogan_tpu.utils.checkpoint import load_checkpoint
+
+    cfg = AEConfig(max_notes=64)
+    vae = VAE.from_config(cfg)
+    variables = vae.init(
+        {"params": jax.random.PRNGKey(0), "reparam": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 64, 4)),
+        train=False,
+    )
+    p, st = variables["params"], variables["batch_stats"]
+    sd = {}
+    for i, t in enumerate((0, 3, 6)):
+        _inv_conv(p["encoder"][f"Conv1d_{i}"], f"encoder.conv.{t}", sd)
+    for i, t in enumerate((1, 4, 7)):
+        _inv_bn(p["encoder"][f"TorchBatchNorm_{i}"], st["encoder"][f"TorchBatchNorm_{i}"], f"encoder.conv.{t}", sd)
+    _inv_linear(p["encoder"]["TorchLinear_0"], "encoder._linear.1", sd)
+    _inv_linear(p["fc_mu"], "fc_mu", sd)
+    _inv_linear(p["fc_log_var"], "fc_log_var", sd)
+    _inv_linear(p["decoder"]["TorchLinear_0"], "decoder.pre.0", sd)
+    _inv_linear(p["decoder"]["TorchLinear_1"], "decoder.pre.2", sd)
+    for i, t in enumerate((0, 3, 6)):
+        _inv_convt(p["decoder"][f"ConvTranspose1d_{i}"], f"decoder.deconv.{t}", sd)
+    for i, t in enumerate((1, 4)):
+        _inv_bn(p["decoder"][f"TorchBatchNorm_{i}"], st["decoder"][f"TorchBatchNorm_{i}"], f"decoder.deconv.{t}", sd)
+
+    pth = str(tmp_path / "ae_best.pth")
+    torch.save({"epoch": 7, "model_state": {k: torch.tensor(v) for k, v in sd.items()}}, pth)
+    out = str(tmp_path / "ae_best.ckpt")
+    cli(["import-checkpoint", pth, out, "--kind", "ae"])
+
+    raw = load_checkpoint(out)
+    assert int(raw["epoch"]) == 7
+    # imported params drive the model
+    recon, _, mu, _ = vae.apply(
+        {"params": raw["params"], "batch_stats": raw["batch_stats"]},
+        jnp.zeros((2, 64, 4)),
+        train=False,
+    )
+    assert recon.shape == (2, 64, 4) and mu.shape == (2, cfg.latent_dim)
