@@ -151,15 +151,20 @@ def run(cpu_baseline: bool = False):
         print("CPU_BASELINE " + json.dumps(result))
         return result
 
-    # batch 8192: dispatch overhead dominates small batches on the remote
-    # device (throughput sweep: 32k/s @128 -> 297k/s @8192); still 28 ms/batch
-    samples_per_sec = _bench_sampling(sampler, batch=8192, iters=5)
+    # batch 65536: dispatch overhead amortizes with batch (sweep: 36.9k/s
+    # @128 -> 449k/s @32768 -> 474k/s @65536; 131072 exceeds compile limits);
+    # ~138 ms/batch at the optimum
+    samples_per_sec = _bench_sampling(sampler, batch=65536, iters=5)
     train_steps = _bench_train(iters=15)
     p50_direct = _bench_latency(sampler)
     p50_latency = _bench_latency_pooled(sampler)  # the serving request path
 
     # Pallas-dispatch variants: fresh Sampler per mode (the conv mode is read
     # at trace time), guarded so a Mosaic compile stall can't sink the bench
+    # apples-to-apples dispatch comparison at batch 8192 (the kernels'
+    # validated regime; the headline batch 65536 exceeds the fused kernel's
+    # compile envelope)
+    xla_samples_8k = _bench_sampling(sampler, batch=8192, iters=5)
     pallas_samples = pallas_train = None
     if os.environ.get("MELOGAN_BENCH_PALLAS", "1") != "0":
         try:
@@ -180,7 +185,7 @@ def run(cpu_baseline: bool = False):
     fast_samples = None
     try:
         fast_sampler = Sampler(GANConfig(), seed=0, fast_math=True)
-        fast_samples = _bench_sampling(fast_sampler, batch=8192, iters=5)
+        fast_samples = _bench_sampling(fast_sampler, batch=65536, iters=5)
     except Exception as e:  # noqa: BLE001
         print(f"[bench] fast-math sampling failed: {e}", file=sys.stderr)
 
@@ -200,8 +205,9 @@ def run(cpu_baseline: bool = False):
     except Exception as e:  # noqa: BLE001
         print(f"[bench] cpu baseline failed: {e}", file=sys.stderr)
 
-    # headline = best f32 dispatch path (XLA vs Pallas)
-    best_samples = max(samples_per_sec, pallas_samples or 0.0)
+    # headline = best f32 path; sampling variants are measured at different
+    # batches (pallas at 8k) so the headline is the optimal-batch XLA number
+    best_samples = samples_per_sec
     best_train = max(train_steps, pallas_train or 0.0)
     vs_baseline = (
         best_samples / cpu["samples_per_sec"] if cpu.get("samples_per_sec") else None
@@ -220,7 +226,8 @@ def run(cpu_baseline: bool = False):
         "p50_midi_gen_latency_ms": round(p50_latency * 1000, 2),
         "p50_direct_dispatch_ms": round(p50_direct * 1000, 2),
         "xla_samples_per_sec": round(samples_per_sec, 2),
-        "pallas_samples_per_sec": round(pallas_samples, 2) if pallas_samples else None,
+        "xla_samples_per_sec_8k": round(xla_samples_8k, 2),
+        "pallas_samples_per_sec_8k": round(pallas_samples, 2) if pallas_samples else None,
         "xla_train_steps_per_sec": round(train_steps, 3),
         "pallas_train_steps_per_sec": round(pallas_train, 3) if pallas_train else None,
         "bf16_samples_per_sec": round(fast_samples, 2) if fast_samples else None,
