@@ -70,3 +70,68 @@ def test_draw_rect_and_text():
     # out-of-bounds draw must not raise
     draw_rect(img, -5, -5, 200, 200)
     draw_text(img, "calm", 70, 55)
+
+
+# ---------------------------------------------------------------------------
+# Native C++ JPEG twin (native/jpeg_codec.cpp): the MJPEG hot path.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def native_jpeg():
+    from melogan_tpu.imaging.native import encode_jpeg_native, get_lib
+
+    if get_lib() is None:
+        pytest.skip("native JPEG library unavailable (no g++?)")
+    return encode_jpeg_native
+
+
+def test_native_matches_python_bytes(native_jpeg, rng):
+    """Byte-identical output on a fixed corpus at standard qualities (at
+    q>90, quantizer rounding ties can legally differ by one step — covered
+    by the decode-equality test below)."""
+    from melogan_tpu.imaging.jpeg import _encode_jpeg_py
+
+    images = [
+        _smooth_image(),
+        rng.integers(0, 256, (37, 53, 3)).astype(np.uint8),
+        np.zeros((16, 16, 3), np.uint8),
+        np.full((64, 48, 3), 255, np.uint8),
+    ]
+    for q in (20, 80):
+        for img in images:
+            assert native_jpeg(img, q) == _encode_jpeg_py(img, q)
+
+
+def test_native_decode_equivalence_high_quality(native_jpeg, rng):
+    from melogan_tpu.imaging.jpeg import _encode_jpeg_py
+
+    img = _smooth_image()
+    a = _decode(native_jpeg(img, 95))
+    b = _decode(_encode_jpeg_py(img, 95))
+    assert np.max(np.abs(a - b)) <= 4  # rounding ties differ by <=1 quant step
+
+
+def test_encode_jpeg_dispatches_to_native(native_jpeg):
+    """The public encode_jpeg uses the native path when available."""
+    import time
+
+    from melogan_tpu.imaging import encode_jpeg
+
+    img = _smooth_image(240, 320)
+    t0 = time.perf_counter()
+    data = encode_jpeg(img, 85)
+    dt = time.perf_counter() - t0
+    assert data[:2] == b"\xff\xd8"
+    assert dt < 0.05, f"dispatch took {dt*1000:.0f} ms — native path not used?"
+    dec = _decode(data)
+    psnr = 10 * np.log10(255**2 / np.mean((dec - img.astype(np.float64)) ** 2))
+    assert psnr > 32
+
+
+def test_native_grayscale_via_dispatcher(native_jpeg, rng):
+    from melogan_tpu.imaging import encode_jpeg
+
+    gray = rng.integers(0, 256, (41, 31)).astype(np.uint8)
+    dec = _decode(encode_jpeg(gray, 75))
+    assert dec.shape == (41, 31, 3)
