@@ -93,6 +93,7 @@ class GeneratorDecoder(nn.Module):
             not train
             and conv_ops.use_pallas()
             and self.max_notes == 8 * reduced_len
+            and y.shape[0] <= 32768  # beyond this the kernel exceeds its compile envelope
             and not self.is_mutable_collection("params")
         )
         if fuse:

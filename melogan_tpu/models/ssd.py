@@ -28,7 +28,7 @@ synthetic caffemodel files in tests). Detections mirror cv2.dnn output:
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

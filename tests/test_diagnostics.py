@@ -2,7 +2,6 @@
 import os
 
 import numpy as np
-import pytest
 
 from melogan_tpu.data.datasets import SplitData
 from melogan_tpu.diagnostics.diagnose import diagnose

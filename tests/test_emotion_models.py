@@ -7,7 +7,6 @@ import pytest
 
 from melogan_tpu.camera import CameraEmotion, heuristic_face_box, rgb_to_gray
 from melogan_tpu.models.text_emotion import (
-    DEFAULT_EMOTION,
     TEXT_MODEL_TO_MY_EMOTIONS,
     predict_emotion,
 )

@@ -1,7 +1,6 @@
 """Multi-host substrate: 2-process CPU integration (real jax.distributed
 processes over localhost gRPC — the DCN analog) + single-process fallbacks."""
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
