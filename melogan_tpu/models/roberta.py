@@ -139,7 +139,9 @@ def forward(params: Dict[str, Any], cfg: RobertaConfig, input_ids, attention_mas
 def init_params(cfg: RobertaConfig, key) -> Dict[str, Any]:
     """Random N(0, 0.02) init in the HF layout (for tests; real use converts
     a trained checkpoint)."""
-    ks = iter(jax.random.split(key, 64))
+    # one key per gaussian-initialized tensor: 3 embeddings + 8 weight
+    # matrices per layer + 2 head matrices (biases/norms are constant-init)
+    ks = iter(jax.random.split(key, 8 * cfg.num_hidden_layers + 8))
 
     def n(*shape):
         return 0.02 * jax.random.normal(next(ks), shape, jnp.float32)

@@ -179,3 +179,15 @@ def test_init_params_forward_shapes(rng):
     logits = forward(params, cfg, ids, mask)
     assert logits.shape == (2, 4)
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_init_params_full_depth():
+    """Full roberta-base depth (12 layers) must initialize — the key pool is
+    sized from num_hidden_layers (a fixed 64-key pool exhausted at >7 layers)."""
+    import jax
+
+    cfg = RobertaConfig()  # 12 layers, 768 hidden
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    assert params["layers"]["q_w"].shape == (12, 768, 768)
+    n = sum(np.prod(np.shape(l)) for l in jax.tree_util.tree_leaves(params))
+    assert n > 120e6  # roberta-base scale
