@@ -138,20 +138,27 @@ class FERClassifier:
     def __init__(self, weights: Dict[str, np.ndarray], input_size: int = 64):
         self.weights = weights
         self.input_size = input_size
-        self._forward = jax.jit(partial(mini_xception_forward, weights))
+        # whole pipeline (range normalize → resize → CNN) is ONE jitted
+        # program per input resolution: the camera loop pays one device
+        # dispatch per frame, not four (range check / resize / forward /
+        # transfer were separate round trips before)
+        self._pipeline = jax.jit(self._run)
 
-    def predict_proba(self, frames: np.ndarray) -> np.ndarray:
-        """(B, H, W) or (B, H, W, 1) grayscale in [0, 255] or [0, 1] → (B, 7)."""
-        x = jnp.asarray(frames, jnp.float32)
-        if x.ndim == 3:
-            x = x[..., None]
-        if float(x.max()) > 1.5:  # [0,255] input → /255 (camera.py:99)
-            x = x / 255.0
+    def _run(self, x):
+        # [0,255] input → /255 (camera.py:99); branchless so it stays in-graph
+        x = jnp.where(jnp.max(x) > 1.5, x / 255.0, x)
         if x.shape[1] != self.input_size or x.shape[2] != self.input_size:
             x = jax.image.resize(
                 x, (x.shape[0], self.input_size, self.input_size, 1), "bilinear"
             )
-        return np.asarray(self._forward(x))
+        return mini_xception_forward(self.weights, x)
+
+    def predict_proba(self, frames: np.ndarray) -> np.ndarray:
+        """(B, H, W) or (B, H, W, 1) grayscale in [0, 255] or [0, 1] → (B, 7)."""
+        x = np.asarray(frames, np.float32)
+        if x.ndim == 3:
+            x = x[..., None]
+        return np.asarray(self._pipeline(jnp.asarray(x)))
 
     def predict_emotion(self, frame: np.ndarray) -> str:
         """Single grayscale frame → one of happy/sad/angry/calm."""
