@@ -414,6 +414,28 @@ def cmd_bench(args):
     bench.run()
 
 
+def cmd_profile(args):
+    """Trace + time the sampling hot path (device timeline via jax.profiler
+    when --trace-dir is given, viewable in TensorBoard/Perfetto)."""
+    from melogan_tpu.config import GANConfig
+    from melogan_tpu.sampling import Sampler
+    from melogan_tpu.utils.profiling import StepTimer, device_trace
+
+    cfg = GANConfig.from_yaml(args.config) if os.path.exists(args.config) else GANConfig()
+    sampler = Sampler(cfg, seed=0)
+    sampler.sample_notes(["happy"], seed=0)  # compile outside the window
+    timer = StepTimer()
+    with device_trace(args.trace_dir):
+        for i in range(args.steps):
+            with timer:
+                sampler.sample_notes(["happy", "sad", "angry", "calm"], seed=i)
+    out = {"batch": 4, **timer.summary()}
+    if args.trace_dir:
+        out["trace_dir"] = args.trace_dir
+    print(json.dumps(out))
+    return out
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="melogan", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -517,6 +539,12 @@ def build_parser():
     s = sub.add_parser("analyze-midi", help="per-file MIDI statistics")
     s.add_argument("files", nargs="+")
     s.set_defaults(fn=cmd_analyze_midi)
+
+    s = sub.add_parser("profile", help="trace + time the sampling hot path")
+    s.add_argument("--steps", type=int, default=20)
+    s.add_argument("--config", default="configs/gan.yaml")
+    s.add_argument("--trace-dir", default=None, dest="trace_dir")
+    s.set_defaults(fn=cmd_profile)
 
     s = sub.add_parser(
         "import-checkpoint",

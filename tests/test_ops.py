@@ -267,3 +267,23 @@ def test_generator_decoder_train_mode_never_fuses(rng, pallas_on):
     before = jax.tree_util.tree_leaves(variables["batch_stats"])
     after = jax.tree_util.tree_leaves(mutated["batch_stats"])
     assert any(not np.allclose(a, b) for a, b in zip(before, after))
+
+
+def test_pallas_bypassed_for_low_precision(rng, pallas_on, monkeypatch):
+    """A non-HIGHEST precision request (the bf16 fast-math path) must take
+    XLA even when the pallas mode is on — the kernels are f32/HIGHEST by
+    construction."""
+    calls = []
+    from melogan_tpu.ops.pallas import conv1d as pk
+
+    real = pk.pallas_conv1d
+    monkeypatch.setattr(pk, "pallas_conv1d", lambda *a, **k: calls.append(1) or real(*a, **k))
+
+    x = jnp.asarray(rng.normal(size=(2, 16, 4)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(5, 4, 8)), jnp.float32)
+    conv_ops.conv1d(x, w, stride=2, padding=2, precision=jax.lax.Precision.DEFAULT)
+    assert calls == []  # bypassed
+    conv_ops.conv1d(x, w, stride=2, padding=2, precision=jax.lax.Precision.HIGHEST)
+    assert calls == [1]  # taken
+    conv_ops.conv1d(x, w, stride=2, padding=2)  # None precision -> pallas
+    assert calls == [1, 1]
