@@ -118,6 +118,15 @@ def make_epoch_fns(cfg: EDConfig, model: EmotionDiscriminator):
         state, (losses, accs) = jax.lax.scan(train_step, state, batches)
         return state, {"loss": jnp.mean(losses), "acc": jnp.mean(accs)}
 
+    def train_epoch_indexed(state: EDTrainState, x_all, y_all, idx):
+        """Device-resident-data epoch: host sends only gather indices."""
+
+        def step(st, idx_b):
+            return train_step(st, (x_all[idx_b], y_all[idx_b]))
+
+        state, (losses, accs) = jax.lax.scan(step, state, idx)
+        return state, {"loss": jnp.mean(losses), "acc": jnp.mean(accs)}
+
     def eval_step(state, batch):
         x, y = batch
         logits = model.apply(apply_vars(state.params, state.batch_stats), x, train=False)
@@ -129,7 +138,7 @@ def make_epoch_fns(cfg: EDConfig, model: EmotionDiscriminator):
         _, (losses, accs) = jax.lax.scan(eval_step, state, batches)
         return {"loss": jnp.mean(losses), "acc": jnp.mean(accs)}
 
-    return train_epoch, eval_epoch
+    return train_epoch, eval_epoch, train_epoch_indexed
 
 
 def _inputs(cfg: EDConfig, data: SplitData, latents: Optional[np.ndarray]):
@@ -163,8 +172,8 @@ def train(
 ) -> Tuple[EDTrainState, Dict[str, float]]:
     model = EmotionDiscriminator.from_config(cfg)
     state = init_state(cfg, model, seed=cfg.seed)
-    train_epoch, eval_epoch = make_epoch_fns(cfg, model)
-    train_epoch = jax.jit(train_epoch)
+    _, eval_epoch, train_epoch_indexed = make_epoch_fns(cfg, model)
+    train_epoch_indexed = jax.jit(train_epoch_indexed)
     eval_epoch = jax.jit(eval_epoch)
 
     ckpt_dir = os.path.join(workdir, cfg.checkpoint_dir) if workdir else cfg.checkpoint_dir
@@ -179,6 +188,9 @@ def train(
     weights = class_balance_weights(y_train) if cfg.use_weighted_sampler else None
     rng = np.random.default_rng(cfg.seed)
     val_batches = _stack(x_val, y_val, cfg.batch_size, np.arange(len(y_val)))
+    # device-resident epoch data: per epoch the host sends only gather indices
+    x_train_dev = jnp.asarray(x_train)
+    y_train_dev = jnp.asarray(y_train)
 
     plateau = ReduceLROnPlateau(
         factor=cfg.scheduler.factor,
@@ -228,8 +240,12 @@ def train(
             order = rng.choice(len(y_train), size=len(y_train), replace=True, p=p)
         else:
             order = rng.permutation(len(y_train))
-        batches = _stack(x_train, y_train, cfg.batch_size, order)
-        state, tm = train_epoch(state, batches)
+        bs = min(cfg.batch_size, len(order))
+        n_batches = max(1, len(order) // bs)
+        idx = order[: n_batches * bs].reshape(n_batches, bs)
+        state, tm = train_epoch_indexed(
+            state, x_train_dev, y_train_dev, jnp.asarray(idx)
+        )
         vm = eval_epoch(state, val_batches)
         val_loss = float(vm["loss"])
         dt = time.perf_counter() - t0

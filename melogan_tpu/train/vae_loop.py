@@ -109,6 +109,22 @@ def make_epoch_fns(cfg: AEConfig, model: VAE):
         }
         return state, metrics
 
+    def train_epoch_indexed(state: VAETrainState, x_all, idx, beta):
+        """Device-resident-data epoch: the host sends only the (n_batches, B)
+        gather indices (~KB) instead of the stacked batches (~MB) — the same
+        pattern as the GAN loop's indexed_epoch_step."""
+
+        def step(carry, idx_b):
+            return train_step(carry, x_all[idx_b])
+
+        (state, _), (totals, mses, klds) = jax.lax.scan(step, (state, beta), idx)
+        metrics = {
+            "total": jnp.mean(totals),
+            "recon": jnp.mean(mses),
+            "kld": jnp.mean(klds),
+        }
+        return state, metrics
+
     def eval_step(state, batch):
         recon, z, mu, log_var = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
@@ -126,16 +142,20 @@ def make_epoch_fns(cfg: AEConfig, model: VAE):
             "kld": jnp.mean(klds),
         }
 
-    return train_epoch, eval_epoch
+    return train_epoch, eval_epoch, train_epoch_indexed
 
 
-def stack_epoch(notes: np.ndarray, batch_size: int, rng: np.random.Generator, shuffle=True):
-    n = notes.shape[0]
+def epoch_indices(n: int, batch_size: int, rng: np.random.Generator, shuffle=True):
+    """(n_batches, B) gather indices for one epoch (shared RNG-stream shape
+    with stack_epoch so resume replay stays step-identical)."""
     batch_size = min(batch_size, n)  # small splits: one whole-split batch
     order = rng.permutation(n) if shuffle else np.arange(n)
     n_batches = max(1, n // batch_size)
-    idx = order[: n_batches * batch_size].reshape(n_batches, batch_size)
-    return jnp.asarray(notes[idx])
+    return order[: n_batches * batch_size].reshape(n_batches, batch_size)
+
+
+def stack_epoch(notes: np.ndarray, batch_size: int, rng: np.random.Generator, shuffle=True):
+    return jnp.asarray(notes[epoch_indices(notes.shape[0], batch_size, rng, shuffle)])
 
 
 def train(
@@ -152,8 +172,8 @@ def train(
     epoch, scheduler/early-stop state)."""
     model = VAE.from_config(cfg)
     state = init_state(cfg, model, seed=cfg.seed)
-    train_epoch, eval_epoch = make_epoch_fns(cfg, model)
-    train_epoch = jax.jit(train_epoch)
+    _, eval_epoch, train_epoch_indexed = make_epoch_fns(cfg, model)
+    train_epoch_indexed = jax.jit(train_epoch_indexed)
     eval_epoch = jax.jit(eval_epoch)
 
     ckpt_dir = os.path.join(workdir, cfg.checkpoint_dir) if workdir else cfg.checkpoint_dir
@@ -204,6 +224,7 @@ def train(
             print(f"[AE] resumed from {best_path} at epoch {start_epoch}")
 
     val_batches = stack_epoch(x_val, cfg.batch_size, data_rng, shuffle=False)
+    x_train_dev = jnp.asarray(x_train)  # device-resident epoch data
 
     # jitted recon forward: an unjitted apply dispatches hundreds of ops per
     # epoch through the device tunnel (~20s/epoch on the remote TPU)
@@ -218,8 +239,10 @@ def train(
     for epoch in range(start_epoch, cfg.epochs + 1):
         beta = beta_schedule(epoch, cfg.kld_warmup_epochs, cfg.beta)
         t0 = time.perf_counter()
-        batches = stack_epoch(x_train, cfg.batch_size, data_rng, shuffle=True)
-        state, tm = train_epoch(state, batches, jnp.asarray(beta, jnp.float32))
+        idx = epoch_indices(x_train.shape[0], cfg.batch_size, data_rng)
+        state, tm = train_epoch_indexed(
+            state, x_train_dev, jnp.asarray(idx), jnp.asarray(beta, jnp.float32)
+        )
         vm = eval_epoch(state, val_batches)
         val_total = float(vm["total"])
         dt = time.perf_counter() - t0
