@@ -89,9 +89,14 @@ class GeneratorDecoder(nn.Module):
         ]
         bns = [TorchBatchNorm() for _ in range(2)]
 
+        from melogan_tpu.models.layers import default_precision
+
         fuse = (
             not train
             and conv_ops.use_pallas()
+            # the kernel is f32/HIGHEST by construction — honor a lower-
+            # precision request (bf16 fast-math) with the XLA path instead
+            and default_precision() in (None, jax.lax.Precision.HIGHEST)
             and self.max_notes == 8 * reduced_len
             and y.shape[0] <= 32768  # beyond this the kernel exceeds its compile envelope
             and not self.is_mutable_collection("params")

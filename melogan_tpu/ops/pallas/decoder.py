@@ -20,7 +20,8 @@ For output plane c = 2s + r of a stage with S input planes:
 with off_j(r) = (r + j − (k−1−p)) // stride over the taps j where that
 division is exact. Every tap is a CONTIGUOUS m-slice of one plane (the m-shift
 is in {−1, 0, 1} for k5/s2/p2), so each is one MXU matmul. Planes carry one
-zero margin row on each side; out-of-signal taps read zeros, exactly matching
+zero margin rows on each side (MARGIN=8 — Mosaic sublane concatenation wants
+tile-aligned operands); out-of-signal taps read zeros, exactly matching
 transposed-conv boundary semantics. The final (B, 8, M, C) planar tensor is
 interleaved once by XLA.
 
