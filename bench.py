@@ -59,24 +59,27 @@ def _bench_train(iters: int = 20, warmup: int = 2, pallas: str = "off"):
     cfg = GANConfig()  # reference shapes: batch 32, 512×4 notes
     models = gan_step.build_models(cfg, EDConfig())
     state = gan_step.init_state(cfg, models, seed=0)
-    # fused-epoch path (the rate the real training loop achieves):
-    # G groups of critic_iters batches per dispatch
-    epoch_step = jax.jit(gan_step.make_train_steps(cfg, models)[2])
+    # device-resident indexed-epoch path — the rate the REAL training loop
+    # achieves: epoch data stays on device, the host sends only (G, K, B)
+    # gather indices per dispatch (gan_loop.py uses exactly this program)
+    indexed_step = jax.jit(gan_step.make_train_steps(cfg, models)[3])
 
     rng = np.random.default_rng(0)
-    g, k, b = 4, cfg.critic_iters, cfg.batch_size
-    batches = (
-        jnp.asarray(rng.normal(size=(g, k, b, cfg.max_notes, cfg.note_dim)), jnp.float32),
-        jnp.asarray(rng.integers(0, 4, size=(g, k, b)), jnp.int32),
-        jnp.asarray(rng.normal(size=(g, k, b, cfg.latent_dim)), jnp.float32),
-        jnp.asarray(rng.normal(size=(g, k, b, cfg.numeric_input_dim)), jnp.float32),
+    g, k, b = 5, cfg.critic_iters, cfg.batch_size  # reference epoch: 897 rows
+    n = g * k * b
+    data = (
+        jnp.asarray(rng.normal(size=(n, cfg.max_notes, cfg.note_dim)), jnp.float32),
+        jnp.asarray(rng.integers(0, 4, size=(n,)), jnp.int32),
+        jnp.asarray(rng.normal(size=(n, cfg.latent_dim)), jnp.float32),
+        jnp.asarray(rng.normal(size=(n, cfg.numeric_input_dim)), jnp.float32),
     )
+    idx = jnp.asarray(rng.permutation(n).reshape(g, k, b), jnp.int32)
     for _ in range(warmup):
-        state, metrics = epoch_step(state, batches)
+        state, metrics = indexed_step(state, data, idx)
     jax.block_until_ready(metrics)
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, metrics = epoch_step(state, batches)
+        state, metrics = indexed_step(state, data, idx)
     jax.block_until_ready(metrics)
     dt = time.perf_counter() - t0
     # one dispatch = g groups = g·critic_iters reference batch-steps
