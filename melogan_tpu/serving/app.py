@@ -115,9 +115,11 @@ INDEX_HTML = """<!DOCTYPE html>
 <button onclick="gen('calm')">calm</button>
 <button onclick="gen(document.getElementById('emotion').textContent)">generate (detected)</button>
 <h3>Camera</h3>
-<video id="cam" width="320" height="240" autoplay muted playsinline style="background:#000"></video><br>
+<video id="cam" width="320" height="240" autoplay muted playsinline style="background:#000"></video>
+<img id="feed" width="320" height="240" style="display:none;background:#000" alt="server stream"><br>
 <button onclick="startCam()">start camera</button>
 <button onclick="captureEmotion()">detect emotion from camera</button>
+<button onclick="toggleFeed()">server stream (/video_feed)</button>
 <span id="camEmotion">-</span>
 <div id="log"></div>
 <script>
@@ -128,6 +130,16 @@ async function startCam() {
     document.getElementById('cam').srcObject = camStream;
   } catch (e) {
     document.getElementById('log').textContent = 'camera unavailable: ' + e;
+  }
+}
+function toggleFeed() {
+  const img = document.getElementById('feed');
+  if (img.style.display === 'none') {
+    img.src = '/video_feed';  // MJPEG multipart stream (reference app.py:82-85)
+    img.style.display = 'inline';
+  } else {
+    img.removeAttribute('src');
+    img.style.display = 'none';
   }
 }
 async function captureEmotion() {
