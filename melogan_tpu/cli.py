@@ -30,6 +30,33 @@ import sys
 import numpy as np
 
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _resolve_config(path, workdir="."):
+    """Resolve a config path the way the reference scripts absolutize theirs
+    (train_ae.py:228-247, encode.py:69-76): as given, then under --workdir,
+    then under the installed repo root. None when nothing exists."""
+    if not path:
+        return None
+    for cand in (path, os.path.join(workdir, path), os.path.join(_REPO_ROOT, path)):
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
+def _load_cfg(cls, path, workdir="."):
+    """Load a config dataclass from the resolved YAML path, or fall back to
+    built-in defaults (which mirror the reference YAML values) with a warning
+    so the CLI works from any cwd."""
+    resolved = _resolve_config(path, workdir)
+    if resolved is None:
+        print(f"[WARN] config {path!r} not found (tried cwd, workdir, repo root); "
+              "using built-in defaults")
+        return cls()
+    return cls.from_yaml(resolved)
+
+
 def _add_common(p, config_default="configs/gan.yaml"):
     p.add_argument("--workdir", default=".", help="root for data/experiments paths")
 
@@ -85,7 +112,7 @@ def cmd_train_ae(args):
     from melogan_tpu.config import AEConfig
     from melogan_tpu.train import vae_loop
 
-    cfg = AEConfig.from_yaml(args.config)
+    cfg = _load_cfg(AEConfig, args.config, args.workdir)
     if args.epochs:
         cfg.epochs = args.epochs
     train_data = _load_split(args, "train")
@@ -103,7 +130,7 @@ def cmd_encode(args):
     from melogan_tpu.train import vae_loop
     from melogan_tpu.utils.checkpoint import load_checkpoint
 
-    cfg = AEConfig.from_yaml(args.config)
+    cfg = _load_cfg(AEConfig, args.config, args.workdir)
     model = VAE.from_config(cfg)
     state = vae_loop.init_state(cfg, model, seed=cfg.seed)
     ckpt_path = args.checkpoint or os.path.join(args.workdir, cfg.checkpoint_dir, "ae_best.ckpt")
@@ -124,7 +151,7 @@ def cmd_train_ed(args):
     from melogan_tpu.config import EDConfig
     from melogan_tpu.train import ed_loop
 
-    cfg = EDConfig.from_yaml(args.config)
+    cfg = _load_cfg(EDConfig, args.config, args.workdir)
     if args.epochs:
         cfg.num_epochs = args.epochs
     train_data = _load_split(args, "train")
@@ -146,7 +173,7 @@ def cmd_eval_ed(args):
     from melogan_tpu.train import ed_loop
     from melogan_tpu.utils.checkpoint import load_checkpoint
 
-    cfg = EDConfig.from_yaml(args.config)
+    cfg = _load_cfg(EDConfig, args.config, args.workdir)
     model = EmotionDiscriminator.from_config(cfg)
     state = ed_loop.init_state(cfg, model, seed=cfg.seed)
     ckpt_path = args.checkpoint or os.path.join(args.workdir, cfg.checkpoint_dir, "ed_best.ckpt")
@@ -162,8 +189,8 @@ def cmd_train_gan(args):
     from melogan_tpu.train import gan_loop
     from melogan_tpu.utils.checkpoint import load_checkpoint
 
-    cfg = GANConfig.from_yaml(args.config)
-    ed_cfg = EDConfig.from_yaml(args.ed_config)
+    cfg = _load_cfg(GANConfig, args.config, args.workdir)
+    ed_cfg = _load_cfg(EDConfig, args.ed_config, args.workdir)
     if args.epochs:
         cfg.epochs = args.epochs
     train_data = _load_split(args, "train")
@@ -194,7 +221,7 @@ def cmd_sample(args):
     from melogan_tpu.sampling import EMOTION_BPM, Sampler, emotion_scale
     from melogan_tpu.train.gan_loop import load_gan_final
 
-    cfg = GANConfig.from_yaml(args.config)
+    cfg = _load_cfg(GANConfig, args.config, args.workdir)
     gen_vars = fe_vars = None
     ckpt_path = args.checkpoint or os.path.join(args.workdir, cfg.checkpoint_dir, "gan_final.ckpt")
     if os.path.exists(ckpt_path):
@@ -304,7 +331,7 @@ def cmd_import_checkpoint(args):
     elif args.kind == "ed":
         from melogan_tpu.config import EDConfig
 
-        ed_cfg = EDConfig.from_yaml(args.ed_config) if args.ed_config else EDConfig()
+        ed_cfg = _load_cfg(EDConfig, args.ed_config, getattr(args, 'workdir', '.')) if args.ed_config else EDConfig()
         sd = raw.get("model", raw) if isinstance(raw, dict) else raw
         variables = ti.convert_ed(
             sd, notes_blocks=ed_cfg.notes_blocks, mlp_hidden=len(ed_cfg.mlp_hidden)
@@ -421,7 +448,7 @@ def cmd_profile(args):
     from melogan_tpu.sampling import Sampler
     from melogan_tpu.utils.profiling import StepTimer, device_trace
 
-    cfg = GANConfig.from_yaml(args.config) if os.path.exists(args.config) else GANConfig()
+    cfg = _load_cfg(GANConfig, args.config, getattr(args, 'workdir', '.'))
     sampler = Sampler(cfg, seed=0)
     sampler.sample_notes(["happy"], seed=0)  # compile outside the window
     timer = StepTimer()

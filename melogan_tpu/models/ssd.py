@@ -362,9 +362,11 @@ def nms_host(boxes: np.ndarray, scores: np.ndarray, iou_threshold=NMS_THRESHOLD)
     """
     n = len(scores)
     keep = np.ones(n, bool)
-    # untrained/degenerate weights can decode to inf/NaN boxes; sanitize so
-    # the suppression arithmetic stays defined (they get suppressed/ignored)
-    boxes = np.nan_to_num(boxes, nan=0.0, posinf=1e6, neginf=-1e6)
+    # untrained/degenerate weights can decode to inf/NaN/huge boxes; sanitize
+    # in f64 with a hard clip so the suppression arithmetic stays defined and
+    # overflow-free (degenerate candidates get suppressed/ignored)
+    boxes = np.nan_to_num(boxes.astype(np.float64), nan=0.0, posinf=1e6, neginf=-1e6)
+    boxes = np.clip(boxes, -1e6, 1e6)
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     area = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
     for i in range(n):
