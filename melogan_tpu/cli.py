@@ -45,14 +45,25 @@ def _resolve_config(path, workdir="."):
     return None
 
 
+# the argparse default per config class; ONLY these may silently fall back to
+# built-in defaults (which mirror the reference YAML values) — an explicitly
+# passed config path that resolves nowhere is a hard error, never a silent
+# default-hyperparameter run
+_CFG_DEFAULTS = {"AEConfig": "configs/ae.yaml", "EDConfig": "configs/ed.yaml",
+                 "GANConfig": "configs/gan.yaml"}
+
+
 def _load_cfg(cls, path, workdir="."):
-    """Load a config dataclass from the resolved YAML path, or fall back to
-    built-in defaults (which mirror the reference YAML values) with a warning
-    so the CLI works from any cwd."""
+    """Load a config dataclass from the resolved YAML path (so the CLI works
+    from any cwd); see _CFG_DEFAULTS for the fallback rule."""
     resolved = _resolve_config(path, workdir)
     if resolved is None:
-        print(f"[WARN] config {path!r} not found (tried cwd, workdir, repo root); "
-              "using built-in defaults")
+        if path != _CFG_DEFAULTS.get(cls.__name__):
+            raise FileNotFoundError(
+                f"config {path!r} not found (tried as given, under --workdir "
+                f"{workdir!r}, and under the repo root)")
+        print(f"[WARN] default config {path!r} not found (tried cwd, workdir, "
+              "repo root); using built-in defaults")
         return cls()
     return cls.from_yaml(resolved)
 

@@ -126,6 +126,9 @@ class _BitWriter:
             self.buf.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.buf.append(0x00)
+        # drop the emitted bits: otherwise acc grows into a frame-sized
+        # bignum and every shift turns O(output) — quadratic total
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self):
         if self.nbits:

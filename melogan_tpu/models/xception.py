@@ -132,25 +132,50 @@ def mini_xception_forward(weights: Dict[str, np.ndarray], x: jnp.ndarray) -> jnp
     return jax.nn.softmax(logits, axis=-1)
 
 
+def _host_resize_bilinear(x: np.ndarray, size: int) -> np.ndarray:
+    """(B, H, W, C) → (B, size, size, C) two-tap bilinear with half-pixel
+    centers — exactly cv2.resize INTER_LINEAR, which is what the reference
+    camera loop applies to face crops (camera/camera.py:97; NB unlike
+    jax.image.resize this does not anti-alias on minification, matching cv2).
+    Runs on the host so the jitted FER program
+    compiles for exactly ONE input shape — camera face crops change size
+    nearly every frame, and resizing in-graph would force a full XLA
+    recompile per frame."""
+    b, h, w, c = x.shape
+    if h == size and w == size:
+        return x
+
+    def axis(n_in: int, n_out: int):
+        coords = np.clip((np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5, 0, n_in - 1)
+        lo = np.floor(coords).astype(np.int64)
+        hi = np.minimum(lo + 1, n_in - 1)
+        return lo, hi, (coords - lo).astype(np.float32)
+
+    ylo, yhi, fy = axis(h, size)
+    xlo, xhi, fx = axis(w, size)
+    fx = fx[None, None, :, None]
+    rows_t, rows_b = x[:, ylo], x[:, yhi]
+    top = rows_t[:, :, xlo] * (1 - fx) + rows_t[:, :, xhi] * fx
+    bot = rows_b[:, :, xlo] * (1 - fx) + rows_b[:, :, xhi] * fx
+    fy = fy[None, :, None, None]
+    return top * (1 - fy) + bot * fy
+
+
 class FERClassifier:
     """Batched XLA inference wrapper: grayscale face crop → music emotion."""
 
     def __init__(self, weights: Dict[str, np.ndarray], input_size: int = 64):
         self.weights = weights
         self.input_size = input_size
-        # whole pipeline (range normalize → resize → CNN) is ONE jitted
-        # program per input resolution: the camera loop pays one device
-        # dispatch per frame, not four (range check / resize / forward /
-        # transfer were separate round trips before)
+        # normalize + CNN is ONE jitted program with a FIXED input shape
+        # (B, input_size, input_size, 1): the camera loop pays one device
+        # dispatch per frame and one compile per batch size, never per
+        # crop resolution (crops are resized on the host)
         self._pipeline = jax.jit(self._run)
 
     def _run(self, x):
         # [0,255] input → /255 (camera.py:99); branchless so it stays in-graph
         x = jnp.where(jnp.max(x) > 1.5, x / 255.0, x)
-        if x.shape[1] != self.input_size or x.shape[2] != self.input_size:
-            x = jax.image.resize(
-                x, (x.shape[0], self.input_size, self.input_size, 1), "bilinear"
-            )
         return mini_xception_forward(self.weights, x)
 
     def predict_proba(self, frames: np.ndarray) -> np.ndarray:
@@ -158,6 +183,7 @@ class FERClassifier:
         x = np.asarray(frames, np.float32)
         if x.ndim == 3:
             x = x[..., None]
+        x = _host_resize_bilinear(x, self.input_size)
         return np.asarray(self._pipeline(jnp.asarray(x)))
 
     def predict_emotion(self, frame: np.ndarray) -> str:

@@ -31,13 +31,17 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pick_batch_tile(b: int, vmem_per_sample: int) -> int:
-    """Largest batch tile that divides b within a conservative VMEM budget
-    (16 MB scoped limit; leave headroom for double buffering)."""
+def _pick_batch_tile(b: int, vmem_per_sample: int, max_tile: int = 64) -> int:
+    """Largest power-of-two batch tile ≤ max_tile that divides b within a
+    conservative VMEM budget (16 MB scoped limit; leave headroom for double
+    buffering). Shared by the conv kernels (max 64) and the fused decoder
+    (max 128)."""
     budget = 6 * 1024 * 1024
-    for bt in (64, 32, 16, 8, 4, 2, 1):
+    bt = max_tile
+    while bt > 1:
         if b % bt == 0 and bt * vmem_per_sample <= budget:
             return bt
+        bt //= 2
     return 1
 
 

@@ -38,14 +38,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from melogan_tpu.ops.pallas.conv1d import _interpret, _pick_batch_tile, _tiled
+
 K = 5
 STRIDE = 2
 PADDING = 2
 _PADLO = K - 1 - PADDING  # 2
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 def _taps(r: int) -> List[Tuple[int, int]]:
@@ -115,14 +113,6 @@ def _decoder_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, o_ref
         planes = new_planes
 
 
-def _pick_batch_tile(b: int, vmem_per_sample: int) -> int:
-    budget = 6 * 1024 * 1024
-    for bt in (128, 64, 32, 16, 8, 4, 2, 1):
-        if b % bt == 0 and bt * vmem_per_sample <= budget:
-            return bt
-    return 1
-
-
 def fused_decoder_tail(x, stages: Sequence[Tuple[jnp.ndarray, jnp.ndarray]]):
     """(B, M, C0) → (B, 8·M, C3) through three fused k5/s2/p2/op1 transposed
     convs. ``stages``: three (weight (K, Cin, Cout) HIO as stored by
@@ -138,8 +128,6 @@ def fused_decoder_tail(x, stages: Sequence[Tuple[jnp.ndarray, jnp.ndarray]]):
 
     # per-sample VMEM (Mosaic tile-padded sizes — narrow channel counts pad
     # to full 128 lanes): margined planes of two live stages + accumulators
-    from melogan_tpu.ops.pallas.conv1d import _tiled
-
     # live peak = max over stage transitions (earlier planes are dead)
     mm = m + 2 * MARGIN
     accs = 3 * _tiled(m, max(c1, c2, c3))
@@ -148,7 +136,7 @@ def fused_decoder_tail(x, stages: Sequence[Tuple[jnp.ndarray, jnp.ndarray]]):
         2 * _tiled(mm, c1) + 4 * _tiled(mm, c2) + accs,
         4 * _tiled(mm, c2) + 8 * _tiled(m, c3) + accs,
     )
-    bt = _pick_batch_tile(b, vmem)
+    bt = _pick_batch_tile(b, vmem, max_tile=128)
     kernel = functools.partial(_decoder_kernel, m=m)
 
     flip = lambda w: jnp.flip(w, axis=0).astype(jnp.float32)

@@ -237,10 +237,13 @@ def build_app(state: AppState):
             def _set_emotion(e):
                 state.camera_emotion = e
 
+            # cap the stream rate: with an infinite frame source each client
+            # otherwise busy-loops detect+annotate+encode on a full host core
             return mjpeg_parts(
                 iter(state.frame_source),
                 state.camera_pipeline,
                 on_emotion=_set_emotion,
+                max_fps=float(os.environ.get("MELOGAN_VIDEO_MAX_FPS", "20")),
             )
 
         if method == "POST" and path == "/camera_frame":

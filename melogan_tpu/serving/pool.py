@@ -21,6 +21,7 @@ each sample served exactly once.
 """
 from __future__ import annotations
 
+import sys
 import threading
 from collections import deque
 from typing import Dict, List, Optional
@@ -59,6 +60,7 @@ class SamplePool:
         self._wakeup = threading.Event()
         self._stop = threading.Event()
         self._seed = seed
+        self._last_error: Optional[str] = None
         self.hits = 0
         self.misses = 0
         self._thread = None
@@ -79,17 +81,34 @@ class SamplePool:
         with self._lock:
             return [e for e in self.emotions if len(self._pools[e]) < self.target]
 
+    def _refill_size(self, requested: int) -> int:
+        """Quantize the adaptive refill size to power-of-two multiples of
+        ``refill_batch``. The sampler's jitted step specializes on batch size,
+        so arbitrary load-dependent sizes would each pay a full XLA compile;
+        quantizing bounds the compile set to log2(max_refill/refill_batch)+1
+        programs while still scaling with the drain rate."""
+        size = self.refill_batch
+        while size < requested and size < self.max_refill:
+            size *= 2
+        return min(size, self.max_refill)
+
     def _refill(self, emotions: List[str]) -> None:
         """One batched device dispatch covering every low emotion; batch size
-        adapts to the drain rate since the previous refill."""
+        adapts (quantized) to the drain rate since the previous refill."""
         if not emotions:
             return
-        with self._lock:
-            drained, self._drained = self._drained, 0
-        size = max(self.refill_batch, min(self.max_refill, 2 * drained))
-        per = max(1, size // len(emotions))
-        prompts = [e for e in emotions for _ in range(per)]
         with self._refill_lock:
+            # a concurrent refill may have stocked these emotions while we
+            # waited on the lock — re-check so N coalesced missers cost ONE
+            # dispatch, not N serial ones
+            with self._lock:
+                emotions = [e for e in emotions if len(self._pools[e]) < self.target]
+                drained, self._drained = self._drained, 0
+            if not emotions:
+                return
+            size = self._refill_size(max(self.refill_batch, 2 * drained))
+            # round-robin so the total is exactly the quantized size
+            prompts = [emotions[i % len(emotions)] for i in range(size)]
             notes = self.sampler.sample_notes(prompts, seed=self._next_seed())
             with self._lock:
                 for e, row in zip(prompts, notes):
@@ -101,7 +120,18 @@ class SamplePool:
             if low:
                 try:
                     self._refill(low)
-                except Exception:  # noqa: BLE001 — keep the producer alive
+                    with self._lock:
+                        self._last_error = None
+                except Exception as e:  # noqa: BLE001 — keep the producer alive
+                    msg = f"{type(e).__name__}: {e}"
+                    with self._lock:
+                        first = msg != self._last_error
+                        self._last_error = msg
+                    if first:  # once per distinct error, not per 0.5 s retry
+                        import traceback
+
+                        print(f"[sample-pool] refill failed: {msg}", file=sys.stderr)
+                        traceback.print_exc()
                     self._stop.wait(0.5)
             else:
                 self._wakeup.wait(timeout=0.25)
@@ -140,6 +170,7 @@ class SamplePool:
                 "misses": self.misses,
                 "depth": {e: len(q) for e, q in self._pools.items()},
                 "target": self.target,
+                "last_error": self._last_error,
             }
 
     def prefill(self, timeout: float = 60.0) -> None:
@@ -151,7 +182,9 @@ class SamplePool:
             if self._thread is None:
                 self._refill(self._low_emotions())
             elif time.monotonic() - t0 > timeout:
-                raise TimeoutError("sample pool prefill timed out")
+                with self._lock:
+                    detail = f" (last refill error: {self._last_error})" if self._last_error else ""
+                raise TimeoutError(f"sample pool prefill timed out{detail}")
             else:
                 time.sleep(0.01)
 

@@ -63,6 +63,20 @@ def test_mini_xception_forward(rng):
     assert emotion in ("happy", "sad", "angry", "calm")
 
 
+def test_fer_no_recompile_across_crop_shapes(rng):
+    """Camera crops change size every frame; the jitted FER program must be
+    traced once per BATCH size only (resize happens on the host), or the
+    live camera path degrades to one XLA compile per frame."""
+    fer = load_default_fer()
+    if fer is None:
+        pytest.skip("no mini_xception.h5 available")
+    fer.predict_proba(rng.uniform(0, 255, size=(1, 64, 64)).astype(np.float32))
+    baseline = fer._pipeline._cache_size()
+    for shape in ((1, 40, 56), (1, 90, 70), (1, 17, 123)):
+        fer.predict_proba(rng.uniform(0, 255, size=shape).astype(np.float32))
+    assert fer._pipeline._cache_size() == baseline
+
+
 def test_rgb_to_gray(rng):
     frame = rng.uniform(0, 255, size=(32, 32, 3)).astype(np.float32)
     gray = rgb_to_gray(frame)
