@@ -25,7 +25,12 @@ from melogan_tpu.config import EDConfig
 from melogan_tpu.data.datasets import SplitData, class_balance_weights
 from melogan_tpu.models.ed import EmotionDiscriminator
 from melogan_tpu.train.gan_step import cross_entropy
-from melogan_tpu.train.harness import EarlyStopping, ReduceLROnPlateau
+from melogan_tpu.train.harness import (
+    EarlyStopping,
+    ReduceLROnPlateau,
+    device_sched_init,
+    device_sched_step,
+)
 from melogan_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from melogan_tpu.utils.metrics import MetricsWriter
 
@@ -54,6 +59,34 @@ def set_lr(state: EDTrainState, lr: float) -> EDTrainState:
     hyper = state.opt_state.hyperparams
     hyper["learning_rate"] = jnp.asarray(lr, dtype=hyper["learning_rate"].dtype)
     return state
+
+
+def _with_lr(opt_state, lr):
+    """Functional (trace-safe) twin of set_lr."""
+    hyper = dict(opt_state.hyperparams)
+    hyper["learning_rate"] = jnp.asarray(lr, hyper["learning_rate"].dtype)
+    return opt_state._replace(hyperparams=hyper)
+
+
+def init_sched(state: EDTrainState, plateau: ReduceLROnPlateau, stopper: EarlyStopping):
+    """Device scheduler state for the fused multi-epoch program (see
+    vae_loop.init_sched)."""
+    sched = device_sched_init(plateau, stopper)
+    sched["epoch"] = jnp.asarray(0, jnp.int32)
+    sched["best_epoch"] = jnp.asarray(0, jnp.int32)
+    sched["best"] = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "rng": state.rng,
+        "plateau_best": jnp.asarray(plateau.best, jnp.float32),
+        "plateau_bad": jnp.asarray(plateau.num_bad_epochs, jnp.int32),
+        "stop_best": jnp.asarray(stopper.best, jnp.float32),
+        "stop_bad": jnp.asarray(stopper.num_bad_epochs, jnp.int32),
+        "lr": jnp.asarray(get_lr(state), jnp.float32),
+        "val_acc": jnp.zeros(()),
+    }
+    return sched
 
 
 def init_state(cfg: EDConfig, model: EmotionDiscriminator, seed: int = 42) -> EDTrainState:
@@ -138,7 +171,65 @@ def make_epoch_fns(cfg: EDConfig, model: EmotionDiscriminator):
         _, (losses, accs) = jax.lax.scan(eval_step, state, batches)
         return {"loss": jnp.mean(losses), "acc": jnp.mean(accs)}
 
-    return train_epoch, eval_epoch, train_epoch_indexed
+    # -- multi-epoch fusion: E epochs of train+val+LR-control+early-stop in
+    # ONE dispatch (same design as vae_loop.run_epochs) ----------------------
+    def run_epochs(state: EDTrainState, x_all, y_all, idx, val_batches, sched):
+        """``idx``: (E, n_batches, B) gather indices. The whole per-epoch
+        control flow of the reference loop (train_ed.py:160-207) — train
+        epoch, validation, ReduceLROnPlateau, early stopping, best tracking —
+        runs inside one jitted scan; the host dispatches once per E epochs
+        (the ``save_freq`` checkpoint cadence). Post-stop epochs are masked
+        no-ops, keeping chunked runs step-identical to the sequential loop."""
+
+        def masked(cond_, new, old):
+            return jax.tree_util.tree_map(lambda a, b: jnp.where(cond_, a, b), new, old)
+
+        def body(carry, idx_e):
+            state, sched = carry
+            live = jnp.logical_not(sched["done"])
+
+            def do_epoch(st):
+                st, tm = train_epoch_indexed(st, x_all, y_all, idx_e)
+                vm = eval_epoch(st, val_batches)
+                return st, tm, vm
+
+            def skip_epoch(st):
+                zeros = {"loss": jnp.zeros(()), "acc": jnp.zeros(())}
+                return st, zeros, dict(zeros)
+
+            state, tm, vm = jax.lax.cond(live, do_epoch, skip_epoch, state)
+            val = vm["loss"]
+
+            lr = state.opt_state.hyperparams["learning_rate"]
+            sched, new_lr, improved = device_sched_step(sched, val, lr, live)
+            state = state.replace(opt_state=_with_lr(state.opt_state, new_lr))
+
+            epoch_no = sched["epoch"] + live.astype(jnp.int32)
+            best = masked(improved, {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "rng": state.rng,
+                "plateau_best": sched["plateau_best"],
+                "plateau_bad": sched["plateau_bad"],
+                "stop_best": sched["stop_best"],
+                "stop_bad": sched["stop_bad"],
+                "lr": new_lr,
+                "val_acc": vm["acc"],
+            }, sched["best"])
+            sched = dict(
+                sched,
+                best=best,
+                best_epoch=jnp.where(improved, epoch_no, sched["best_epoch"]),
+                epoch=epoch_no,
+            )
+            out = {"train": tm, "val": vm, "lr": new_lr, "ran": live, "improved": improved}
+            return (state, sched), out
+
+        (state, sched), out = jax.lax.scan(body, (state, sched), idx)
+        return state, sched, out
+
+    return train_epoch, eval_epoch, train_epoch_indexed, run_epochs
 
 
 def _inputs(cfg: EDConfig, data: SplitData, latents: Optional[np.ndarray]):
@@ -172,9 +263,7 @@ def train(
 ) -> Tuple[EDTrainState, Dict[str, float]]:
     model = EmotionDiscriminator.from_config(cfg)
     state = init_state(cfg, model, seed=cfg.seed)
-    _, eval_epoch, train_epoch_indexed = make_epoch_fns(cfg, model)
-    train_epoch_indexed = jax.jit(train_epoch_indexed)
-    eval_epoch = jax.jit(eval_epoch)
+    run_fn = jax.jit(make_epoch_fns(cfg, model)[3])
 
     ckpt_dir = os.path.join(workdir, cfg.checkpoint_dir) if workdir else cfg.checkpoint_dir
     log_dir = os.path.join(workdir, cfg.log_dir) if workdir else cfg.log_dir
@@ -232,74 +321,119 @@ def train(
             if verbose:
                 print(f"[ED] resumed from {latest} at epoch {start_epoch}")
 
-    best_state, best_metrics = state, {}
-    for epoch in range(start_epoch, cfg.num_epochs + 1):
+    # device scheduler state: plateau LR + early stop + best tracking run
+    # inside the fused multi-epoch program; the host chunks epochs at the
+    # periodic-checkpoint cadence and does file I/O between chunks
+    sched = init_sched(state, plateau, stopper)
+    sched["epoch"] = jnp.asarray(start_epoch - 1, jnp.int32)
+
+    best_metrics: Dict[str, float] = {}
+    last_saved_best = None
+    epoch = start_epoch
+    while epoch <= cfg.num_epochs:
+        chunk_end = min(cfg.num_epochs, ((epoch - 1) // cfg.save_freq + 1) * cfg.save_freq)
+        chunk = list(range(epoch, chunk_end + 1))
         t0 = time.perf_counter()
-        if weights is not None:
-            p = weights / weights.sum()
-            order = rng.choice(len(y_train), size=len(y_train), replace=True, p=p)
-        else:
-            order = rng.permutation(len(y_train))
-        bs = min(cfg.batch_size, len(order))
-        n_batches = max(1, len(order) // bs)
-        idx = order[: n_batches * bs].reshape(n_batches, bs)
-        state, tm = train_epoch_indexed(
-            state, x_train_dev, y_train_dev, jnp.asarray(idx)
+        idx = []
+        for _ in chunk:
+            if weights is not None:
+                p = weights / weights.sum()
+                order = rng.choice(len(y_train), size=len(y_train), replace=True, p=p)
+            else:
+                order = rng.permutation(len(y_train))
+            bs = min(cfg.batch_size, len(order))
+            n_batches = max(1, len(order) // bs)
+            idx.append(order[: n_batches * bs].reshape(n_batches, bs))
+        state, sched, out = run_fn(
+            state, x_train_dev, y_train_dev, jnp.asarray(np.stack(idx)),
+            val_batches, sched,
         )
-        vm = eval_epoch(state, val_batches)
-        val_loss = float(vm["loss"])
-        dt = time.perf_counter() - t0
+        out = jax.tree_util.tree_map(np.asarray, out)
+        dt = (time.perf_counter() - t0) / len(chunk)
 
-        lr = get_lr(state)
-        new_lr = plateau.step(val_loss, lr)
-        if new_lr != lr:
-            state = set_lr(state, new_lr)
+        stopped_at = None
+        for j, ep in enumerate(chunk):
+            if not out["ran"][j]:
+                break
+            val_loss = float(out["val"]["loss"][j])
+            writer.add_scalars(
+                {
+                    "loss/train": float(out["train"]["loss"][j]),
+                    "acc/train": float(out["train"]["acc"][j]),
+                    "loss/val": val_loss,
+                    "acc/val": float(out["val"]["acc"][j]),
+                    "lr": float(out["lr"][j]),
+                    "epoch_seconds": dt,
+                },
+                ep,
+            )
+            if verbose:
+                print(
+                    f"[ED epoch {ep}] train loss {float(out['train']['loss'][j]):.4f} "
+                    f"acc {float(out['train']['acc'][j]):.3f} | "
+                    f"val loss {val_loss:.4f} acc {float(out['val']['acc'][j]):.3f} | {dt:.2f}s"
+                )
+            if bool(sched["done"]) and (j + 1 == len(chunk) or not out["ran"][j + 1]):
+                stopped_at = ep
 
-        writer.add_scalars(
-            {
-                "loss/train": float(tm["loss"]),
-                "acc/train": float(tm["acc"]),
-                "loss/val": val_loss,
-                "acc/val": float(vm["acc"]),
-                "lr": new_lr,
-                "epoch_seconds": dt,
-            },
-            epoch,
-        )
-        if verbose:
-            print(
-                f"[ED epoch {epoch}] train loss {float(tm['loss']):.4f} acc {float(tm['acc']):.3f} | "
-                f"val loss {val_loss:.4f} acc {float(vm['acc']):.3f} | {dt:.2f}s"
+        # periodic checkpoint at the chunk boundary: current state + current
+        # (post-epoch) scheduler counters — identical to what the sequential
+        # loop's _ckpt_tree captured at this epoch. Written iff the boundary
+        # epoch actually ran (the sequential loop saves on a stop epoch too)
+        if int(sched["epoch"]) == chunk_end and chunk_end % cfg.save_freq == 0:
+            save_checkpoint(
+                os.path.join(ckpt_dir, f"ed_epoch{chunk_end:04d}.ckpt"),
+                {
+                    "epoch": chunk_end,
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state,
+                    "rng": state.rng,
+                    "lr": float(out["lr"][len(chunk) - 1]),
+                    "plateau": {"best": float(sched["plateau_best"]),
+                                "num_bad_epochs": int(sched["plateau_bad"])},
+                    "stopper": {"best": float(sched["stop_best"]),
+                                "num_bad_epochs": int(sched["stop_bad"])},
+                },
             )
 
-        # stopper BEFORE the periodic save so checkpointed wait counters are
-        # post-epoch (a resumed run is then step-identical to straight-through)
-        stop = stopper.step(val_loss)
+        # best checkpoint: written once per chunk when a new best appeared,
+        # from the state captured AT the best epoch
+        best_epoch = int(sched["best_epoch"])
+        if out["improved"].any() and best_epoch != last_saved_best:
+            best = jax.tree_util.tree_map(np.asarray, sched["best"])
+            best_metrics = {"epoch": best_epoch,
+                            "val_loss": float(best["stop_best"]),
+                            "val_acc": float(best["val_acc"])}
+            save_checkpoint(
+                os.path.join(ckpt_dir, "ed_best.ckpt"),
+                {
+                    "epoch": best_epoch,
+                    "params": best["params"],
+                    "batch_stats": best["batch_stats"],
+                    "opt_state": best["opt_state"],
+                    "rng": best["rng"],
+                    "lr": float(best["lr"]),
+                    "plateau": {"best": float(best["plateau_best"]),
+                                "num_bad_epochs": int(best["plateau_bad"])},
+                    "stopper": {"best": float(best["stop_best"]),
+                                "num_bad_epochs": int(best["stop_bad"])},
+                },
+            )
+            last_saved_best = best_epoch
 
-        def _ckpt_tree():
-            return {
-                "epoch": epoch,
-                "params": state.params,
-                "batch_stats": state.batch_stats,
-                "opt_state": state.opt_state,
-                "rng": state.rng,
-                "lr": new_lr,
-                "plateau": plateau.state_dict(),
-                "stopper": stopper.state_dict(),
-            }
-
-        if epoch % cfg.save_freq == 0:
-            save_checkpoint(os.path.join(ckpt_dir, f"ed_epoch{epoch:04d}.ckpt"), _ckpt_tree())
-
-        if stopper.improved:
-            best_state = state
-            best_metrics = {"epoch": epoch, "val_loss": val_loss, "val_acc": float(vm["acc"])}
-            save_checkpoint(os.path.join(ckpt_dir, "ed_best.ckpt"), _ckpt_tree())
-        if stop:
+        if stopped_at is not None:
             if verbose:
-                print(f"[ED] early stop at epoch {epoch}")
+                print(f"[ED] early stop at epoch {stopped_at}")
             break
+        epoch = chunk_end + 1
 
+    best_state = EDTrainState(
+        params=sched["best"]["params"],
+        batch_stats=sched["best"]["batch_stats"],
+        opt_state=sched["best"]["opt_state"],
+        rng=sched["best"]["rng"],
+    )
     writer.close()
     return best_state, best_metrics
 

@@ -43,9 +43,9 @@ def train(
     (SURVEY.md §5)."""
     models = gan_step.build_models(cfg, ed_cfg)
     state = gan_step.init_state(cfg, models, seed=cfg.seed, ed_variables=ed_variables)
-    group_fn, tail_fn, epoch_fn, indexed_fn = gan_step.make_train_steps(cfg, models)
-    tail_fn = jax.jit(tail_fn)
-    indexed_fn = jax.jit(indexed_fn)
+    steps = gan_step.make_train_steps(cfg, models)
+    tail_fn = jax.jit(steps.tail)
+    run_fn = jax.jit(steps.run)
 
     ckpt_dir = os.path.join(workdir, cfg.checkpoint_dir) if workdir else cfg.checkpoint_dir
     log_dir = os.path.join(workdir, cfg.log_dir) if workdir else cfg.log_dir
@@ -99,48 +99,74 @@ def train(
     for _ in range(start_epoch - 1):
         rng.permutation(notes.shape[0])
     history: Dict[str, float] = {}
-    for epoch in range(start_epoch, n_epochs + 1):
+    epoch = start_epoch
+    # epochs run in chunks bounded by the checkpoint cadence: each chunk is
+    # ONE device dispatch of the multi-epoch fused program (gan_step.run) —
+    # the per-dispatch tunnel round trip (~30 ms, ~10× the per-epoch device
+    # compute at reference scale) is paid once per save_freq epochs
+    while epoch <= n_epochs:
+        chunk_end = min(n_epochs, ((epoch - 1) // cfg.save_freq + 1) * cfg.save_freq)
+        chunk = list(range(epoch, chunk_end + 1))
         t0 = time.perf_counter()
-        group_idx, tail_idx = epoch_group_indices(
-            notes.shape[0], cfg.batch_size, cfg.critic_iters, rng
-        )
-        ep_d, ep_adv, ep_emo, n_steps, n_gsteps = 0.0, 0.0, 0.0, 0, 0
-        if group_idx is not None:
-            state, m = indexed_fn(state, data_dev, jnp.asarray(group_idx, jnp.int32))
-            ep_d += float(jnp.sum(m["loss_d_sum"]))
-            ep_adv += float(jnp.sum(m["loss_g_adv"]))
-            ep_emo += float(jnp.sum(m["loss_g_emo"]))
-            n_steps += cfg.critic_iters * group_idx.shape[0]
-            n_gsteps += group_idx.shape[0]
-        if tail_idx is not None:
-            sel = tail_idx
-            tail = (notes[sel], emotion_idx[sel], latents[sel], numeric[sel])
-            state, m = tail_fn(state, jax.tree_util.tree_map(jnp.asarray, tail))
-            ep_d += float(m["loss_d_sum"])
-            n_steps += tail_idx.shape[0]
-        dt = time.perf_counter() - t0
-
-        # reference averaging: D over all batch-steps, G over G-steps
-        scalars = {
-            "Loss/Critic": ep_d / max(1, n_steps),
-            "Loss/Generator_Adv": ep_adv / max(1, n_gsteps),
-            "Loss/Generator_Emo": ep_emo / max(1, n_gsteps),
-            "epoch_seconds": dt,
-        }
-        writer.add_scalars(scalars, epoch)
-        if verbose:
-            print(
-                f"[GAN epoch {epoch}/{n_epochs}] D {scalars['Loss/Critic']:.4f} | "
-                f"G_adv {scalars['Loss/Generator_Adv']:.4f} | "
-                f"G_emo {scalars['Loss/Generator_Emo']:.4f} | {dt:.2f}s"
+        g_stack, t_stack = [], []
+        for _ in chunk:
+            gi, ti = epoch_group_indices(
+                notes.shape[0], cfg.batch_size, cfg.critic_iters, rng
             )
-        history = dict(scalars, epoch=epoch)
+            g_stack.append(gi)
+            t_stack.append(ti)
 
-        if epoch % cfg.save_freq == 0:
-            save_checkpoint(
-                os.path.join(ckpt_dir, f"gan_epoch{epoch:04d}.ckpt"),
+        if g_stack[0] is not None:
+            gidx = jnp.asarray(np.stack(g_stack), jnp.int32)
+            tidx = (
+                jnp.asarray(np.stack(t_stack), jnp.int32)
+                if t_stack[0] is not None
+                else None
+            )
+            state, m = run_fn(state, data_dev, gidx, tidx)
+            n_groups, k = gidx.shape[1], cfg.critic_iters
+            n_steps = n_groups * k + (tidx.shape[1] if tidx is not None else 0)
+            per_epoch = [
                 {
-                    "epoch": epoch,
+                    "Loss/Critic": float(m["loss_d_sum"][j]) / n_steps,
+                    "Loss/Generator_Adv": float(m["loss_g_adv"][j]) / n_groups,
+                    "Loss/Generator_Emo": float(m["loss_g_emo"][j]) / n_groups,
+                }
+                for j in range(len(chunk))
+            ]
+        else:
+            # dataset smaller than one group: critic-only tail epochs
+            per_epoch = []
+            for ti in t_stack:
+                if ti is None:
+                    per_epoch.append(
+                        {"Loss/Critic": 0.0, "Loss/Generator_Adv": 0.0,
+                         "Loss/Generator_Emo": 0.0})
+                    continue
+                sel = ti
+                tail = (notes[sel], emotion_idx[sel], latents[sel], numeric[sel])
+                state, mt = tail_fn(state, jax.tree_util.tree_map(jnp.asarray, tail))
+                per_epoch.append(
+                    {"Loss/Critic": float(mt["loss_d_sum"]) / ti.shape[0],
+                     "Loss/Generator_Adv": 0.0, "Loss/Generator_Emo": 0.0})
+
+        dt = (time.perf_counter() - t0) / len(chunk)
+        for ep, scalars in zip(chunk, per_epoch):
+            scalars = dict(scalars, epoch_seconds=dt)
+            writer.add_scalars(scalars, ep)
+            if verbose:
+                print(
+                    f"[GAN epoch {ep}/{n_epochs}] D {scalars['Loss/Critic']:.4f} | "
+                    f"G_adv {scalars['Loss/Generator_Adv']:.4f} | "
+                    f"G_emo {scalars['Loss/Generator_Emo']:.4f} | {dt:.2f}s"
+                )
+            history = dict(scalars, epoch=ep)
+
+        if chunk_end % cfg.save_freq == 0:
+            save_checkpoint(
+                os.path.join(ckpt_dir, f"gan_epoch{chunk_end:04d}.ckpt"),
+                {
+                    "epoch": chunk_end,
                     "G": {"params": state.gen_params, "batch_stats": state.gen_stats},
                     "D": {"params": state.critic_params},
                     "E_num": {"params": state.fe_params},
@@ -150,6 +176,7 @@ def train(
                     "step": state.step,
                 },
             )
+        epoch = chunk_end + 1
 
     save_checkpoint(
         os.path.join(ckpt_dir, "gan_final.ckpt"),

@@ -140,15 +140,25 @@ def _gradient_penalty(critic: Critic, critic_params, real, fake, emb, alpha):
     return jnp.mean(jnp.square(norms - 1.0))
 
 
-def make_train_steps(cfg: GANConfig, models: GANModels):
-    """Build (group_step, critic_only_step, epoch_step, indexed_epoch_step)
-    pure functions (to be jitted).
+class TrainStepFns(NamedTuple):
+    """The fused WGAN-GP programs, coarsest-granularity last (each is a pure
+    function to be jitted; the loop picks the coarsest one the data allows)."""
 
-    group_step(state, batches) with each batch field stacked to
+    group: Any  # (state, (K,B,...)-batches) → one group: K critic + 1 G update
+    tail: Any  # (state, (T,B,...)-batches) → T critic-only updates
+    epoch: Any  # (state, (G,K,B,...)-batches) → one epoch of groups
+    indexed: Any  # (state, device data, (G,K,B) idx) → one epoch, device gather
+    run: Any  # (state, device data, (E,G,K,B) idx, (E,T,B) idx) → E epochs
+
+
+def make_train_steps(cfg: GANConfig, models: GANModels) -> TrainStepFns:
+    """Build the fused train-step pure functions (see TrainStepFns).
+
+    group(state, batches) with each batch field stacked to
     (critic_iters, B, ...): runs ``critic_iters`` critic updates then one
     G+E update on the final microbatch. Returns (state, metrics).
 
-    critic_only_step(state, batches) with (K, B, ...) stacks: the epoch tail
+    tail(state, batches) with (T, B, ...) stacks: the epoch tail
     (the reference updates D on every batch regardless of the G schedule).
     """
     gen, critic, fe, ed = models
@@ -308,6 +318,41 @@ def make_train_steps(cfg: GANConfig, models: GANModels):
         state, metrics = jax.lax.scan(body, state, idx)
         return state, metrics
 
+    # -- multi-epoch fusion: E whole epochs in ONE dispatch ------------------
+    def indexed_run_step(state: GANTrainState, data, group_idx, tail_idx=None):
+        """``group_idx``: (E, G, critic_iters, B) int32 gather indices;
+        ``tail_idx``: (E, T, B) int32 or None (datasets where the batch count
+        divides critic_iters have no tail).
+
+        Scans whole epochs — G fused group steps then the critic-only tail,
+        in the reference's order — inside a single jitted program, so the
+        host pays one dispatch (and one ~30 ms tunnel round trip) per E
+        epochs instead of per epoch. E is the checkpoint cadence in the real
+        loop (``save_freq``), keeping artifact semantics identical.
+        Returns per-epoch metric arrays (each (E,))."""
+        notes_all, emot_all, lat_all, num_all = data
+
+        def gather(idx):
+            return (notes_all[idx], emot_all[idx], lat_all[idx], num_all[idx])
+
+        def epoch_body(st, idx_e):
+            st, gm = jax.lax.scan(lambda s, i: group_step(s, gather(i)), st, idx_e["group"])
+            metrics = {
+                "loss_d_sum": jnp.sum(gm["loss_d_sum"]),
+                "loss_g_adv": jnp.sum(gm["loss_g_adv"]),
+                "loss_g_emo": jnp.sum(gm["loss_g_emo"]),
+                "gp_mean": jnp.mean(gm["gp_mean"]),
+            }
+            if "tail" in idx_e:
+                st, tm = critic_only_step(st, gather(idx_e["tail"]))
+                metrics["loss_d_sum"] = metrics["loss_d_sum"] + tm["loss_d_sum"]
+            return st, metrics
+
+        idx = {"group": group_idx}
+        if tail_idx is not None:
+            idx["tail"] = tail_idx
+        return jax.lax.scan(epoch_body, state, idx)
+
     # -- critic-only tail --------------------------------------------------
     def critic_only_step(state: GANTrainState, batches):
         carry = (
@@ -328,4 +373,10 @@ def make_train_steps(cfg: GANConfig, models: GANModels):
         )
         return new_state, {"loss_d_sum": jnp.sum(d_losses), "gp_mean": jnp.mean(gps)}
 
-    return group_step, critic_only_step, epoch_step, indexed_epoch_step
+    return TrainStepFns(
+        group=group_step,
+        tail=critic_only_step,
+        epoch=epoch_step,
+        indexed=indexed_epoch_step,
+        run=indexed_run_step,
+    )

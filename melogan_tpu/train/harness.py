@@ -75,6 +75,62 @@ class EarlyStopping:
         self.num_bad_epochs = int(d["num_bad_epochs"])
 
 
+# -- device-resident scheduler (for multi-epoch fused programs) -------------
+#
+# The VAE/ED loops run E epochs per device dispatch; the plateau scheduler and
+# early stopper therefore execute INSIDE the jitted program, on jnp scalars,
+# with semantics identical to the host dataclasses above (which still seed and
+# checkpoint the state).
+
+def device_sched_init(plateau: "ReduceLROnPlateau", stopper: "EarlyStopping") -> dict:
+    """Device pytree mirroring the two host controllers' state + constants."""
+    import jax.numpy as jnp
+
+    return {
+        "plateau_best": jnp.asarray(plateau.best, jnp.float32),
+        "plateau_bad": jnp.asarray(plateau.num_bad_epochs, jnp.int32),
+        "plateau_patience": jnp.asarray(plateau.patience, jnp.int32),
+        "plateau_factor": jnp.asarray(plateau.factor, jnp.float32),
+        "plateau_threshold": jnp.asarray(plateau.threshold, jnp.float32),
+        "min_lr": jnp.asarray(plateau.min_lr, jnp.float32),
+        "stop_best": jnp.asarray(stopper.best, jnp.float32),
+        "stop_bad": jnp.asarray(stopper.num_bad_epochs, jnp.int32),
+        "stop_patience": jnp.asarray(stopper.patience, jnp.int32),
+        "done": jnp.asarray(False),
+    }
+
+
+def device_sched_step(sched: dict, val, lr, live):
+    """One epoch of ReduceLROnPlateau.step + EarlyStopping.step on device.
+
+    ``live`` masks epochs after the stop triggered (their updates are
+    identity). Returns (new_sched, new_lr, improved) where ``improved`` is the
+    early-stopper's new-best flag (the best-checkpoint trigger)."""
+    import jax.numpy as jnp
+
+    p_improved = live & (val < sched["plateau_best"] * (1.0 - sched["plateau_threshold"]))
+    plateau_best = jnp.where(p_improved, val, sched["plateau_best"])
+    plateau_bad = jnp.where(p_improved, 0, sched["plateau_bad"] + live.astype(jnp.int32))
+    drop = live & (plateau_bad > sched["plateau_patience"])
+    new_lr = jnp.where(drop, jnp.maximum(lr * sched["plateau_factor"], sched["min_lr"]), lr)
+    plateau_bad = jnp.where(drop, 0, plateau_bad)
+
+    improved = live & (val < sched["stop_best"])
+    stop_best = jnp.where(improved, val, sched["stop_best"])
+    stop_bad = jnp.where(improved, 0, sched["stop_bad"] + live.astype(jnp.int32))
+    done = sched["done"] | (live & (stop_bad >= sched["stop_patience"]))
+
+    sched = dict(
+        sched,
+        plateau_best=plateau_best,
+        plateau_bad=plateau_bad,
+        stop_best=stop_best,
+        stop_bad=stop_bad,
+        done=done,
+    )
+    return sched, new_lr, improved
+
+
 def beta_schedule(epoch: int, warmup_epochs: int, final_beta: float) -> float:
     """VAE KL annealing (reference train_ae.py:105-107): linear warm-up to
     ``final_beta`` over ``warmup_epochs``, then constant."""

@@ -28,7 +28,13 @@ from melogan_tpu.config import AEConfig
 from melogan_tpu.data.datasets import SplitData, ae_denormalize
 from melogan_tpu.midi.codec import save_recon_midi
 from melogan_tpu.models.vae import VAE, vae_loss
-from melogan_tpu.train.harness import EarlyStopping, ReduceLROnPlateau, beta_schedule
+from melogan_tpu.train.harness import (
+    EarlyStopping,
+    ReduceLROnPlateau,
+    beta_schedule,
+    device_sched_init,
+    device_sched_step,
+)
 from melogan_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from melogan_tpu.utils.metrics import MetricsWriter
 
@@ -57,6 +63,35 @@ def set_lr(state: VAETrainState, lr: float) -> VAETrainState:
     hyper = state.opt_state[1].hyperparams
     hyper["learning_rate"] = jnp.asarray(lr, dtype=hyper["learning_rate"].dtype)
     return state
+
+
+def _with_lr(opt_state, lr):
+    """Functional (trace-safe) twin of set_lr: a new opt-state pytree with the
+    injected learning-rate hyperparameter replaced."""
+    inj = opt_state[1]
+    hyper = dict(inj.hyperparams)
+    hyper["learning_rate"] = jnp.asarray(lr, hyper["learning_rate"].dtype)
+    return (opt_state[0], inj._replace(hyperparams=hyper))
+
+
+def init_sched(state: VAETrainState, plateau: "ReduceLROnPlateau", stopper: "EarlyStopping"):
+    """Device scheduler state for the fused multi-epoch program, seeded from
+    the host harness objects (so resume restores wait counters exactly)."""
+    sched = device_sched_init(plateau, stopper)
+    sched["epoch"] = jnp.asarray(0, jnp.int32)  # set by the loop before use
+    sched["best_epoch"] = jnp.asarray(0, jnp.int32)
+    sched["best"] = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "rng": state.rng,
+        "plateau_best": jnp.asarray(plateau.best, jnp.float32),
+        "plateau_bad": jnp.asarray(plateau.num_bad_epochs, jnp.int32),
+        "stop_best": jnp.asarray(stopper.best, jnp.float32),
+        "stop_bad": jnp.asarray(stopper.num_bad_epochs, jnp.int32),
+        "lr": jnp.asarray(get_lr(state), jnp.float32),
+    }
+    return sched
 
 
 def init_state(cfg: AEConfig, model: VAE, seed: int = 42) -> VAETrainState:
@@ -142,7 +177,92 @@ def make_epoch_fns(cfg: AEConfig, model: VAE):
             "kld": jnp.mean(klds),
         }
 
-    return train_epoch, eval_epoch, train_epoch_indexed
+    # -- multi-epoch fusion: E epochs of train+val+LR-control+early-stop in
+    # ONE dispatch ----------------------------------------------------------
+    def run_epochs(state: VAETrainState, x_all, idx, betas, val_batches, fixed_val, sched):
+        """``idx``: (E, n_batches, B) gather indices; ``betas``: (E,) KL
+        weights; ``val_batches``: stacked validation batches; ``fixed_val``:
+        (R, L, 4) recon-dump songs (R may be 0); ``sched``: device scheduler
+        state from :func:`init_sched`.
+
+        The ENTIRE per-epoch control flow of the reference loop
+        (train_ae.py:96-205) — train epoch, validation at β=1, torch-semantics
+        ReduceLROnPlateau, early stopping, best-state tracking — runs inside
+        one jitted scan: the host pays one dispatch (~30 ms tunnel RTT) per E
+        epochs instead of 2+ per epoch. Epochs after the early-stop trigger
+        are masked no-ops (identical state, ``ran=False``), so a chunked run
+        is step-identical to the sequential loop."""
+
+        def masked(cond_, new, old):
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(cond_, a, b), new, old
+            )
+
+        def body(carry, xs):
+            state, sched = carry
+            idx_e, beta = xs
+            live = jnp.logical_not(sched["done"])
+
+            def do_epoch(st):
+                st, tm = train_epoch_indexed(st, x_all, idx_e, beta)
+                vm = eval_epoch(st, val_batches)
+                if fixed_val.shape[0]:
+                    recon = model.apply(
+                        {"params": st.params, "batch_stats": st.batch_stats},
+                        fixed_val,
+                        train=False,
+                    )[0]
+                else:
+                    recon = jnp.zeros_like(fixed_val)
+                return st, tm, vm, recon
+
+            def skip_epoch(st):
+                zeros = {k: jnp.zeros(()) for k in ("total", "recon", "kld")}
+                return st, zeros, zeros, jnp.zeros_like(fixed_val)
+
+            state, tm, vm, recon = jax.lax.cond(live, do_epoch, skip_epoch, state)
+            val = vm["total"]
+
+            # plateau LR + early stopping on device (harness semantics)
+            lr = state.opt_state[1].hyperparams["learning_rate"]
+            sched, new_lr, improved = device_sched_step(sched, val, lr, live)
+            state = state.replace(opt_state=_with_lr(state.opt_state, new_lr))
+
+            # best-state tracking: capture scheduler counters AT the improved
+            # epoch too, so the best checkpoint resumes with exactly the wait
+            # counters the sequential loop would have saved at that epoch
+            epoch_no = sched["epoch"] + live.astype(jnp.int32)
+            best = masked(improved, {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "rng": state.rng,
+                "plateau_best": sched["plateau_best"],
+                "plateau_bad": sched["plateau_bad"],
+                "stop_best": sched["stop_best"],
+                "stop_bad": sched["stop_bad"],
+                "lr": new_lr,
+            }, sched["best"])
+            sched = dict(
+                sched,
+                best=best,
+                best_epoch=jnp.where(improved, epoch_no, sched["best_epoch"]),
+                epoch=epoch_no,
+            )
+            out = {
+                "train": tm,
+                "val": vm,
+                "lr": new_lr,
+                "ran": live,
+                "improved": improved,
+                "recon": recon,
+            }
+            return (state, sched), out
+
+        (state, sched), out = jax.lax.scan(body, (state, sched), (idx, betas))
+        return state, sched, out
+
+    return train_epoch, eval_epoch, train_epoch_indexed, run_epochs
 
 
 def epoch_indices(n: int, batch_size: int, rng: np.random.Generator, shuffle=True):
@@ -172,9 +292,7 @@ def train(
     epoch, scheduler/early-stop state)."""
     model = VAE.from_config(cfg)
     state = init_state(cfg, model, seed=cfg.seed)
-    _, eval_epoch, train_epoch_indexed = make_epoch_fns(cfg, model)
-    train_epoch_indexed = jax.jit(train_epoch_indexed)
-    eval_epoch = jax.jit(eval_epoch)
+    run_fn = jax.jit(make_epoch_fns(cfg, model)[3])
 
     ckpt_dir = os.path.join(workdir, cfg.checkpoint_dir) if workdir else cfg.checkpoint_dir
     log_dir = os.path.join(workdir, cfg.log_dir) if workdir else cfg.log_dir
@@ -225,97 +343,126 @@ def train(
 
     val_batches = stack_epoch(x_val, cfg.batch_size, data_rng, shuffle=False)
     x_train_dev = jnp.asarray(x_train)  # device-resident epoch data
+    fixed_dev = jnp.asarray(
+        fixed_val if recon_dumps else fixed_val[:0]
+    )  # (R, L, 4); R=0 disables in-graph recon
 
-    # jitted recon forward: an unjitted apply dispatches hundreds of ops per
-    # epoch through the device tunnel (~20s/epoch on the remote TPU)
-    recon_fn = jax.jit(
-        lambda params, stats, x: model.apply(
-            {"params": params, "batch_stats": stats}, x, train=False
-        )[0]
-    )
+    # device scheduler state: the fused program runs plateau-LR + early-stop
+    # + best-state tracking on device; the host only chunks epochs and does
+    # file I/O between chunks
+    sched = init_sched(state, plateau, stopper)
+    sched["epoch"] = jnp.asarray(start_epoch - 1, jnp.int32)
 
-    best_state = state
+    chunk_size = max(1, int(os.environ.get("MELOGAN_EPOCH_CHUNK", "10")))
     history: Dict[str, float] = {}
-    for epoch in range(start_epoch, cfg.epochs + 1):
-        beta = beta_schedule(epoch, cfg.kld_warmup_epochs, cfg.beta)
+    last_saved_best = None
+    epoch = start_epoch
+    while epoch <= cfg.epochs:
+        chunk = list(range(epoch, min(cfg.epochs, epoch + chunk_size - 1) + 1))
         t0 = time.perf_counter()
-        idx = epoch_indices(x_train.shape[0], cfg.batch_size, data_rng)
-        state, tm = train_epoch_indexed(
-            state, x_train_dev, jnp.asarray(idx), jnp.asarray(beta, jnp.float32)
+        idx = np.stack(
+            [epoch_indices(x_train.shape[0], cfg.batch_size, data_rng) for _ in chunk]
         )
-        vm = eval_epoch(state, val_batches)
-        val_total = float(vm["total"])
-        dt = time.perf_counter() - t0
-
-        lr = get_lr(state)
-        new_lr = plateau.step(val_total, lr)
-        if new_lr != lr:
-            state = set_lr(state, new_lr)
-
-        writer.add_scalars(
-            {
-                "loss/train_total": float(tm["total"]),
-                "loss/train_recon": float(tm["recon"]),
-                "loss/train_kld": float(tm["kld"]),
-                "loss/val_total": val_total,
-                "loss/val_recon": float(vm["recon"]),
-                "loss/val_kld": float(vm["kld"]),
-                "lr": new_lr,
-                "beta": beta,
-                "epoch_seconds": dt,
-            },
-            epoch,
+        betas = np.asarray(
+            [beta_schedule(ep, cfg.kld_warmup_epochs, cfg.beta) for ep in chunk],
+            np.float32,
         )
-        if verbose:
-            print(
-                f"[AE epoch {epoch}] train {float(tm['total']):.6f} "
-                f"(recon {float(tm['recon']):.6f}, kld {float(tm['kld']):.6f}) | "
-                f"val {val_total:.6f} | {dt:.2f}s"
+        state, sched, out = run_fn(
+            state, x_train_dev, jnp.asarray(idx), jnp.asarray(betas),
+            val_batches, fixed_dev, sched,
+        )
+        out = jax.tree_util.tree_map(np.asarray, out)
+        dt = (time.perf_counter() - t0) / len(chunk)
+
+        stopped_at = None
+        for j, ep in enumerate(chunk):
+            if not out["ran"][j]:
+                break
+            val_total = float(out["val"]["total"][j])
+            writer.add_scalars(
+                {
+                    "loss/train_total": float(out["train"]["total"][j]),
+                    "loss/train_recon": float(out["train"]["recon"][j]),
+                    "loss/train_kld": float(out["train"]["kld"][j]),
+                    "loss/val_total": val_total,
+                    "loss/val_recon": float(out["val"]["recon"][j]),
+                    "loss/val_kld": float(out["val"]["kld"][j]),
+                    "lr": float(out["lr"][j]),
+                    "beta": float(betas[j]),
+                    "epoch_seconds": dt,
+                },
+                ep,
             )
+            if verbose:
+                print(
+                    f"[AE epoch {ep}] train {float(out['train']['total'][j]):.6f} "
+                    f"(recon {float(out['train']['recon'][j]):.6f}, "
+                    f"kld {float(out['train']['kld'][j]):.6f}) | "
+                    f"val {val_total:.6f} | {dt:.2f}s"
+                )
+            if recon_dumps and ep % cfg.recon_freq == 0 and fixed_val.shape[0]:
+                for i, name in enumerate(fixed_names):
+                    base = os.path.splitext(os.path.basename(name))[0]
+                    try:
+                        save_recon_midi(
+                            ae_denormalize(fixed_val[i], cfg.max_start_beat, cfg.max_duration_beat),
+                            ae_denormalize(out["recon"][j, i], cfg.max_start_beat, cfg.max_duration_beat),
+                            recon_dir,
+                            f"ep{ep}_{base}",
+                        )
+                    except Exception as e:  # noqa: BLE001 — fail-soft like the reference
+                        print(f"[WARN] recon dump failed for {name}: {e}")
+            is_stop_epoch = bool(sched["done"]) and (
+                j + 1 == len(chunk) or not out["ran"][j + 1]
+            )
+            if not is_stop_epoch:
+                history = {"epoch": ep, "val_total": val_total,
+                           "best_val": float(sched["stop_best"])}
+            else:
+                stopped_at = ep
 
-        if recon_dumps and epoch % cfg.recon_freq == 0 and fixed_val.shape[0]:
-            recon = recon_fn(state.params, state.batch_stats, jnp.asarray(fixed_val))
-            for i, name in enumerate(fixed_names):
-                base = os.path.splitext(os.path.basename(name))[0]
-                try:
-                    save_recon_midi(
-                        ae_denormalize(fixed_val[i], cfg.max_start_beat, cfg.max_duration_beat),
-                        ae_denormalize(np.asarray(recon[i]), cfg.max_start_beat, cfg.max_duration_beat),
-                        recon_dir,
-                        f"ep{epoch}_{base}",
-                    )
-                except Exception as e:  # noqa: BLE001 — fail-soft like the reference
-                    print(f"[WARN] recon dump failed for {name}: {e}")
-
-        stop = stopper.step(val_total)
-        if stopper.improved:
-            best_state = state
+        # best checkpoint: written once per chunk when a new best appeared
+        # (same artifact the sequential loop writes at every improved epoch)
+        best_epoch = int(sched["best_epoch"])
+        if out["improved"].any() and best_epoch != last_saved_best:
+            best = jax.tree_util.tree_map(np.asarray, sched["best"])
             save_checkpoint(
                 os.path.join(ckpt_dir, "ae_best.ckpt"),
                 {
-                    "epoch": epoch,
-                    "params": state.params,
-                    "batch_stats": state.batch_stats,
-                    "opt_state": state.opt_state,
-                    "rng": state.rng,
-                    "best_val": stopper.best,
-                    "lr": new_lr,
-                    "plateau": plateau.state_dict(),
-                    "stopper": stopper.state_dict(),
+                    "epoch": best_epoch,
+                    "params": best["params"],
+                    "batch_stats": best["batch_stats"],
+                    "opt_state": best["opt_state"],
+                    "rng": best["rng"],
+                    "best_val": float(best["stop_best"]),
+                    "lr": float(best["lr"]),
+                    "plateau": {"best": float(best["plateau_best"]),
+                                "num_bad_epochs": int(best["plateau_bad"])},
+                    "stopper": {"best": float(best["stop_best"]),
+                                "num_bad_epochs": int(best["stop_bad"])},
                 },
             )
-        if stop:
-            if verbose:
-                print(f"[AE] early stop at epoch {epoch} (no improvement {cfg.early_stop_patience} epochs)")
-            break
-        history = {"epoch": epoch, "val_total": val_total, "best_val": stopper.best}
+            last_saved_best = best_epoch
 
+        if stopped_at is not None:
+            if verbose:
+                print(f"[AE] early stop at epoch {stopped_at} "
+                      f"(no improvement {cfg.early_stop_patience} epochs)")
+            break
+        epoch = chunk[-1] + 1
+
+    best_state = VAETrainState(
+        params=sched["best"]["params"],
+        batch_stats=sched["best"]["batch_stats"],
+        opt_state=sched["best"]["opt_state"],
+        rng=sched["best"]["rng"],
+    )
     save_checkpoint(
         os.path.join(ckpt_dir, "ae_final.ckpt"),
         {"params": state.params, "batch_stats": state.batch_stats},
     )
     writer.close()
-    return best_state, {"best_val": stopper.best, **history}
+    return best_state, {"best_val": float(sched["stop_best"]), **history}
 
 
 def encode_mu(model: VAE, state: VAETrainState, notes_ae: np.ndarray, batch_size: int = 256) -> np.ndarray:

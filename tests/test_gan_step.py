@@ -58,7 +58,8 @@ def test_group_step_updates_everything(rng):
     cfg = tiny_cfg()
     models = gan_step.build_models(cfg, tiny_ed_cfg())
     state = gan_step.init_state(cfg, models, seed=0)
-    group_step, tail_step, _, _ = gan_step.make_train_steps(cfg, models)
+    steps = gan_step.make_train_steps(cfg, models)
+    group_step, tail_step = steps.group, steps.tail
     group_step = jax.jit(group_step)
     tail_step = jax.jit(tail_step)
 
@@ -96,7 +97,8 @@ def test_critic_loss_decreases_on_fixed_batch(rng):
     cfg = tiny_cfg()
     models = gan_step.build_models(cfg, tiny_ed_cfg())
     state = gan_step.init_state(cfg, models, seed=0)
-    group_step, tail_step, _, _ = gan_step.make_train_steps(cfg, models)
+    steps = gan_step.make_train_steps(cfg, models)
+    group_step, tail_step = steps.group, steps.tail
     tail_step = jax.jit(tail_step)
 
     one = make_batches(rng, cfg, 1)
@@ -113,7 +115,7 @@ def test_ed_frozen_eval_inside_g_loss(rng):
     cfg = tiny_cfg()
     models = gan_step.build_models(cfg, tiny_ed_cfg())
     state = gan_step.init_state(cfg, models, seed=0)
-    group_step, _, _, _ = gan_step.make_train_steps(cfg, models)
+    group_step = gan_step.make_train_steps(cfg, models).group
     group_step = jax.jit(group_step)
     batches = make_batches(rng, cfg, cfg.critic_iters)
     _, m1 = group_step(state, batches)
@@ -138,7 +140,7 @@ def test_group_step_conditioning_mode(rng):
     cfg = tiny_cfg(integration_mode="conditioning")
     models = gan_step.build_models(cfg, tiny_ed_cfg())
     state = gan_step.init_state(cfg, models, seed=0)
-    group_step = jax.jit(gan_step.make_train_steps(cfg, models)[0])
+    group_step = jax.jit(gan_step.make_train_steps(cfg, models).group)
     batches = make_batches(rng, cfg, cfg.critic_iters)
     new_state, metrics = group_step(state, batches)
     assert np.isfinite(float(metrics["loss_d_sum"]))
@@ -156,7 +158,8 @@ def test_epoch_step_matches_sequential_groups(rng):
     """One fused epoch dispatch must equal running the groups sequentially."""
     cfg = tiny_cfg()
     models = gan_step.build_models(cfg, tiny_ed_cfg())
-    group_step, _, epoch_step, _ = gan_step.make_train_steps(cfg, models)
+    steps = gan_step.make_train_steps(cfg, models)
+    group_step, epoch_step = steps.group, steps.epoch
     group_step = jax.jit(group_step)
     epoch_step = jax.jit(epoch_step)
 
@@ -188,7 +191,8 @@ def test_indexed_epoch_matches_stacked_epoch(rng):
     """Device-resident indexed gathering must equal explicit batch stacking."""
     cfg = tiny_cfg()
     models = gan_step.build_models(cfg, tiny_ed_cfg())
-    _, _, epoch_step, indexed_step = gan_step.make_train_steps(cfg, models)
+    steps = gan_step.make_train_steps(cfg, models)
+    epoch_step, indexed_step = steps.epoch, steps.indexed
     epoch_step = jax.jit(epoch_step)
     indexed_step = jax.jit(indexed_step)
     state0 = gan_step.init_state(cfg, models, seed=0)
@@ -218,3 +222,60 @@ def test_indexed_epoch_matches_stacked_epoch(rng):
         jax.tree_util.tree_leaves(s_indexed.critic_params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_multi_epoch_run_matches_sequential_epochs(rng):
+    """The multi-epoch fused program (one dispatch per save_freq epochs) must
+    produce bit-for-bit the same trajectory as dispatching each epoch's
+    indexed program + critic-only tail separately."""
+    cfg = tiny_cfg()
+    models = gan_step.build_models(cfg, tiny_ed_cfg())
+    steps = gan_step.make_train_steps(cfg, models)
+    indexed_step = jax.jit(steps.indexed)
+    tail_step = jax.jit(steps.tail)
+    run_step = jax.jit(steps.run)
+    state0 = gan_step.init_state(cfg, models, seed=0)
+
+    # n chosen so each epoch has 2 full groups + a 2-batch critic-only tail
+    n = cfg.batch_size * (2 * cfg.critic_iters + 2)
+    notes = jnp.asarray(rng.normal(size=(n, cfg.max_notes, 4)), jnp.float32)
+    emo = jnp.asarray(rng.integers(0, 4, size=(n,)), jnp.int32)
+    lat = jnp.asarray(rng.normal(size=(n, cfg.latent_dim)), jnp.float32)
+    num = jnp.asarray(rng.normal(size=(n, cfg.numeric_input_dim)), jnp.float32)
+    data = (notes, emo, lat, num)
+
+    from melogan_tpu.data.datasets import epoch_group_indices
+
+    data_rng = np.random.default_rng(11)
+    epochs = []
+    for _ in range(2):
+        gidx, tidx = epoch_group_indices(n, cfg.batch_size, cfg.critic_iters, data_rng)
+        assert gidx is not None and tidx is not None
+        epochs.append((gidx, tidx))
+
+    # sequential reference path: per-epoch indexed program + host-side tail
+    s_seq = state0
+    seq_d = []
+    for gidx, tidx in epochs:
+        s_seq, m = indexed_step(s_seq, data, jnp.asarray(gidx, jnp.int32))
+        d = float(jnp.sum(m["loss_d_sum"]))
+        tsel = jnp.asarray(tidx, jnp.int32)
+        s_seq, mt = tail_step(s_seq, (notes[tsel], emo[tsel], lat[tsel], num[tsel]))
+        seq_d.append(d + float(mt["loss_d_sum"]))
+
+    # fused path: both epochs in one dispatch
+    g_all = jnp.asarray(np.stack([g for g, _ in epochs]), jnp.int32)
+    t_all = jnp.asarray(np.stack([t for _, t in epochs]), jnp.int32)
+    s_run, m_run = run_step(state0, data, g_all, t_all)
+
+    np.testing.assert_allclose(np.asarray(m_run["loss_d_sum"]), seq_d, rtol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_seq.critic_params)
+        + jax.tree_util.tree_leaves(s_seq.gen_params)
+        + jax.tree_util.tree_leaves(s_seq.opt_g),
+        jax.tree_util.tree_leaves(s_run.critic_params)
+        + jax.tree_util.tree_leaves(s_run.gen_params)
+        + jax.tree_util.tree_leaves(s_run.opt_g),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(s_seq.rng), np.asarray(s_run.rng))

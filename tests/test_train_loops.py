@@ -307,3 +307,36 @@ def test_harness_state_dict_roundtrip():
     s2.load_state_dict(s.state_dict())
     assert (p2.best, p2.num_bad_epochs) == (p.best, p.num_bad_epochs)
     assert (s2.best, s2.num_bad_epochs) == (s.best, s.num_bad_epochs)
+
+
+def test_vae_chunked_run_matches_per_epoch_dispatch(splits, tmp_path, monkeypatch):
+    """The fused multi-epoch program (chunk > 1, with post-stop epochs masked)
+    must produce the same training trajectory as per-epoch dispatch
+    (chunk = 1), including early-stop timing and the best checkpoint."""
+    train_data, val_data = splits
+    # patience small enough that early stop triggers mid-chunk on tiny data
+    cfg = AEConfig(max_notes=64, batch_size=8, epochs=12, recon_save_count=0,
+                   early_stop_patience=3)
+
+    results = {}
+    for chunk in ("1", "5"):
+        monkeypatch.setenv("MELOGAN_EPOCH_CHUNK", chunk)
+        wd = tmp_path / f"chunk{chunk}"
+        state, metrics = vae_loop.train(
+            cfg, train_data, val_data, workdir=str(wd), verbose=False,
+            recon_dumps=False,
+        )
+        ckpt = load_checkpoint(str(wd / cfg.checkpoint_dir / "ae_best.ckpt"))
+        results[chunk] = (metrics, ckpt)
+
+    m1, c1 = results["1"]
+    m5, c5 = results["5"]
+    assert m1["best_val"] == pytest.approx(m5["best_val"], rel=1e-6)
+    assert m1.get("epoch") == m5.get("epoch")
+    assert c1["epoch"] == c5["epoch"]
+    assert c1["plateau"] == c5["plateau"]
+    assert c1["stopper"] == c5["stopper"]
+    for a, b in zip(
+        jax.tree_util.tree_leaves(c1["params"]), jax.tree_util.tree_leaves(c5["params"])
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
