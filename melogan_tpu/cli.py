@@ -119,6 +119,17 @@ def _load_split(args, name):
     return load_split(csv_path, args.processed_dir)
 
 
+def _mesh_from_args(args):
+    """--dp N → a (data=N, model=1) mesh over the first N local devices (the
+    fused train programs then run SPMD data-parallel); 0/absent → None."""
+    dp = getattr(args, "dp", 0)
+    if not dp:
+        return None
+    from melogan_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(n_devices=dp)
+
+
 def cmd_train_ae(args):
     from melogan_tpu.config import AEConfig
     from melogan_tpu.train import vae_loop
@@ -130,7 +141,7 @@ def cmd_train_ae(args):
     val_data = _load_split(args, "val")
     _, metrics = vae_loop.train(
         cfg, train_data, val_data, workdir=args.workdir,
-        resume=getattr(args, "resume", False),
+        resume=getattr(args, "resume", False), mesh=_mesh_from_args(args),
     )
     print(json.dumps(metrics))
 
@@ -173,7 +184,7 @@ def cmd_train_ed(args):
         lat_va = np.load(os.path.join(args.splits_dir, "val", "encoder_feats.npy"))
     _, metrics = ed_loop.train(
         cfg, train_data, val_data, lat_tr, lat_va, workdir=args.workdir,
-        resume=getattr(args, "resume", False),
+        resume=getattr(args, "resume", False), mesh=_mesh_from_args(args),
     )
     print(json.dumps(metrics))
 
@@ -223,6 +234,7 @@ def cmd_train_gan(args):
     _, metrics = gan_loop.train(
         cfg, ed_cfg, train_data, latents=latents, ed_variables=ed_variables,
         workdir=args.workdir, resume=getattr(args, "resume", False),
+        mesh=_mesh_from_args(args),
     )
     print(json.dumps(metrics))
 
@@ -513,6 +525,8 @@ def build_parser():
         s.add_argument("--processed-dir", default="data/processed")
         s.add_argument("--epochs", type=int, default=None)
         s.add_argument("--resume", action="store_true")
+        s.add_argument("--dp", type=int, default=0,
+                       help="data-parallel device count (0 = single device)")
         s.set_defaults(fn=fn)
 
     s = sub.add_parser("encode", help="export µ latents per split")
@@ -543,6 +557,8 @@ def build_parser():
     s.add_argument("--epochs", type=int, default=None)
     s.add_argument("--resume", action="store_true",
                    help="restart from the newest periodic checkpoint")
+    s.add_argument("--dp", type=int, default=0,
+                   help="data-parallel device count (0 = single device)")
     s.set_defaults(fn=cmd_train_gan)
 
     s = sub.add_parser("sample", help="emotion-conditioned MIDI generation")

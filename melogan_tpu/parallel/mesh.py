@@ -64,6 +64,47 @@ def shard_pytree_batch(tree, mesh: Mesh, batch_axis: int = 0):
     return jax.tree_util.tree_map(put, tree)
 
 
+def microbatch_constrainer(mesh: Optional[Mesh]):
+    """Build ``f(tree) -> tree`` that pins each leaf's leading (batch) axis to
+    the 'data' mesh axis via ``with_sharding_constraint``.
+
+    This is how the production train steps go SPMD: the step functions are
+    ordinary single-device programs; with a mesh, every microbatch entering a
+    loss/update is constrained batch-over-'data' and GSPMD propagates the
+    sharding through the whole program — gradient all-reduces and global
+    batch-norm statistics become ICI psums chosen by XLA, with semantics
+    identical (up to reduction order) to the single-device program.
+
+    Leaves whose batch dim doesn't divide the data-axis size (or scalars) are
+    left unconstrained. ``mesh=None`` returns the identity, so the same step
+    code serves both cases.
+    """
+    if mesh is None:
+        return lambda tree: tree
+    n_data = mesh.shape.get("data", 1)
+    if n_data <= 1:
+        return lambda tree: tree
+
+    def constrain(x):
+        if getattr(x, "ndim", 0) == 0 or x.shape[0] % n_data != 0:
+            return x
+        spec = [None] * x.ndim
+        spec[0] = "data"
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+    return lambda tree: jax.tree_util.tree_map(constrain, tree)
+
+
+def put_replicated(tree, mesh: Optional[Mesh]):
+    """Device-put a pytree fully replicated over the mesh (identity without
+    one). Used for the device-resident epoch arrays: the corpus is small
+    (~7 MB at reference scale), so replicating it and sharding only the
+    gathered microbatches avoids cross-device gathers on the index path."""
+    if mesh is None:
+        return tree
+    return jax.device_put(tree, replicated_sharding(mesh))
+
+
 # ---------------------------------------------------------------------------
 # Tensor-parallel parameter partitioning
 # ---------------------------------------------------------------------------

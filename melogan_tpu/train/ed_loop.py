@@ -105,8 +105,13 @@ def init_state(cfg: EDConfig, model: EmotionDiscriminator, seed: int = 42) -> ED
     )
 
 
-def make_epoch_fns(cfg: EDConfig, model: EmotionDiscriminator):
+def make_epoch_fns(cfg: EDConfig, model: EmotionDiscriminator, mesh=None):
+    """With ``mesh`` the same programs run SPMD data-parallel (microbatches
+    constrained batch-over-'data'; see gan_step.make_train_steps)."""
     opt = make_optimizer(cfg)
+    from melogan_tpu.parallel.mesh import microbatch_constrainer
+
+    shard_mb = microbatch_constrainer(mesh)
 
     def apply_vars(params, stats):
         v = {"params": params}
@@ -115,7 +120,7 @@ def make_epoch_fns(cfg: EDConfig, model: EmotionDiscriminator):
         return v
 
     def train_step(state, batch):
-        x, y = batch
+        x, y = shard_mb(batch)
         rng, k_drop = jax.random.split(state.rng)
 
         def loss_fn(params):
@@ -161,7 +166,7 @@ def make_epoch_fns(cfg: EDConfig, model: EmotionDiscriminator):
         return state, {"loss": jnp.mean(losses), "acc": jnp.mean(accs)}
 
     def eval_step(state, batch):
-        x, y = batch
+        x, y = shard_mb(batch)
         logits = model.apply(apply_vars(state.params, state.batch_stats), x, train=False)
         loss = cross_entropy(logits, y)
         acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
@@ -260,10 +265,13 @@ def train(
     workdir: Optional[str] = None,
     verbose: bool = True,
     resume: bool = False,
+    mesh=None,
 ) -> Tuple[EDTrainState, Dict[str, float]]:
+    """``mesh``: optional Mesh with a 'data' axis for SPMD data-parallel
+    epochs (`melogan train-ed --dp N`)."""
     model = EmotionDiscriminator.from_config(cfg)
     state = init_state(cfg, model, seed=cfg.seed)
-    run_fn = jax.jit(make_epoch_fns(cfg, model)[3])
+    run_fn = jax.jit(make_epoch_fns(cfg, model, mesh=mesh)[3])
 
     ckpt_dir = os.path.join(workdir, cfg.checkpoint_dir) if workdir else cfg.checkpoint_dir
     log_dir = os.path.join(workdir, cfg.log_dir) if workdir else cfg.log_dir
@@ -280,6 +288,12 @@ def train(
     # device-resident epoch data: per epoch the host sends only gather indices
     x_train_dev = jnp.asarray(x_train)
     y_train_dev = jnp.asarray(y_train)
+    if mesh is not None:
+        from melogan_tpu.parallel.mesh import put_replicated
+
+        x_train_dev, y_train_dev, val_batches = put_replicated(
+            (x_train_dev, y_train_dev, val_batches), mesh
+        )
 
     plateau = ReduceLROnPlateau(
         factor=cfg.scheduler.factor,

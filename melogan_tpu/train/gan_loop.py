@@ -34,16 +34,19 @@ def train(
     epochs: Optional[int] = None,
     verbose: bool = True,
     resume: bool = False,
+    mesh=None,
 ) -> Tuple[gan_step.GANTrainState, Dict[str, float]]:
     """Full Stage-3 run. ``ed_variables`` is the pre-trained frozen emotion
     discriminator ({'params': ..., 'batch_stats': ...}); when absent the ED is
     random (the reference warns and proceeds, train_gan.py:128-129).
     ``resume=True`` restarts from the newest periodic checkpoint, including
     both optimizer states — the resume path the reference never implemented
-    (SURVEY.md §5)."""
+    (SURVEY.md §5). ``mesh``: an optional ``jax.sharding.Mesh`` with a 'data'
+    axis — the fused programs then run SPMD data-parallel over it (corpus
+    replicated, microbatches sharded; `melogan train-gan --dp N`)."""
     models = gan_step.build_models(cfg, ed_cfg)
     state = gan_step.init_state(cfg, models, seed=cfg.seed, ed_variables=ed_variables)
-    steps = gan_step.make_train_steps(cfg, models)
+    steps = gan_step.make_train_steps(cfg, models, mesh=mesh)
     tail_fn = jax.jit(steps.tail)
     run_fn = jax.jit(steps.run)
 
@@ -92,6 +95,10 @@ def train(
         jnp.asarray(latents),
         jnp.asarray(numeric),
     )
+    if mesh is not None:
+        from melogan_tpu.parallel.mesh import put_replicated
+
+        data_dev = put_replicated(data_dev, mesh)
 
     rng = np.random.default_rng(cfg.seed)
     n_epochs = epochs or cfg.epochs

@@ -151,7 +151,7 @@ class TrainStepFns(NamedTuple):
     run: Any  # (state, device data, (E,G,K,B) idx, (E,T,B) idx) → E epochs
 
 
-def make_train_steps(cfg: GANConfig, models: GANModels) -> TrainStepFns:
+def make_train_steps(cfg: GANConfig, models: GANModels, mesh=None) -> TrainStepFns:
     """Build the fused train-step pure functions (see TrainStepFns).
 
     group(state, batches) with each batch field stacked to
@@ -160,10 +160,20 @@ def make_train_steps(cfg: GANConfig, models: GANModels) -> TrainStepFns:
 
     tail(state, batches) with (T, B, ...) stacks: the epoch tail
     (the reference updates D on every batch regardless of the G schedule).
+
+    With ``mesh`` (a ``jax.sharding.Mesh`` with a 'data' axis) the SAME
+    programs run SPMD data-parallel: every microbatch (and the per-sample
+    noise/α draws) is constrained batch-over-'data' and GSPMD inserts the
+    gradient/batch-stat all-reduces on ICI. Params/opt state stay replicated
+    (they're tiny); trajectories match the single-device program up to
+    reduction order (tested in tests/test_parallel.py).
     """
     gen, critic, fe, ed = models
     opt_g, opt_d = make_optimizers(cfg)
     lambda_gp, lambda_emo = cfg.lambda_gp, cfg.lambda_emotion
+    from melogan_tpu.parallel.mesh import microbatch_constrainer
+
+    shard_mb = microbatch_constrainer(mesh)
 
     def fe_embed(fe_params, numeric, rng):
         return fe.apply(
@@ -187,17 +197,17 @@ def make_train_steps(cfg: GANConfig, models: GANModels) -> TrainStepFns:
     # -- one critic update ------------------------------------------------
     def critic_update(carry, batch):
         critic_params, opt_d_state, gen_params, gen_stats, fe_params, rng = carry
-        real, emot_idx, latents, numeric = batch
+        real, emot_idx, latents, numeric = shard_mb(batch)
         b = real.shape[0]
         rng, k_drop, k_noise, k_alpha = jax.random.split(rng, 4)
 
         emb = fe_embed(fe_params, numeric, k_drop)
-        noise = jax.random.normal(k_noise, (b, cfg.noise_dim))
+        noise = shard_mb(jax.random.normal(k_noise, (b, cfg.noise_dim)))
         fake, _, gen_stats = gen_forward(
             gen_params, gen_stats, noise, latent_input(latents), emb
         )
         fake = jax.lax.stop_gradient(fake)
-        alpha = jax.random.uniform(k_alpha, (b, 1, 1))
+        alpha = shard_mb(jax.random.uniform(k_alpha, (b, 1, 1)))
 
         def loss_fn(cp):
             d_real = critic.apply({"params": cp}, real, emb)
@@ -214,14 +224,14 @@ def make_train_steps(cfg: GANConfig, models: GANModels) -> TrainStepFns:
 
     # -- one generator+feature-encoder update -----------------------------
     def gen_update(state: GANTrainState, batch, critic_params, gen_stats, rng):
-        real, emot_idx, latents, numeric = batch
+        real, emot_idx, latents, numeric = shard_mb(batch)
         b = real.shape[0]
         rng, k_drop, k_noise = jax.random.split(rng, 3)
 
         def loss_fn(joint):
             gen_params, fe_params = joint
             emb = fe_embed(fe_params, numeric, k_drop)
-            noise = jax.random.normal(k_noise, (b, cfg.noise_dim))
+            noise = shard_mb(jax.random.normal(k_noise, (b, cfg.noise_dim)))
             notes, glatent, new_stats = gen_forward(
                 gen_params, gen_stats, noise, latent_input(latents), emb
             )

@@ -108,12 +108,19 @@ def init_state(cfg: AEConfig, model: VAE, seed: int = 42) -> VAETrainState:
     )
 
 
-def make_epoch_fns(cfg: AEConfig, model: VAE):
-    """(train_epoch, eval_epoch) jittable over stacked epoch batches."""
+def make_epoch_fns(cfg: AEConfig, model: VAE, mesh=None):
+    """(train_epoch, eval_epoch, train_epoch_indexed, run_epochs) jittable
+    over stacked epoch batches. With ``mesh`` the same programs run SPMD
+    data-parallel (microbatches constrained batch-over-'data'; see
+    gan_step.make_train_steps)."""
     opt = make_optimizer(cfg)
+    from melogan_tpu.parallel.mesh import microbatch_constrainer
+
+    shard_mb = microbatch_constrainer(mesh)
 
     def train_step(carry, batch):
         state, beta = carry
+        batch = shard_mb(batch)
         rng, k_rep = jax.random.split(state.rng)
 
         def loss_fn(params):
@@ -161,6 +168,7 @@ def make_epoch_fns(cfg: AEConfig, model: VAE):
         return state, metrics
 
     def eval_step(state, batch):
+        batch = shard_mb(batch)
         recon, z, mu, log_var = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch,
@@ -286,13 +294,15 @@ def train(
     verbose: bool = True,
     recon_dumps: bool = True,
     resume: bool = False,
+    mesh=None,
 ) -> Tuple[VAETrainState, Dict[str, float]]:
     """Full Stage-1 training run; returns (best-state, final metrics).
     ``resume=True`` restarts from ``ae_best.ckpt`` (params, optimizer state,
-    epoch, scheduler/early-stop state)."""
+    epoch, scheduler/early-stop state). ``mesh``: optional Mesh with a 'data'
+    axis for SPMD data-parallel epochs (`melogan train-ae --dp N`)."""
     model = VAE.from_config(cfg)
     state = init_state(cfg, model, seed=cfg.seed)
-    run_fn = jax.jit(make_epoch_fns(cfg, model)[3])
+    run_fn = jax.jit(make_epoch_fns(cfg, model, mesh=mesh)[3])
 
     ckpt_dir = os.path.join(workdir, cfg.checkpoint_dir) if workdir else cfg.checkpoint_dir
     log_dir = os.path.join(workdir, cfg.log_dir) if workdir else cfg.log_dir
@@ -346,6 +356,12 @@ def train(
     fixed_dev = jnp.asarray(
         fixed_val if recon_dumps else fixed_val[:0]
     )  # (R, L, 4); R=0 disables in-graph recon
+    if mesh is not None:
+        from melogan_tpu.parallel.mesh import put_replicated
+
+        val_batches, x_train_dev, fixed_dev = put_replicated(
+            (val_batches, x_train_dev, fixed_dev), mesh
+        )
 
     # device scheduler state: the fused program runs plateau-LR + early-stop
     # + best-state tracking on device; the host only chunks epochs and does

@@ -95,6 +95,106 @@ def test_entry_compiles_single_chip():
 
 
 @needs_8
+def test_dp_gan_run_matches_single_device(rng):
+    """The production dp path (make_train_steps(mesh=...) + `--dp N`): the
+    fused multi-epoch GAN program sharded batch-over-'data' must reproduce
+    the single-device trajectory (GSPMD all-reduces vs local reductions —
+    identical up to reduction order)."""
+    from melogan_tpu.config import EDConfig, GANConfig
+    from melogan_tpu.parallel.mesh import put_replicated
+    from melogan_tpu.train import gan_step
+
+    cfg = GANConfig(max_notes=64, batch_size=8, noise_dim=16, latent_dim=8, gen_hidden=32)
+    ed_cfg = EDConfig(max_notes=64, notes_blocks=2, notes_hidden=32, mlp_hidden=(16,))
+    models = gan_step.build_models(cfg, ed_cfg)
+    state0 = gan_step.init_state(cfg, models, seed=0)
+
+    n = cfg.batch_size * (2 * cfg.critic_iters + 1)
+    data = (
+        jnp.asarray(rng.normal(size=(n, cfg.max_notes, 4)), jnp.float32),
+        jnp.asarray(rng.integers(0, 4, size=(n,)), jnp.int32),
+        jnp.asarray(rng.normal(size=(n, cfg.latent_dim)), jnp.float32),
+        jnp.asarray(rng.normal(size=(n, cfg.numeric_input_dim)), jnp.float32),
+    )
+    e, g, k, b = 2, 2, cfg.critic_iters, cfg.batch_size
+    idx_rng = np.random.default_rng(7)
+    gidx = jnp.asarray(
+        np.stack([idx_rng.permutation(n)[: g * k * b].reshape(g, k, b) for _ in range(e)]),
+        jnp.int32,
+    )
+
+    run_single = jax.jit(gan_step.make_train_steps(cfg, models).run)
+    s_single, m_single = run_single(state0, data, gidx)
+
+    mesh = make_mesh(8)
+    run_dp = jax.jit(gan_step.make_train_steps(cfg, models, mesh=mesh).run)
+    s_dp, m_dp = run_dp(state0, put_replicated(data, mesh), gidx)
+
+    np.testing.assert_allclose(
+        np.asarray(m_dp["loss_d_sum"]), np.asarray(m_single["loss_d_sum"]), rtol=1e-3
+    )
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(s_single.critic_params)
+        + jax.tree_util.tree_leaves(s_single.gen_params),
+        jax.tree_util.tree_leaves(s_dp.critic_params)
+        + jax.tree_util.tree_leaves(s_dp.gen_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3)
+
+
+@needs_8
+def test_dp_vae_run_matches_single_device(rng):
+    """The fused multi-epoch VAE program under dp sharding must match the
+    single-device trajectory (metrics + params)."""
+    from melogan_tpu.config import AEConfig
+    from melogan_tpu.models.vae import VAE
+    from melogan_tpu.parallel.mesh import put_replicated
+    from melogan_tpu.train import vae_loop
+    from melogan_tpu.train.harness import EarlyStopping, ReduceLROnPlateau
+
+    cfg = AEConfig(max_notes=64, batch_size=8, latent_dim=8, hidden_dim=32)
+    model = VAE.from_config(cfg)
+    state0 = vae_loop.init_state(cfg, model, seed=0)
+
+    n = 32
+    x_all = jnp.asarray(rng.normal(size=(n, cfg.max_notes, 4)), jnp.float32)
+    val = jnp.asarray(rng.normal(size=(2, cfg.batch_size, cfg.max_notes, 4)), jnp.float32)
+    fixed = jnp.zeros((0, cfg.max_notes, 4), jnp.float32)
+    e, nb = 2, n // cfg.batch_size
+    idx_rng = np.random.default_rng(3)
+    idx = jnp.asarray(
+        np.stack([idx_rng.permutation(n).reshape(nb, cfg.batch_size) for _ in range(e)]),
+        jnp.int32,
+    )
+    betas = jnp.asarray([0.5, 1.0], jnp.float32)
+
+    def fresh_sched(st):
+        return vae_loop.init_sched(
+            st,
+            ReduceLROnPlateau(factor=0.5, patience=3, threshold=1e-4),
+            EarlyStopping(patience=5),
+        )
+
+    run_single = jax.jit(vae_loop.make_epoch_fns(cfg, model)[3])
+    s_single, _, out_single = run_single(
+        state0, x_all, idx, betas, val, fixed, fresh_sched(state0)
+    )
+
+    mesh = make_mesh(8)
+    run_dp = jax.jit(vae_loop.make_epoch_fns(cfg, model, mesh=mesh)[3])
+    x_dp, val_dp, fixed_dp = put_replicated((x_all, val, fixed), mesh)
+    s_dp, _, out_dp = run_dp(state0, x_dp, idx, betas, val_dp, fixed_dp, fresh_sched(state0))
+
+    np.testing.assert_allclose(
+        np.asarray(out_dp["val"]["total"]), np.asarray(out_single["val"]["total"]), rtol=1e-4
+    )
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(s_single.params), jax.tree_util.tree_leaves(s_dp.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-3)
+
+
+@needs_8
 def test_sharded_sampling_matches_single_device(rng):
     """Batch-sharded generator inference over the mesh must produce exactly
     the same samples as single-device execution (same rng, same params)."""
