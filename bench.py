@@ -46,7 +46,7 @@ def _bench_sampling(sampler, batch: int, iters: int, warmup: int = 2):
 
 
 def _bench_train(iters: int = 20, warmup: int = 2, pallas: str = "off",
-                 epochs_per_dispatch: int = 0):
+                 epochs_per_dispatch: int = 0, precision=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -77,12 +77,14 @@ def _bench_train(iters: int = 20, warmup: int = 2, pallas: str = "off",
         jnp.asarray(rng.normal(size=(n, cfg.latent_dim)), jnp.float32),
         jnp.asarray(rng.normal(size=(n, cfg.numeric_input_dim)), jnp.float32),
     )
+    from melogan_tpu.train.harness import jit_with_precision
+
     if e == 1:
-        indexed = jax.jit(steps.indexed)
+        indexed = jit_with_precision(steps.indexed, precision)
         idx = jnp.asarray(rng.permutation(n).reshape(g, k, b), jnp.int32)
         step = lambda st: indexed(st, data, idx)
     else:
-        run_step = jax.jit(steps.run)
+        run_step = jit_with_precision(steps.run, precision)
         idx = jnp.asarray(
             np.stack([rng.permutation(n).reshape(g, k, b) for _ in range(e)]), jnp.int32
         )
@@ -207,6 +209,15 @@ def run(cpu_baseline: bool = False):
     except Exception as e:  # noqa: BLE001
         print(f"[bench] fast-math sampling failed: {e}", file=sys.stderr)
 
+    # mixed-precision training variant (`melogan train-gan --bf16`): same
+    # fused multi-epoch program traced with bf16 MXU passes; headline train
+    # number stays HIGHEST (torch-parity numerics)
+    bf16_train = None
+    try:
+        bf16_train = _bench_train(iters=15, precision="bf16")
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] bf16 train variant failed: {e}", file=sys.stderr)
+
     # CPU baseline in a subprocess (fresh backend)
     cpu = {"samples_per_sec": None, "train_steps_per_sec": None}
     try:
@@ -251,6 +262,7 @@ def run(cpu_baseline: bool = False):
         "xla_train_steps_per_sec": round(train_steps, 3),
         "pallas_train_steps_per_sec_1ep": round(pallas_train, 3) if pallas_train else None,
         "bf16_samples_per_sec": round(fast_samples, 2) if fast_samples else None,
+        "bf16_train_steps_per_sec": round(bf16_train, 3) if bf16_train else None,
         "cpu_samples_per_sec": round(cpu["samples_per_sec"], 2) if cpu.get("samples_per_sec") else None,
     }
     print(json.dumps(out))

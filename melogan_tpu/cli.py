@@ -142,6 +142,7 @@ def cmd_train_ae(args):
     _, metrics = vae_loop.train(
         cfg, train_data, val_data, workdir=args.workdir,
         resume=getattr(args, "resume", False), mesh=_mesh_from_args(args),
+        precision="bf16" if getattr(args, "bf16", False) else None,
     )
     print(json.dumps(metrics))
 
@@ -185,6 +186,7 @@ def cmd_train_ed(args):
     _, metrics = ed_loop.train(
         cfg, train_data, val_data, lat_tr, lat_va, workdir=args.workdir,
         resume=getattr(args, "resume", False), mesh=_mesh_from_args(args),
+        precision="bf16" if getattr(args, "bf16", False) else None,
     )
     print(json.dumps(metrics))
 
@@ -235,6 +237,7 @@ def cmd_train_gan(args):
         cfg, ed_cfg, train_data, latents=latents, ed_variables=ed_variables,
         workdir=args.workdir, resume=getattr(args, "resume", False),
         mesh=_mesh_from_args(args),
+        precision="bf16" if getattr(args, "bf16", False) else None,
     )
     print(json.dumps(metrics))
 
@@ -527,6 +530,8 @@ def build_parser():
         s.add_argument("--resume", action="store_true")
         s.add_argument("--dp", type=int, default=0,
                        help="data-parallel device count (0 = single device)")
+        s.add_argument("--bf16", action="store_true",
+                       help="mixed-precision MXU training (bf16 matmul passes)")
         s.set_defaults(fn=fn)
 
     s = sub.add_parser("encode", help="export µ latents per split")
@@ -559,6 +564,8 @@ def build_parser():
                    help="restart from the newest periodic checkpoint")
     s.add_argument("--dp", type=int, default=0,
                    help="data-parallel device count (0 = single device)")
+    s.add_argument("--bf16", action="store_true",
+                   help="mixed-precision MXU training (bf16 matmul passes)")
     s.set_defaults(fn=cmd_train_gan)
 
     s = sub.add_parser("sample", help="emotion-conditioned MIDI generation")

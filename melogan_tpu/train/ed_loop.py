@@ -266,12 +266,16 @@ def train(
     verbose: bool = True,
     resume: bool = False,
     mesh=None,
+    precision=None,
 ) -> Tuple[EDTrainState, Dict[str, float]]:
     """``mesh``: optional Mesh with a 'data' axis for SPMD data-parallel
-    epochs (`melogan train-ed --dp N`)."""
+    epochs (`melogan train-ed --dp N`). ``precision='bf16'``: mixed-precision
+    MXU training (harness.jit_with_precision; `--bf16`)."""
     model = EmotionDiscriminator.from_config(cfg)
     state = init_state(cfg, model, seed=cfg.seed)
-    run_fn = jax.jit(make_epoch_fns(cfg, model, mesh=mesh)[3])
+    from melogan_tpu.train.harness import jit_with_precision
+
+    run_fn = jit_with_precision(make_epoch_fns(cfg, model, mesh=mesh)[3], precision)
 
     ckpt_dir = os.path.join(workdir, cfg.checkpoint_dir) if workdir else cfg.checkpoint_dir
     log_dir = os.path.join(workdir, cfg.log_dir) if workdir else cfg.log_dir

@@ -35,6 +35,7 @@ def train(
     verbose: bool = True,
     resume: bool = False,
     mesh=None,
+    precision=None,
 ) -> Tuple[gan_step.GANTrainState, Dict[str, float]]:
     """Full Stage-3 run. ``ed_variables`` is the pre-trained frozen emotion
     discriminator ({'params': ..., 'batch_stats': ...}); when absent the ED is
@@ -43,12 +44,17 @@ def train(
     both optimizer states — the resume path the reference never implemented
     (SURVEY.md §5). ``mesh``: an optional ``jax.sharding.Mesh`` with a 'data'
     axis — the fused programs then run SPMD data-parallel over it (corpus
-    replicated, microbatches sharded; `melogan train-gan --dp N`)."""
+    replicated, microbatches sharded; `melogan train-gan --dp N`).
+    ``precision='bf16'``: mixed-precision MXU training (note: the WGAN-GP
+    second-order penalty is precision-sensitive; the parity default stays
+    HIGHEST)."""
     models = gan_step.build_models(cfg, ed_cfg)
     state = gan_step.init_state(cfg, models, seed=cfg.seed, ed_variables=ed_variables)
     steps = gan_step.make_train_steps(cfg, models, mesh=mesh)
-    tail_fn = jax.jit(steps.tail)
-    run_fn = jax.jit(steps.run)
+    from melogan_tpu.train.harness import jit_with_precision
+
+    tail_fn = jit_with_precision(steps.tail, precision)
+    run_fn = jit_with_precision(steps.run, precision)
 
     ckpt_dir = os.path.join(workdir, cfg.checkpoint_dir) if workdir else cfg.checkpoint_dir
     log_dir = os.path.join(workdir, cfg.log_dir) if workdir else cfg.log_dir

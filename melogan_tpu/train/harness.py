@@ -75,6 +75,44 @@ class EarlyStopping:
         self.num_bad_epochs = int(d["num_bad_epochs"])
 
 
+# -- mixed-precision tracing -------------------------------------------------
+
+
+def jit_with_precision(fn, precision=None, **jit_kwargs):
+    """``jax.jit(fn)`` whose traces run under an explicit MXU matmul precision.
+
+    ``precision``: None/'highest' → the parity default (HIGHEST: f32-accurate
+    MXU passes, bit-comparable to the torch reference); 'bf16'/'default' →
+    single-pass bf16 MXU matmuls/convs — TPU mixed-precision training, ~2×
+    matmul throughput. Params, activations-at-rest, gradients and optimizer
+    state all stay f32 (bf16 on TPU needs no loss scaling); only the MXU
+    inputs are rounded. Layer precision is read at TRACE time
+    (models/layers.py::default_precision), so the flag is flipped around each
+    call — cached executions are unaffected."""
+    import jax as _jax
+
+    jitted = _jax.jit(fn, **jit_kwargs)
+    if precision in (None, "highest"):
+        return jitted
+    prec = (
+        _jax.lax.Precision.DEFAULT
+        if precision in ("bf16", "default")
+        else precision
+    )
+
+    def wrapped(*args, **kwargs):
+        from melogan_tpu.models.layers import default_precision, set_default_precision
+
+        prev = default_precision()
+        set_default_precision(prec)
+        try:
+            return jitted(*args, **kwargs)
+        finally:
+            set_default_precision(prev)
+
+    return wrapped
+
+
 # -- device-resident scheduler (for multi-epoch fused programs) -------------
 #
 # The VAE/ED loops run E epochs per device dispatch; the plateau scheduler and

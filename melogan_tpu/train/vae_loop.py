@@ -295,14 +295,19 @@ def train(
     recon_dumps: bool = True,
     resume: bool = False,
     mesh=None,
+    precision=None,
 ) -> Tuple[VAETrainState, Dict[str, float]]:
     """Full Stage-1 training run; returns (best-state, final metrics).
     ``resume=True`` restarts from ``ae_best.ckpt`` (params, optimizer state,
     epoch, scheduler/early-stop state). ``mesh``: optional Mesh with a 'data'
-    axis for SPMD data-parallel epochs (`melogan train-ae --dp N`)."""
+    axis for SPMD data-parallel epochs (`melogan train-ae --dp N`).
+    ``precision='bf16'``: mixed-precision MXU training (see
+    harness.jit_with_precision; `--bf16`)."""
     model = VAE.from_config(cfg)
     state = init_state(cfg, model, seed=cfg.seed)
-    run_fn = jax.jit(make_epoch_fns(cfg, model, mesh=mesh)[3])
+    from melogan_tpu.train.harness import jit_with_precision
+
+    run_fn = jit_with_precision(make_epoch_fns(cfg, model, mesh=mesh)[3], precision)
 
     ckpt_dir = os.path.join(workdir, cfg.checkpoint_dir) if workdir else cfg.checkpoint_dir
     log_dir = os.path.join(workdir, cfg.log_dir) if workdir else cfg.log_dir

@@ -340,3 +340,32 @@ def test_vae_chunked_run_matches_per_epoch_dispatch(splits, tmp_path, monkeypatc
         jax.tree_util.tree_leaves(c1["params"]), jax.tree_util.tree_leaves(c5["params"])
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_precision_training_plumbing(splits, tmp_path):
+    """`--bf16` (harness.jit_with_precision): the wrapped program must run,
+    restore the global layer precision after each call, and — on CPU, where
+    MXU precision requests are no-ops — reproduce the f32 trajectory."""
+    from melogan_tpu.models.layers import default_precision
+    from melogan_tpu.train.harness import jit_with_precision
+
+    train_data, val_data = splits
+    cfg = AEConfig(max_notes=64, batch_size=8, epochs=2, recon_save_count=0)
+    before = default_precision()
+    state_bf16, m_bf16 = vae_loop.train(
+        cfg, train_data, val_data, workdir=str(tmp_path / "bf16"),
+        verbose=False, recon_dumps=False, precision="bf16",
+    )
+    assert default_precision() is before  # restored after every dispatch
+    state_f32, m_f32 = vae_loop.train(
+        cfg, train_data, val_data, workdir=str(tmp_path / "f32"),
+        verbose=False, recon_dumps=False,
+    )
+    # CPU ignores MXU precision: identical math, identical trajectory
+    np.testing.assert_allclose(m_bf16["best_val"], m_f32["best_val"], rtol=1e-6)
+
+    # the wrapper itself: identity for highest, wrapped for bf16
+    f = lambda x: x * 2.0
+    assert jit_with_precision(f, None)(3.0) == 6.0
+    assert float(jit_with_precision(f, "bf16")(3.0)) == 6.0
+    assert default_precision() is before
