@@ -218,3 +218,26 @@ def test_sharded_sampling_matches_single_device(rng):
         sampler._step(gen_sharded, fe_sharded, key, idx_sharded, batch=16)
     )
     np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+@needs_8
+def test_dp_bf16_compose_through_train_loop(rng, tmp_path):
+    """`--dp 8 --bf16` together: the real VAE loop over a mesh with the
+    mixed-precision trace must run and (on CPU, where precision requests are
+    no-ops) reproduce the plain dp trajectory."""
+    from melogan_tpu.config import AEConfig
+    from melogan_tpu.train import vae_loop
+    from tests.test_train_loops import synth_split
+
+    train_data, val_data = synth_split(rng, 16, 64), synth_split(rng, 8, 64)
+    cfg = AEConfig(max_notes=64, batch_size=8, epochs=2, recon_save_count=0)
+    mesh = make_mesh(8)
+    _, m_both = vae_loop.train(
+        cfg, train_data, val_data, workdir=str(tmp_path / "both"),
+        verbose=False, recon_dumps=False, mesh=mesh, precision="bf16",
+    )
+    _, m_dp = vae_loop.train(
+        cfg, train_data, val_data, workdir=str(tmp_path / "dp"),
+        verbose=False, recon_dumps=False, mesh=mesh,
+    )
+    np.testing.assert_allclose(m_both["best_val"], m_dp["best_val"], rtol=1e-6)
