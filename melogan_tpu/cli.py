@@ -277,39 +277,59 @@ def cmd_sample(args):
 
 def cmd_pipeline(args):
     """full_script.sh equivalent: synth-data? → preprocess → splits → arrays →
-    train-ae → encode → train-ed → train-gan → sample ×4 emotions."""
+    train-ae → encode → train-ed → train-gan → sample ×4 emotions.
+    Prints per-stage wall-clock at the end."""
+    import time
     from types import SimpleNamespace
+
+    timings = []
+
+    def stage(name, fn, *a):
+        t0 = time.perf_counter()
+        out = fn(*a)
+        timings.append((name, time.perf_counter() - t0))
+        return out
 
     work = args.workdir
     data_root = os.path.join(work, "data")
     if args.synthetic:
-        cmd_synth_data(SimpleNamespace(out=data_root, per_emotion=args.per_emotion, seed=42))
+        stage("synth-data", cmd_synth_data,
+              SimpleNamespace(out=data_root, per_emotion=args.per_emotion, seed=42))
         manifest = os.path.join(data_root, "data_manifest.csv")
     else:
         manifest = args.manifest
     processed = os.path.join(data_root, "processed")
     splits_dir = os.path.join(data_root, "splits")
-    cmd_preprocess(SimpleNamespace(manifest=manifest, out=processed, scaler=None))
-    cmd_make_splits(SimpleNamespace(manifest=manifest, out=splits_dir, seed=42))
-    cmd_split_arrays(SimpleNamespace(splits=["train", "val", "test"], splits_dir=splits_dir,
-                                     processed_dir=processed))
+    stage("preprocess", cmd_preprocess,
+          SimpleNamespace(manifest=manifest, out=processed, scaler=None))
+    stage("make-splits", cmd_make_splits,
+          SimpleNamespace(manifest=manifest, out=splits_dir, seed=42))
+    stage("split-arrays", cmd_split_arrays,
+          SimpleNamespace(splits=["train", "val", "test"], splits_dir=splits_dir,
+                          processed_dir=processed))
     base = SimpleNamespace(
         workdir=work, splits_dir=splits_dir, processed_dir=processed,
         config=args.ae_config, epochs=args.epochs, checkpoint=None,
     )
-    cmd_train_ae(base)
-    cmd_encode(SimpleNamespace(**{**vars(base), "splits": ["train", "val", "test"]}))
-    cmd_train_ed(SimpleNamespace(**{**vars(base), "config": args.ed_config}))
-    cmd_train_gan(SimpleNamespace(**{**vars(base), "config": args.gan_config,
-                                     "ed_config": args.ed_config, "ed_ckpt": None}))
+    stage("train-ae", cmd_train_ae, base)
+    stage("encode", cmd_encode,
+          SimpleNamespace(**{**vars(base), "splits": ["train", "val", "test"]}))
+    stage("train-ed", cmd_train_ed, SimpleNamespace(**{**vars(base), "config": args.ed_config}))
+    stage("train-gan", cmd_train_gan,
+          SimpleNamespace(**{**vars(base), "config": args.gan_config,
+                             "ed_config": args.ed_config, "ed_ckpt": None}))
     gen_dir = os.path.join(work, "generated_tests")
-    cmd_sample(SimpleNamespace(
+    stage("sample", cmd_sample, SimpleNamespace(
         workdir=work, config=args.gan_config, checkpoint=None, emotion="all",
         samples=2, seed=42, out=gen_dir,
     ))
     # golden-band quality gate over the fresh samples (VERDICT r1 item 6)
     if not getattr(args, "skip_quality_gate", False):
-        cmd_quality_gate(SimpleNamespace(dir=gen_dir, strict=True))
+        stage("quality-gate", cmd_quality_gate, SimpleNamespace(dir=gen_dir, strict=True))
+    total = sum(t for _, t in timings)
+    print("[INFO] pipeline stage timings: "
+          + " | ".join(f"{n} {t:.1f}s" for n, t in timings)
+          + f" | total {total:.1f}s")
     print("[INFO] pipeline complete")
 
 
@@ -665,7 +685,28 @@ def build_parser():
     return p
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache for every CLI invocation (the fused
+    multi-epoch programs cost minutes to compile cold through this
+    environment's remote TPU compiler; warm runs reuse them in <1 s).
+    Override the location with MELOGAN_COMPILE_CACHE; set it to 0 to
+    disable. Safe to call before any device access."""
+    try:
+        import jax
+
+        cache = os.environ.get(
+            "MELOGAN_COMPILE_CACHE", os.path.join(_REPO_ROOT, ".jax_cache")
+        )
+        if cache and cache != "0":
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # noqa: BLE001 — cache is an optimization only
+        print(f"[WARN] compile cache unavailable: {e}", file=sys.stderr)
+
+
 def main(argv=None):
+    _enable_compile_cache()
     args = build_parser().parse_args(argv)
     args.fn(args)
 
