@@ -119,12 +119,21 @@ def _load_split(args, name):
     return load_split(csv_path, args.processed_dir)
 
 
-def _mesh_from_args(args):
+def _mesh_from_args(args, batch_size=None):
     """--dp N → a (data=N, model=1) mesh over the first N local devices (the
-    fused train programs then run SPMD data-parallel); 0/absent → None."""
+    fused train programs then run SPMD data-parallel); 0/absent → None.
+
+    Hard-errors when ``batch_size`` does not divide N: the microbatch
+    constrainer would silently skip every leaf and the run would be fully
+    replicated — single-device speed while claiming to be data-parallel."""
     dp = getattr(args, "dp", 0)
     if not dp:
         return None
+    if batch_size is not None and batch_size % dp != 0:
+        raise SystemExit(
+            f"--dp {dp} requires the config batch_size ({batch_size}) to be "
+            f"divisible by it; otherwise no batch sharding can be applied"
+        )
     from melogan_tpu.parallel.mesh import make_mesh
 
     return make_mesh(n_devices=dp)
@@ -141,7 +150,8 @@ def cmd_train_ae(args):
     val_data = _load_split(args, "val")
     _, metrics = vae_loop.train(
         cfg, train_data, val_data, workdir=args.workdir,
-        resume=getattr(args, "resume", False), mesh=_mesh_from_args(args),
+        resume=getattr(args, "resume", False),
+        mesh=_mesh_from_args(args, cfg.batch_size),
         precision="bf16" if getattr(args, "bf16", False) else None,
     )
     print(json.dumps(metrics))
@@ -185,7 +195,8 @@ def cmd_train_ed(args):
         lat_va = np.load(os.path.join(args.splits_dir, "val", "encoder_feats.npy"))
     _, metrics = ed_loop.train(
         cfg, train_data, val_data, lat_tr, lat_va, workdir=args.workdir,
-        resume=getattr(args, "resume", False), mesh=_mesh_from_args(args),
+        resume=getattr(args, "resume", False),
+        mesh=_mesh_from_args(args, cfg.batch_size),
         precision="bf16" if getattr(args, "bf16", False) else None,
     )
     print(json.dumps(metrics))
@@ -236,7 +247,7 @@ def cmd_train_gan(args):
     _, metrics = gan_loop.train(
         cfg, ed_cfg, train_data, latents=latents, ed_variables=ed_variables,
         workdir=args.workdir, resume=getattr(args, "resume", False),
-        mesh=_mesh_from_args(args),
+        mesh=_mesh_from_args(args, cfg.batch_size),
         precision="bf16" if getattr(args, "bf16", False) else None,
     )
     print(json.dumps(metrics))
@@ -685,19 +696,28 @@ def build_parser():
     return p
 
 
+# subcommand handlers that never touch jax — skip the jax import (and the
+# compile-cache setup) entirely for them
+_HOST_ONLY_FNS = {"cmd_synth_data", "cmd_preprocess", "cmd_make_splits",
+                  "cmd_split_arrays", "cmd_analyze_midi", "cmd_quality_gate",
+                  "cmd_clean", "cmd_logs"}
+
+
 def _enable_compile_cache():
-    """Persistent XLA compile cache for every CLI invocation (the fused
+    """Persistent XLA compile cache for jax-using CLI subcommands (the fused
     multi-epoch programs cost minutes to compile cold through this
     environment's remote TPU compiler; warm runs reuse them in <1 s).
     Override the location with MELOGAN_COMPILE_CACHE; set it to 0 to
-    disable. Safe to call before any device access."""
+    disable. Must run before tracing (safe before device access); this jax
+    version does NOT honor the JAX_COMPILATION_CACHE_DIR env var, hence
+    jax.config.update."""
     try:
-        import jax
-
         cache = os.environ.get(
             "MELOGAN_COMPILE_CACHE", os.path.join(_REPO_ROOT, ".jax_cache")
         )
         if cache and cache != "0":
+            import jax
+
             os.makedirs(cache, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -706,8 +726,9 @@ def _enable_compile_cache():
 
 
 def main(argv=None):
-    _enable_compile_cache()
     args = build_parser().parse_args(argv)
+    if getattr(args.fn, "__name__", "") not in _HOST_ONLY_FNS:
+        _enable_compile_cache()
     args.fn(args)
 
 

@@ -26,7 +26,6 @@ def main(workdir: str = None, per_emotion: int = 320, epochs: int = None):
     import numpy as np
 
     from melogan_tpu.cli import main as cli
-    from melogan_tpu.diagnostics.analyze_midi import analyze_file
     from melogan_tpu.utils.metrics import read_tfevents
 
     workdir = workdir or os.path.join(REPO, "experiments", "demo_run")
@@ -83,15 +82,15 @@ def main(workdir: str = None, per_emotion: int = 320, epochs: int = None):
         os.path.join(workdir, "data/experiments/ed"), ("acc/val", "loss/val", "epoch_seconds")
     )
 
-    stats = {os.path.basename(p): analyze_file(os.path.join(gen_dir, p))
-             for p in sorted(os.listdir(gen_dir))}
-
     # golden-band quality gate over the fresh samples (the pipeline already
-    # ran it strict on its own sample dir; record the verdict for this dir)
+    # ran it strict on its own sample dir; record the verdict for this dir).
+    # gate_directory's per-file entries carry the analyze-midi stats, so one
+    # analysis pass serves both the gate and the stats table below.
     from melogan_tpu.diagnostics.quality import gate_directory
 
     gate = gate_directory(gen_dir)
     n_pass = sum(1 for e in gate.get("files", {}).values() if not e["violations"])
+    stats = dict(sorted(gate.get("files", {}).items()))
 
     def curve(tag, logs):
         vs = logs.get(tag, [])
@@ -150,11 +149,9 @@ def main(workdir: str = None, per_emotion: int = 320, epochs: int = None):
         "trains at the same scale on the exported encoder latents and passes "
         "the same gate 8/8 (see git history for the recorded run).",
         "",
-        "Serving/bench headline numbers (see `docs/performance.md` and BENCH "
-        "JSON): 472k samples/s/chip f32 at the throughput-optimal batch, 1.78M "
-        "bf16, ~990 reference batch-steps/s f32 (~2,900 with `--bf16`), p50 "
-        "MIDI-gen 0.21 ms through the serving sample pool, 17.5 fps MJPEG "
-        "camera stream.",
+        "Serving/bench headline numbers are measured by `bench.py` and "
+        "tracked in `docs/performance.md` and the `BENCH_r*.json` records "
+        "(this script does not re-measure them).",
         "",
         f"t-SNE latent visualization: `experiments/demo_run/train_latent_tsne_visualization.png`",
         "",
