@@ -241,3 +241,56 @@ def test_dp_bf16_compose_through_train_loop(rng, tmp_path):
         verbose=False, recon_dumps=False, mesh=mesh,
     )
     np.testing.assert_allclose(m_both["best_val"], m_dp["best_val"], rtol=1e-6)
+
+
+@needs_8
+def test_dp_ed_run_matches_single_device(rng):
+    """The fused multi-epoch ED program under dp sharding must match the
+    single-device trajectory (metrics + params)."""
+    from melogan_tpu.config import EDConfig
+    from melogan_tpu.models.ed import EmotionDiscriminator
+    from melogan_tpu.parallel.mesh import put_replicated
+    from melogan_tpu.train import ed_loop
+    from melogan_tpu.train.harness import EarlyStopping, ReduceLROnPlateau
+
+    cfg = EDConfig(max_notes=64, batch_size=8, notes_blocks=2, notes_hidden=32,
+                   mlp_hidden=(16,))
+    model = EmotionDiscriminator.from_config(cfg)
+    state0 = ed_loop.init_state(cfg, model, seed=0)
+
+    n = 32
+    x_all = jnp.asarray(rng.normal(size=(n, cfg.max_notes, 4)), jnp.float32)
+    y_all = jnp.asarray(rng.integers(0, 4, size=(n,)), jnp.int32)
+    val = (
+        jnp.asarray(rng.normal(size=(2, cfg.batch_size, cfg.max_notes, 4)), jnp.float32),
+        jnp.asarray(rng.integers(0, 4, size=(2, cfg.batch_size)), jnp.int32),
+    )
+    e, nb = 2, n // cfg.batch_size
+    idx_rng = np.random.default_rng(5)
+    idx = jnp.asarray(
+        np.stack([idx_rng.permutation(n).reshape(nb, cfg.batch_size) for _ in range(e)]),
+        jnp.int32,
+    )
+
+    def fresh_sched(st):
+        return ed_loop.init_sched(
+            st,
+            ReduceLROnPlateau(factor=0.5, patience=3, threshold=1e-4),
+            EarlyStopping(patience=5),
+        )
+
+    run_single = jax.jit(ed_loop.make_epoch_fns(cfg, model)[3])
+    s_single, _, out_single = run_single(state0, x_all, y_all, idx, val, fresh_sched(state0))
+
+    mesh = make_mesh(8)
+    run_dp = jax.jit(ed_loop.make_epoch_fns(cfg, model, mesh=mesh)[3])
+    x_dp, y_dp, val_dp = put_replicated((x_all, y_all, val), mesh)
+    s_dp, _, out_dp = run_dp(state0, x_dp, y_dp, idx, val_dp, fresh_sched(state0))
+
+    np.testing.assert_allclose(
+        np.asarray(out_dp["val"]["loss"]), np.asarray(out_single["val"]["loss"]), rtol=1e-4
+    )
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(s_single.params), jax.tree_util.tree_leaves(s_dp.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-3)
