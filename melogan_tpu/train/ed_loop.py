@@ -178,20 +178,24 @@ def make_epoch_fns(cfg: EDConfig, model: EmotionDiscriminator, mesh=None):
 
     # -- multi-epoch fusion: E epochs of train+val+LR-control+early-stop in
     # ONE dispatch (same design as vae_loop.run_epochs) ----------------------
-    def run_epochs(state: EDTrainState, x_all, y_all, idx, val_batches, sched):
-        """``idx``: (E, n_batches, B) gather indices. The whole per-epoch
-        control flow of the reference loop (train_ed.py:160-207) — train
-        epoch, validation, ReduceLROnPlateau, early stopping, best tracking —
-        runs inside one jitted scan; the host dispatches once per E epochs
-        (the ``save_freq`` checkpoint cadence). Post-stop epochs are masked
-        no-ops, keeping chunked runs step-identical to the sequential loop."""
+    def run_epochs(state: EDTrainState, x_all, y_all, idx, live_mask, val_batches, sched):
+        """``idx``: (E, n_batches, B) gather indices; ``live_mask``: (E,)
+        bool — False marks host-added padding rows that keep E constant
+        across chunks (one compiled program for the whole run). The whole
+        per-epoch control flow of the reference loop (train_ed.py:160-207) —
+        train epoch, validation, ReduceLROnPlateau, early stopping, best
+        tracking — runs inside one jitted scan; the host dispatches once per
+        E epochs (the ``save_freq`` checkpoint cadence). Post-stop and
+        padding epochs are masked no-ops, keeping chunked runs step-identical
+        to the sequential loop."""
 
         def masked(cond_, new, old):
             return jax.tree_util.tree_map(lambda a, b: jnp.where(cond_, a, b), new, old)
 
-        def body(carry, idx_e):
+        def body(carry, xs):
             state, sched = carry
-            live = jnp.logical_not(sched["done"])
+            idx_e, alive = xs
+            live = alive & jnp.logical_not(sched["done"])
 
             def do_epoch(st):
                 st, tm = train_epoch_indexed(st, x_all, y_all, idx_e)
@@ -231,7 +235,7 @@ def make_epoch_fns(cfg: EDConfig, model: EmotionDiscriminator, mesh=None):
             out = {"train": tm, "val": vm, "lr": new_lr, "ran": live, "improved": improved}
             return (state, sched), out
 
-        (state, sched), out = jax.lax.scan(body, (state, sched), idx)
+        (state, sched), out = jax.lax.scan(body, (state, sched), (idx, live_mask))
         return state, sched, out
 
     return train_epoch, eval_epoch, train_epoch_indexed, run_epochs
@@ -362,9 +366,17 @@ def train(
             bs = min(cfg.batch_size, len(order))
             n_batches = max(1, len(order) // bs)
             idx.append(order[: n_batches * bs].reshape(n_batches, bs))
+        # pad a short final chunk to save_freq with live-masked no-op rows so
+        # every dispatch reuses ONE compiled program (see vae_loop)
+        idx = np.stack(idx)
+        live = np.ones(cfg.save_freq, bool)
+        if idx.shape[0] < cfg.save_freq:
+            pad = cfg.save_freq - idx.shape[0]
+            idx = np.concatenate([idx, np.repeat(idx[-1:], pad, axis=0)])
+            live[idx.shape[0] - pad:] = False
         state, sched, out = run_fn(
-            state, x_train_dev, y_train_dev, jnp.asarray(np.stack(idx)),
-            val_batches, sched,
+            state, x_train_dev, y_train_dev, jnp.asarray(idx),
+            jnp.asarray(live), val_batches, sched,
         )
         out = jax.tree_util.tree_map(np.asarray, out)
         dt = (time.perf_counter() - t0) / len(chunk)

@@ -187,19 +187,23 @@ def make_epoch_fns(cfg: AEConfig, model: VAE, mesh=None):
 
     # -- multi-epoch fusion: E epochs of train+val+LR-control+early-stop in
     # ONE dispatch ----------------------------------------------------------
-    def run_epochs(state: VAETrainState, x_all, idx, betas, val_batches, fixed_val, sched):
+    def run_epochs(state: VAETrainState, x_all, idx, betas, live_mask,
+                   val_batches, fixed_val, sched):
         """``idx``: (E, n_batches, B) gather indices; ``betas``: (E,) KL
-        weights; ``val_batches``: stacked validation batches; ``fixed_val``:
-        (R, L, 4) recon-dump songs (R may be 0); ``sched``: device scheduler
-        state from :func:`init_sched`.
+        weights; ``live_mask``: (E,) bool — False marks padding rows the host
+        added to keep E constant across chunks (one compiled program for the
+        whole run, including a short final chunk); ``val_batches``: stacked
+        validation batches; ``fixed_val``: (R, L, 4) recon-dump songs (R may
+        be 0); ``sched``: device scheduler state from :func:`init_sched`.
 
         The ENTIRE per-epoch control flow of the reference loop
         (train_ae.py:96-205) — train epoch, validation at β=1, torch-semantics
         ReduceLROnPlateau, early stopping, best-state tracking — runs inside
         one jitted scan: the host pays one dispatch (~30 ms tunnel RTT) per E
         epochs instead of 2+ per epoch. Epochs after the early-stop trigger
-        are masked no-ops (identical state, ``ran=False``), so a chunked run
-        is step-identical to the sequential loop."""
+        (and padding epochs) are masked no-ops (identical state,
+        ``ran=False``), so a chunked run is step-identical to the sequential
+        loop."""
 
         def masked(cond_, new, old):
             return jax.tree_util.tree_map(
@@ -208,8 +212,8 @@ def make_epoch_fns(cfg: AEConfig, model: VAE, mesh=None):
 
         def body(carry, xs):
             state, sched = carry
-            idx_e, beta = xs
-            live = jnp.logical_not(sched["done"])
+            idx_e, beta, alive = xs
+            live = alive & jnp.logical_not(sched["done"])
 
             def do_epoch(st):
                 st, tm = train_epoch_indexed(st, x_all, idx_e, beta)
@@ -267,7 +271,9 @@ def make_epoch_fns(cfg: AEConfig, model: VAE, mesh=None):
             }
             return (state, sched), out
 
-        (state, sched), out = jax.lax.scan(body, (state, sched), (idx, betas))
+        (state, sched), out = jax.lax.scan(
+            body, (state, sched), (idx, betas, live_mask)
+        )
         return state, sched, out
 
     return train_epoch, eval_epoch, train_epoch_indexed, run_epochs
@@ -388,9 +394,18 @@ def train(
             [beta_schedule(ep, cfg.kld_warmup_epochs, cfg.beta) for ep in chunk],
             np.float32,
         )
+        # pad a short final chunk to the fixed E with live-masked no-op rows:
+        # every dispatch then hits the SAME compiled program (a second shape
+        # would cost a full recompile — minutes through the remote compiler)
+        live = np.ones(chunk_size, bool)
+        if len(chunk) < chunk_size:
+            pad = chunk_size - len(chunk)
+            idx = np.concatenate([idx, np.repeat(idx[-1:], pad, axis=0)])
+            betas = np.concatenate([betas, np.repeat(betas[-1:], pad)])
+            live[len(chunk):] = False
         state, sched, out = run_fn(
             state, x_train_dev, jnp.asarray(idx), jnp.asarray(betas),
-            val_batches, fixed_dev, sched,
+            jnp.asarray(live), val_batches, fixed_dev, sched,
         )
         out = jax.tree_util.tree_map(np.asarray, out)
         dt = (time.perf_counter() - t0) / len(chunk)

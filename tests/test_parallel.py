@@ -176,14 +176,15 @@ def test_dp_vae_run_matches_single_device(rng):
         )
 
     run_single = jax.jit(vae_loop.make_epoch_fns(cfg, model)[3])
+    live = jnp.ones((e,), bool)
     s_single, _, out_single = run_single(
-        state0, x_all, idx, betas, val, fixed, fresh_sched(state0)
+        state0, x_all, idx, betas, live, val, fixed, fresh_sched(state0)
     )
 
     mesh = make_mesh(8)
     run_dp = jax.jit(vae_loop.make_epoch_fns(cfg, model, mesh=mesh)[3])
     x_dp, val_dp, fixed_dp = put_replicated((x_all, val, fixed), mesh)
-    s_dp, _, out_dp = run_dp(state0, x_dp, idx, betas, val_dp, fixed_dp, fresh_sched(state0))
+    s_dp, _, out_dp = run_dp(state0, x_dp, idx, betas, live, val_dp, fixed_dp, fresh_sched(state0))
 
     np.testing.assert_allclose(
         np.asarray(out_dp["val"]["total"]), np.asarray(out_single["val"]["total"]), rtol=1e-4
@@ -280,12 +281,13 @@ def test_dp_ed_run_matches_single_device(rng):
         )
 
     run_single = jax.jit(ed_loop.make_epoch_fns(cfg, model)[3])
-    s_single, _, out_single = run_single(state0, x_all, y_all, idx, val, fresh_sched(state0))
+    live = jnp.ones((e,), bool)
+    s_single, _, out_single = run_single(state0, x_all, y_all, idx, live, val, fresh_sched(state0))
 
     mesh = make_mesh(8)
     run_dp = jax.jit(ed_loop.make_epoch_fns(cfg, model, mesh=mesh)[3])
     x_dp, y_dp, val_dp = put_replicated((x_all, y_all, val), mesh)
-    s_dp, _, out_dp = run_dp(state0, x_dp, y_dp, idx, val_dp, fresh_sched(state0))
+    s_dp, _, out_dp = run_dp(state0, x_dp, y_dp, idx, live, val_dp, fresh_sched(state0))
 
     np.testing.assert_allclose(
         np.asarray(out_dp["val"]["loss"]), np.asarray(out_single["val"]["loss"]), rtol=1e-4
