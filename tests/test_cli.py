@@ -66,3 +66,18 @@ def test_clean_cli_dry_run(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "DRY RUN" in out
     assert (tmp_path / "generated_tests").exists()
+
+
+def test_host_only_fns_exist():
+    """_HOST_ONLY_FNS gates the compile-cache/jax-import skip by function
+    name; a renamed handler must not silently fall out of the set."""
+    from melogan_tpu import cli
+
+    for name in cli._HOST_ONLY_FNS:
+        assert callable(getattr(cli, name, None)), f"{name} is not a cli handler"
+    # every registered subcommand handler is either host-only or jax-bound;
+    # the parser must only reference real functions
+    parser = cli.build_parser()
+    for action in parser._subparsers._group_actions[0].choices.values():
+        fn = action.get_default("fn")
+        assert callable(fn)
