@@ -321,6 +321,7 @@ def cmd_pipeline(args):
     base = SimpleNamespace(
         workdir=work, splits_dir=splits_dir, processed_dir=processed,
         config=args.ae_config, epochs=args.epochs, checkpoint=None,
+        bf16=getattr(args, "bf16", False), dp=getattr(args, "dp", 0),
     )
     stage("train-ae", cmd_train_ae, base)
     stage("encode", cmd_encode,
@@ -620,6 +621,10 @@ def build_parser():
     s.add_argument("--gan-config", default="configs/gan.yaml", dest="gan_config")
     s.add_argument("--skip-quality-gate", action="store_true", dest="skip_quality_gate",
                    help="skip the final golden-band quality gate")
+    s.add_argument("--bf16", action="store_true",
+                   help="mixed-precision MXU training for all three stages")
+    s.add_argument("--dp", type=int, default=0,
+                   help="data-parallel device count for all three stages")
     s.set_defaults(fn=cmd_pipeline)
 
     s = sub.add_parser("diagnose", help="data-sanity diagnostics")
