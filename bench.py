@@ -135,7 +135,11 @@ def _bench_latency_pooled(sampler, n: int = 100):
             _ = render_to_bytes(notes, bpm=EMOTION_BPM[e], scale=emotion_scale(e))
             lat.append(time.perf_counter() - t0)
         lat.sort()
-        return lat[len(lat) // 2]
+        return {
+            "p50": lat[len(lat) // 2],
+            "p90": lat[int(len(lat) * 0.9)],
+            "p99": lat[min(len(lat) - 1, int(len(lat) * 0.99))],
+        }
     finally:
         pool.close()
 
@@ -175,7 +179,7 @@ def run(cpu_baseline: bool = False):
     samples_per_sec = _bench_sampling(sampler, batch=65536, iters=5)
     train_steps = _bench_train(iters=15)
     p50_direct = _bench_latency(sampler)
-    p50_latency = _bench_latency_pooled(sampler)  # the serving request path
+    pool_lat = _bench_latency_pooled(sampler)  # the serving request path
 
     # Pallas-dispatch variants: fresh Sampler per mode (the conv mode is read
     # at trace time), guarded so a Mosaic compile stall can't sink the bench
@@ -254,7 +258,9 @@ def run(cpu_baseline: bool = False):
             if cpu.get("train_steps_per_sec")
             else None
         ),
-        "p50_midi_gen_latency_ms": round(p50_latency * 1000, 2),
+        "p50_midi_gen_latency_ms": round(pool_lat["p50"] * 1000, 2),
+        "p90_midi_gen_latency_ms": round(pool_lat["p90"] * 1000, 2),
+        "p99_midi_gen_latency_ms": round(pool_lat["p99"] * 1000, 2),
         "p50_direct_dispatch_ms": round(p50_direct * 1000, 2),
         "xla_samples_per_sec": round(samples_per_sec, 2),
         "xla_samples_per_sec_8k": round(xla_samples_8k, 2),
