@@ -277,7 +277,18 @@ def build_app(state: AppState):
             # trip on the request path — the round-1 p50 was 32 ms of
             # dispatch for 0.55 ms of compute); direct path otherwise
             if state.pool is not None:
-                notes = state.pool.take(emotion)
+                from melogan_tpu.serving.pool import PoolTimeout
+
+                try:
+                    notes = state.pool.take(emotion)
+                except PoolTimeout as e:
+                    # bounded cold path: a persistently failing sampler turns
+                    # into a 503 with the producer's last error, not a hang
+                    return _json_response(
+                        start_response,
+                        {"error": str(e), "last_refill_error": e.last_error},
+                        status="503 Service Unavailable",
+                    )
             else:
                 notes = state.sampler.sample_notes([emotion], seed=state.next_seed())[0]
             body = render_to_bytes(

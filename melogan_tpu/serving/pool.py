@@ -23,12 +23,23 @@ from __future__ import annotations
 
 import sys
 import threading
+import time
 from collections import deque
 from typing import Dict, List, Optional
 
 import numpy as np
 
 from melogan_tpu import EMOTIONS
+
+
+class PoolTimeout(RuntimeError):
+    """Raised by :meth:`SamplePool.take` when the pool cannot produce a sample
+    within the deadline (persistently failing sampler). Carries the producer's
+    last error so the serving layer can surface it in a 503."""
+
+    def __init__(self, message: str, last_error: Optional[str] = None):
+        super().__init__(message)
+        self.last_error = last_error
 
 
 class SamplePool:
@@ -43,9 +54,11 @@ class SamplePool:
         emotions: Optional[List[str]] = None,
         background: bool = True,
         seed: int = 0x5EED,
+        take_timeout: float = 10.0,
     ):
         self.sampler = sampler
         self.target = int(target)
+        self.take_timeout = float(take_timeout)
         self.refill_batch = max(int(refill_batch), self.target)
         # adaptive sizing: under sustained load the refill batch grows toward
         # the drain rate (up to max_refill), amortizing the per-dispatch
@@ -103,9 +116,11 @@ class SamplePool:
             # dispatch, not N serial ones
             with self._lock:
                 emotions = [e for e in emotions if len(self._pools[e]) < self.target]
+                if not emotions:
+                    # a concurrent refill covered everything: keep the drain
+                    # count so the NEXT dispatch still sizes to the real rate
+                    return
                 drained, self._drained = self._drained, 0
-            if not emotions:
-                return
             size = self._refill_size(max(self.refill_batch, 2 * drained))
             # round-robin so the total is exactly the quantized size
             prompts = [emotions[i % len(emotions)] for i in range(size)]
@@ -139,8 +154,13 @@ class SamplePool:
 
     # -- public -------------------------------------------------------------
 
-    def take(self, emotion: str) -> np.ndarray:
-        """Pop one fresh sample (generating a coalesced batch on a miss)."""
+    def take(self, emotion: str, timeout: Optional[float] = None) -> np.ndarray:
+        """Pop one fresh sample (generating a coalesced batch on a miss).
+
+        The cold-miss path is bounded: if the sampler keeps failing past
+        ``timeout`` seconds (default :attr:`take_timeout`), raises
+        :class:`PoolTimeout` carrying the last refill error instead of
+        spinning forever — a request-path hang is worse than a slow p99."""
         if emotion not in self._pools:
             raise ValueError(f"unknown emotion {emotion!r}; valid: {self.emotions}")
         with self._lock:
@@ -153,11 +173,25 @@ class SamplePool:
             self.misses += 1
             self._drained += 1
         # cold miss: coalesce with any concurrent missers on the refill lock
+        deadline = time.monotonic() + (self.take_timeout if timeout is None else timeout)
         while True:
             with self._lock:
                 if self._pools[emotion]:
                     return self._pools[emotion].popleft()
-            self._refill([emotion])
+                last = self._last_error
+            if time.monotonic() >= deadline:
+                detail = f" (last refill error: {last})" if last else ""
+                raise PoolTimeout(
+                    f"no {emotion!r} sample within deadline{detail}", last_error=last
+                )
+            try:
+                self._refill([emotion])
+            except Exception as e:  # noqa: BLE001 — deadline the failure, don't 500
+                msg = f"{type(e).__name__}: {e}"
+                with self._lock:
+                    self._last_error = msg
+                # brief backoff so a hot-failing sampler doesn't spin the CPU
+                time.sleep(min(0.05, max(0.0, deadline - time.monotonic())))
 
     def depth(self) -> Dict[str, int]:
         with self._lock:
@@ -175,8 +209,6 @@ class SamplePool:
 
     def prefill(self, timeout: float = 60.0) -> None:
         """Block until every emotion reaches its target depth (warm-up)."""
-        import time
-
         t0 = time.monotonic()
         while self._low_emotions():
             if self._thread is None:

@@ -318,3 +318,86 @@ def test_sample_pool_adaptive_refill_batch():
         assert stub.batches[-1] <= 512
     finally:
         pool.close()
+
+
+def test_sample_pool_take_deadline_on_failing_sampler():
+    """VERDICT-r2 #4: a persistently failing sampler must surface as a bounded
+    PoolTimeout carrying the last refill error, never an unbounded spin."""
+    import time
+
+    from melogan_tpu.serving.pool import PoolTimeout, SamplePool
+
+    class BrokenSampler:
+        def sample_notes(self, prompts, seed=0):
+            raise RuntimeError("device wedged")
+
+    pool = SamplePool(BrokenSampler(), target=4, refill_batch=8, background=False,
+                      take_timeout=0.4)
+    try:
+        t0 = time.monotonic()
+        with pytest.raises(PoolTimeout) as ei:
+            pool.take("happy")
+        elapsed = time.monotonic() - t0
+        assert elapsed < 5.0  # bounded, roughly the configured deadline
+        assert "device wedged" in str(ei.value)
+        assert ei.value.last_error and "RuntimeError" in ei.value.last_error
+    finally:
+        pool.close()
+
+
+def test_generate_returns_503_when_pool_refill_hangs():
+    """The HTTP /generate path maps PoolTimeout to 503 + last_error detail."""
+    from melogan_tpu.serving.pool import SamplePool
+
+    class BrokenSampler:
+        def sample_notes(self, prompts, seed=0):
+            raise RuntimeError("compile stalled")
+
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    pool = SamplePool(BrokenSampler(), target=4, refill_batch=8, background=False,
+                      take_timeout=0.4)
+    state = AppState(cfg, Sampler(cfg, seed=0), pool=pool)
+    httpd = make_server("127.0.0.1", 0, build_app(state), server_class=ThreadingWSGIServer)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        status, _, body = req(base, "/generate", {"emotion": "happy"})
+        assert status == 503
+        payload = json.loads(body)
+        assert "compile stalled" in payload["last_refill_error"]
+    finally:
+        httpd.shutdown()
+        pool.close()
+
+
+def test_sample_pool_drain_count_survives_covered_refill():
+    """ADVICE-r2 #3: when a concurrent refill already stocked the requested
+    emotions, the early return must NOT discard the drain count — the next
+    dispatch still sizes to the true drain rate."""
+    from melogan_tpu.serving.pool import SamplePool
+
+    class StubSampler:
+        def __init__(self):
+            self.batches = []
+
+        def sample_notes(self, prompts, seed=0):
+            self.batches.append(len(prompts))
+            return np.zeros((len(prompts), 8, 4), np.float32)
+
+    stub = StubSampler()
+    pool = SamplePool(stub, target=4, refill_batch=16, max_refill=512, background=False)
+    try:
+        pool.prefill()  # every emotion at target
+        pool._drained = 100  # pretend a heavy drain happened
+        dispatches = len(stub.batches)
+        pool._refill(["happy"])  # covered: must early-return without dispatch
+        assert len(stub.batches) == dispatches  # no dispatch happened
+        assert pool._drained == 100  # drain count preserved
+        # force a real refill: drain one emotion below target
+        for _ in range(4):
+            pool.take("sad")
+        pool._refill(["sad"])
+        assert stub.batches[-1] >= 2 * 100  # sized to the accumulated drain rate
+    finally:
+        pool.close()
