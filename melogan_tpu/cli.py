@@ -411,6 +411,57 @@ def cmd_import_checkpoint(args):
           "warm-starting; optimizer state is not part of the reference format")
 
 
+def cmd_export_checkpoint(args):
+    """Convert a framework ``.ckpt`` back into the reference torch ``.pth``
+    layouts (the inverse of ``import-checkpoint`` — migration is two-way).
+
+    Output layouts match what the reference scripts write/read:
+    ae → {'epoch','model_state'} (src/ae/train_ae.py:197), ed →
+    {'epoch','model','optimizer','cfg'} (train_ed.py:41-47), gan →
+    {'G','E_num'} (train_gan.py:279-282), plus 'D'/'epoch' when the source
+    is a periodic gan_epoch ckpt. Optimizer state is framework-native
+    (optax) and has no faithful torch Adam encoding, so 'optimizer' exports
+    as an empty dict — the reference never reloads it anyway (SURVEY.md §5).
+    """
+    import torch
+
+    from melogan_tpu.utils import torch_interop as ti
+    from melogan_tpu.utils.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(args.ckpt)
+
+    def t(sd):
+        # copy=True: msgpack-restored arrays are read-only views, which torch
+        # tensors cannot wrap
+        return {k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()}
+
+    if args.kind == "ae":
+        sd = ti.export_vae({"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]})
+        out = {"epoch": int(ckpt.get("epoch", 0)), "model_state": t(sd)}
+    elif args.kind == "ed":
+        sd = ti.export_ed({"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats", {})})
+        out = {
+            "epoch": int(ckpt.get("epoch", 0)),
+            "model": t(sd),
+            "optimizer": {},
+            "cfg": dict(ckpt.get("cfg", {})),
+        }
+    elif args.kind == "gan":
+        out = {
+            "G": t(ti.export_generator(ckpt["G"])),
+            "E_num": t(ti.export_feature_encoder(ckpt["E_num"])),
+        }
+        if "D" in ckpt:  # periodic gan_epoch layout carries the critic too
+            out["D"] = t(ti.export_critic(ckpt["D"]))
+        if "epoch" in ckpt:
+            out["epoch"] = int(ckpt["epoch"])
+    else:  # pragma: no cover - argparse choices guard this
+        raise ValueError(f"unknown kind {args.kind}")
+
+    torch.save(out, args.out)
+    print(f"[INFO] exported {args.kind} checkpoint {args.ckpt} -> {args.out}")
+
+
 def cmd_quality_gate(args):
     """Check generated .mid files against the golden-artifact bands."""
     from melogan_tpu.diagnostics.quality import gate_directory
@@ -652,6 +703,15 @@ def build_parser():
     s.add_argument("--kind", choices=["ae", "ed", "gan"], required=True)
     s.add_argument("--ed-config", default=None, dest="ed_config")
     s.set_defaults(fn=cmd_import_checkpoint)
+
+    s = sub.add_parser(
+        "export-checkpoint",
+        help="convert a framework .ckpt back to the reference torch .pth layout",
+    )
+    s.add_argument("ckpt")
+    s.add_argument("out")
+    s.add_argument("--kind", choices=["ae", "ed", "gan"], required=True)
+    s.set_defaults(fn=cmd_export_checkpoint)
 
     s = sub.add_parser(
         "quality-gate",

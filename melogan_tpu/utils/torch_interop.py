@@ -1,8 +1,11 @@
-"""Reference torch checkpoint → framework param-tree conversion.
+"""Reference torch checkpoint ↔ framework param-tree conversion.
 
-Lets a user of the reference bring their trained ``.pth`` checkpoints
-(``ae_best.pth``, ``ed_best.pth``, ``gan_final.pth`` — SURVEY.md §5 layouts)
-into this framework. Pure key/shape mapping:
+``convert_*`` lets a user of the reference bring their trained ``.pth``
+checkpoints (``ae_best.pth``, ``ed_best.pth``, ``gan_final.pth`` — SURVEY.md
+§5 layouts) into this framework; ``export_*`` is the exact inverse, writing
+framework param trees back out as reference-layout state dicts so artifacts
+trained here load into the reference's torch modules (migration is two-way,
+``import(export(x)) ≡ x``). Pure key/shape mapping:
 
 - Linear: torch ``weight`` (out, in) → ``kernel`` (in, out) transposed
 - Conv1d: torch ``weight`` (out, in, k) → HIO ``kernel`` (k, in, out)
@@ -179,3 +182,158 @@ def convert_feature_encoder(sd: Dict, hidden_layers: int = 2) -> Dict[str, Any]:
 def convert_gan_final(ckpt: Dict) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Reference ``gan_final.pth`` ({'G': ..., 'E_num': ...}) → sampler vars."""
     return convert_generator(ckpt["G"]), convert_feature_encoder(ckpt["E_num"])
+
+
+# ---------------------------------------------------------------------------
+# Export: framework param trees → reference-layout torch state dicts
+# (the exact inverse of the convert_* mappings above)
+# ---------------------------------------------------------------------------
+
+
+def _exp_linear(p: Dict, prefix: str, sd: Dict) -> None:
+    sd[f"{prefix}.weight"] = _np(p["kernel"]).T
+    if "bias" in p:
+        sd[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def _exp_conv1d(p: Dict, prefix: str, sd: Dict) -> None:
+    # HIO kernel (k, in, out) → torch Conv1d weight (out, in, k)
+    sd[f"{prefix}.weight"] = np.transpose(_np(p["kernel"]), (2, 1, 0))
+    if "bias" in p:
+        sd[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def _exp_convt1d(p: Dict, prefix: str, sd: Dict) -> None:
+    # HIO kernel (k, in, out) → torch ConvTranspose1d weight (in, out, k)
+    sd[f"{prefix}.weight"] = np.transpose(_np(p["kernel"]), (1, 2, 0))
+    if "bias" in p:
+        sd[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def _exp_bn(p: Dict, s: Dict, prefix: str, sd: Dict) -> None:
+    sd[f"{prefix}.weight"] = _np(p["scale"])
+    sd[f"{prefix}.bias"] = _np(p["bias"])
+    sd[f"{prefix}.running_mean"] = _np(s["mean"])
+    sd[f"{prefix}.running_var"] = _np(s["var"])
+    # torch BatchNorm1d state dicts carry this counter; the value is not used
+    # at eval time but strict=True loads into the reference modules require it
+    sd[f"{prefix}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+
+
+def _exp_ln(p: Dict, prefix: str, sd: Dict) -> None:
+    sd[f"{prefix}.weight"] = _np(p["scale"])
+    sd[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def export_vae(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """{'params', 'batch_stats'} → torch state_dict keyed per src/ae/model.py."""
+    p, st = variables["params"], variables["batch_stats"]
+    sd: Dict[str, np.ndarray] = {}
+    for i, t in enumerate((0, 3, 6)):
+        _exp_conv1d(p["encoder"][f"Conv1d_{i}"], f"encoder.conv.{t}", sd)
+    for i, t in enumerate((1, 4, 7)):
+        _exp_bn(
+            p["encoder"][f"TorchBatchNorm_{i}"],
+            st["encoder"][f"TorchBatchNorm_{i}"],
+            f"encoder.conv.{t}",
+            sd,
+        )
+    _exp_linear(p["encoder"]["TorchLinear_0"], "encoder._linear.1", sd)
+    _exp_linear(p["fc_mu"], "fc_mu", sd)
+    _exp_linear(p["fc_log_var"], "fc_log_var", sd)
+    _exp_linear(p["decoder"]["TorchLinear_0"], "decoder.pre.0", sd)
+    _exp_linear(p["decoder"]["TorchLinear_1"], "decoder.pre.2", sd)
+    for i, t in enumerate((0, 3, 6)):
+        _exp_convt1d(p["decoder"][f"ConvTranspose1d_{i}"], f"decoder.deconv.{t}", sd)
+    for i, t in enumerate((1, 4)):
+        _exp_bn(
+            p["decoder"][f"TorchBatchNorm_{i}"],
+            st["decoder"][f"TorchBatchNorm_{i}"],
+            f"decoder.deconv.{t}",
+            sd,
+        )
+    return sd
+
+
+def export_ed(
+    variables: Dict[str, Any],
+    notes_blocks: int | None = None,
+    mlp_hidden: int | None = None,
+) -> Dict[str, np.ndarray]:
+    """ED variables → torch state_dict keyed per ed_model.py module names.
+
+    Layer counts default to what the tree itself contains, so any ED
+    checkpoint exports without needing its config alongside."""
+    p = variables["params"]
+    st = variables.get("batch_stats", {})
+    if mlp_hidden is None:
+        mlp_hidden = sum(1 for k in p["classifier"] if k.startswith("TorchLinear_")) - 1
+    sd: Dict[str, np.ndarray] = {}
+    if "encoder" in p:
+        if notes_blocks is None:
+            notes_blocks = sum(1 for k in p["encoder"] if k.startswith("ConvBlock1D_"))
+        for i in range(notes_blocks):
+            block = p["encoder"][f"ConvBlock1D_{i}"]
+            _exp_conv1d(block["Conv1d_0"], f"encoder.conv.{i}.net.0", sd)
+            _exp_bn(
+                block["TorchBatchNorm_0"],
+                st["encoder"][f"ConvBlock1D_{i}"]["TorchBatchNorm_0"],
+                f"encoder.conv.{i}.net.1",
+                sd,
+            )
+        _exp_linear(p["encoder"]["TorchLinear_0"], "encoder.project", sd)
+    for i in range(mlp_hidden):
+        _exp_linear(p["classifier"][f"TorchLinear_{i}"], f"classifier.net.{i * 3}", sd)
+    _exp_linear(p["classifier"][f"TorchLinear_{mlp_hidden}"], "classifier.head", sd)
+    return sd
+
+
+def export_generator(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Generator variables → torch state_dict keyed per src/gan/models.py."""
+    p, st = variables["params"], variables["batch_stats"]
+    sd: Dict[str, np.ndarray] = {}
+    _exp_linear(p["noise_to_latent"]["TorchLinear_0"], "noise_to_latent.net.0", sd)
+    _exp_linear(p["noise_to_latent"]["TorchLinear_1"], "noise_to_latent.net.2", sd)
+    _exp_linear(p["decoder"]["TorchLinear_0"], "decoder.pre.0", sd)
+    _exp_linear(p["decoder"]["TorchLinear_1"], "decoder.pre.2", sd)
+    for i, t in enumerate((0, 3, 6)):
+        _exp_convt1d(p["decoder"][f"ConvTranspose1d_{i}"], f"decoder.deconv.{t}", sd)
+    for i, t in enumerate((1, 4)):
+        _exp_bn(
+            p["decoder"][f"TorchBatchNorm_{i}"],
+            st["decoder"][f"TorchBatchNorm_{i}"],
+            f"decoder.deconv.{t}",
+            sd,
+        )
+    return sd
+
+
+def export_critic(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Critic variables → torch state_dict keyed per src/gan/models.py:132-169."""
+    p = variables["params"]
+    sd: Dict[str, np.ndarray] = {}
+    for i, t in enumerate((0, 2, 4)):
+        _exp_conv1d(p[f"Conv1d_{i}"], f"conv.{t}", sd)
+    _exp_linear(p["TorchLinear_0"], "fc.1", sd)
+    _exp_linear(p["TorchLinear_1"], "real_fake", sd)
+    return sd
+
+
+def export_feature_encoder(
+    variables: Dict[str, Any], hidden_layers: int | None = None
+) -> Dict[str, np.ndarray]:
+    """FeatureEncoder variables → torch state_dict (feature_encoder.py:5-45)."""
+    p = variables["params"]
+    if hidden_layers is None:
+        hidden_layers = sum(1 for k in p if k.startswith("TorchLinear_")) - 1
+    sd: Dict[str, np.ndarray] = {}
+    _exp_ln(p["TorchLayerNorm_0"], "net.0", sd)
+    for i in range(hidden_layers):
+        _exp_linear(p[f"TorchLinear_{i}"], f"net.{1 + i * 3}", sd)
+    _exp_linear(p[f"TorchLinear_{hidden_layers}"], f"net.{1 + hidden_layers * 3}", sd)
+    return sd
+
+
+def export_gan_final(gen_vars: Dict[str, Any], fe_vars: Dict[str, Any]) -> Dict[str, Any]:
+    """Sampler vars → reference ``gan_final.pth`` layout (train_gan.py:279-282)."""
+    return {"G": export_generator(gen_vars), "E_num": export_feature_encoder(fe_vars)}

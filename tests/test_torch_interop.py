@@ -255,3 +255,102 @@ def test_cli_import_checkpoint_ae(tmp_path):
         train=False,
     )
     assert recon.shape == (2, 64, 4) and mu.shape == (2, cfg.latent_dim)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT-r2 #7: two-way migration — import(export(x)) ≡ x for all three
+# artifact kinds, through the real CLI and real torch.save files.
+# ---------------------------------------------------------------------------
+
+
+def test_roundtrip_ae_checkpoint(tmp_path):
+    pytest.importorskip("torch")
+    from melogan_tpu.cli import main as cli
+    from melogan_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = AEConfig(max_notes=64)
+    vae = VAE.from_config(cfg)
+    variables = vae.init(
+        {"params": jax.random.PRNGKey(2), "reparam": jax.random.PRNGKey(3)},
+        jnp.zeros((1, 64, 4)),
+        train=False,
+    )
+    src = str(tmp_path / "ae_best.ckpt")
+    save_checkpoint(src, {"epoch": 11, "params": variables["params"],
+                          "batch_stats": variables["batch_stats"]})
+    pth = str(tmp_path / "ae_best.pth")
+    cli(["export-checkpoint", src, pth, "--kind", "ae"])
+    back = str(tmp_path / "ae_back.ckpt")
+    cli(["import-checkpoint", pth, back, "--kind", "ae"])
+
+    raw = load_checkpoint(back)
+    assert int(raw["epoch"]) == 11
+    tree_equal(raw["params"], variables["params"])
+    tree_equal(raw["batch_stats"], variables["batch_stats"])
+
+
+def test_roundtrip_ed_checkpoint(tmp_path):
+    pytest.importorskip("torch")
+    from melogan_tpu.cli import main as cli
+    from melogan_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    ed_cfg = EDConfig(max_notes=64, notes_blocks=2, notes_hidden=32, mlp_hidden=(16, 8))
+    ed = EmotionDiscriminator.from_config(ed_cfg)
+    ev = ed.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 4)), train=False)
+    src = str(tmp_path / "ed_best.ckpt")
+    save_checkpoint(src, {"epoch": 3, "params": ev["params"],
+                          "batch_stats": ev["batch_stats"]})
+    pth = str(tmp_path / "ed_best.pth")
+    cli(["export-checkpoint", src, pth, "--kind", "ed"])
+    back = str(tmp_path / "ed_back.ckpt")
+    # import needs the matching layer counts (export inferred them from the tree)
+    import yaml
+
+    cfg_yaml = str(tmp_path / "ed.yaml")
+    with open(cfg_yaml, "w") as f:
+        yaml.safe_dump({"max_notes": 64, "notes_blocks": 2, "notes_hidden": 32,
+                        "mlp_hidden": [16, 8]}, f)
+    cli(["import-checkpoint", pth, back, "--kind", "ed", "--ed-config", cfg_yaml])
+
+    raw = load_checkpoint(back)
+    assert int(raw["epoch"]) == 3
+    tree_equal(raw["params"], ev["params"])
+    tree_equal(raw["batch_stats"], ev["batch_stats"])
+
+
+def test_roundtrip_gan_checkpoint(tmp_path):
+    torch = pytest.importorskip("torch")
+    from melogan_tpu.cli import main as cli
+    from melogan_tpu.train.gan_loop import load_gan_final
+    from melogan_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    gen = Generator.from_config(cfg)
+    fe = FeatureEncoder.from_config(cfg)
+    gv = gen.init(
+        jax.random.PRNGKey(4), jnp.zeros((1, 16)), None, jnp.zeros((1, 128)), train=False
+    )
+    fv = fe.init(jax.random.PRNGKey(5), jnp.zeros((1, 6)), train=False)
+    src = str(tmp_path / "gan_final.ckpt")
+    save_checkpoint(src, {"G": gv, "E_num": {"params": fv["params"]}})
+    pth = str(tmp_path / "gan_final.pth")
+    cli(["export-checkpoint", src, pth, "--kind", "gan"])
+
+    # the exported file is a genuine reference-layout torch artifact
+    raw = torch.load(pth, map_location="cpu", weights_only=False)
+    assert set(raw) == {"G", "E_num"}
+    assert "decoder.deconv.0.weight" in raw["G"]
+    assert raw["G"]["decoder.deconv.1.num_batches_tracked"].dtype == torch.int64
+
+    back = str(tmp_path / "gan_back.ckpt")
+    cli(["import-checkpoint", pth, back, "--kind", "gan"])
+    gen_vars, fe_vars = load_gan_final(back)
+    tree_equal(gen_vars["params"], gv["params"])
+    tree_equal(gen_vars["batch_stats"], gv["batch_stats"])
+    tree_equal(fe_vars["params"], fv["params"])
+
+    # and the round-tripped weights still drive the sampler
+    from melogan_tpu.sampling import Sampler
+
+    sampler = Sampler(cfg, gen_variables=gen_vars, fe_variables=fe_vars)
+    assert sampler.sample_notes(["calm"], seed=0).shape == (1, 64, 4)
