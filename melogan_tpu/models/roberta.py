@@ -303,21 +303,21 @@ def _bucket_len(n: int) -> int:
 class RobertaTextClassifier:
     """End-to-end text classifier over a local HF checkpoint directory.
 
-    Tokenization is host-side (HF tokenizer, offline from the same dir); the
-    model forward is one jitted XLA program per (batch, bucket) shape —
-    sequence lengths are padded to a small set of buckets so recompiles are
-    bounded.
+    Tokenization is host-side via the framework's own byte-level BPE /
+    WordLevel implementation (``melogan_tpu.models.tokenizer`` — no
+    ``transformers`` import anywhere in this stack; token-id equality with
+    AutoTokenizer is asserted in tests/test_roberta.py); the model forward
+    is one jitted XLA program per (batch, bucket) shape — sequence lengths
+    are padded to a small set of buckets so recompiles are bounded.
     """
 
     def __init__(self, model_dir: str):
-        os.environ.setdefault("HF_HUB_OFFLINE", "1")
-        os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
-        from transformers import AutoTokenizer
+        from melogan_tpu.models.tokenizer import load_tokenizer
 
         self.cfg = RobertaConfig.from_json(os.path.join(model_dir, "config.json"))
         self.params = convert_hf_checkpoint(model_dir)
         self.id2label = load_id2label(model_dir)
-        self.tokenizer = AutoTokenizer.from_pretrained(model_dir, local_files_only=True)
+        self.tokenizer = load_tokenizer(model_dir)
         # position table must cover pad_token_id + seq_len (HF offsets past pad)
         self._max_len = min(
             _BUCKETS[-1], self.cfg.max_position_embeddings - self.cfg.pad_token_id - 1

@@ -191,3 +191,122 @@ def test_init_params_full_depth():
     assert params["layers"]["q_w"].shape == (12, 768, 768)
     n = sum(np.prod(np.shape(l)) for l in jax.tree_util.tree_leaves(params))
     assert n > 120e6  # roberta-base scale
+
+
+# ---------------------------------------------------------------------------
+# VERDICT-r2 #3: self-contained tokenizer — token-id-identical to
+# AutoTokenizer, and the backend loads with transformers absent.
+# ---------------------------------------------------------------------------
+
+EDGE_CORPUS = [
+    "I am so happy today!",
+    "don't can't won't it's I'll we've you're he'd I'm",
+    "HE'S SHOUTING'S WEIRD",
+    "antidisestablishmentarianism pneumonoultramicroscopicsilicovolcanoconiosis",
+    "naïve façade résumé Zürich übermäßig",
+    "日本語のテキスト и русский текст và tiếng Việt",
+    "emoji 🎵🎹 and more 🎶 music",
+    "  leading and   multiple    spaces  ",
+    "tabs\tand\nnewlines\r\nmixed \t whitespace",
+    "numbers 12345 3.14159 1,000,000 0x1F",
+    "punctuation!!! ??? ... --- ***(nested [brackets] {braces})***",
+    "MixedCASE camelCase snake_case kebab-case",
+    "trailing space ",
+    " ",
+    "",
+    "a",
+    "'quoted' \"double\" `backtick`",
+    "url-ish http://example.com/path?q=1&r=2#frag",
+]
+
+
+@pytest.fixture(scope="module")
+def bpe_dir(tmp_path_factory):
+    """A REAL byte-level BPE (trained merges, full byte alphabet) saved in the
+    classic RoBERTa checkpoint layout: vocab.json + merges.txt."""
+    from tokenizers.implementations import ByteLevelBPETokenizer
+
+    d = tmp_path_factory.mktemp("bpe_tok")
+    trainer_corpus = EDGE_CORPUS * 3 + [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "music generation with emotion conditioning",
+    ]
+    tok = ByteLevelBPETokenizer()
+    tok.train_from_iterator(
+        trainer_corpus, vocab_size=600, min_frequency=1,
+        special_tokens=["<s>", "<pad>", "</s>", "<unk>", "<mask>"],
+    )
+    tok.save_model(str(d))
+    with open(d / "tokenizer_config.json", "w") as f:
+        json.dump({"tokenizer_class": "RobertaTokenizer", "model_max_length": 512}, f)
+    return str(d)
+
+
+def test_own_bpe_ids_identical_to_autotokenizer(bpe_dir):
+    from transformers import AutoTokenizer
+
+    from melogan_tpu.models.tokenizer import load_tokenizer
+
+    hf = AutoTokenizer.from_pretrained(bpe_dir, local_files_only=True)
+    own = load_tokenizer(bpe_dir)
+    hf_ids = hf(EDGE_CORPUS, truncation=True, max_length=64, padding=False)["input_ids"]
+    own_ids = own(EDGE_CORPUS, truncation=True, max_length=64, padding=False)["input_ids"]
+    for text, a, b in zip(EDGE_CORPUS, hf_ids, own_ids):
+        assert a == b, f"id mismatch on {text!r}:\n  hf : {a}\n  own: {b}"
+    # truncation boundary exactness on a long text
+    long = " ".join(EDGE_CORPUS) * 4
+    for limit in (8, 16, 33):
+        assert hf([long], truncation=True, max_length=limit)["input_ids"][0] == \
+            own([long], truncation=True, max_length=limit)["input_ids"][0]
+
+
+def test_own_wordlevel_ids_identical_to_tokenizers(tiny_ckpt):
+    """The tokenizer.json (WordLevel) path matches the rust tokenizers lib."""
+    import os as _os
+
+    from tokenizers import Tokenizer
+
+    from melogan_tpu.models.tokenizer import load_tokenizer
+
+    model_dir, _ = tiny_ckpt
+    rust = Tokenizer.from_file(_os.path.join(model_dir, "tokenizer.json"))
+    own = load_tokenizer(model_dir)
+    for text in ["i am so happy today", "it is calm", "unknown words here", ""]:
+        assert own.encode(text) == rust.encode(text).ids, text
+
+
+def test_backend_loads_with_transformers_absent(tiny_ckpt, monkeypatch):
+    """The jax-roberta serving backend must be importable and functional with
+    the transformers package missing entirely (reference text.py:48-58 is the
+    dependency this replaces)."""
+    import sys as _sys
+
+    from melogan_tpu.models import text_emotion
+
+    model_dir, _ = tiny_ckpt
+    # make any `import transformers` raise ImportError
+    monkeypatch.setitem(_sys.modules, "transformers", None)
+    monkeypatch.setenv("MELOGAN_TEXT_MODEL_DIR", model_dir)
+    text_emotion.reset_backend()
+    try:
+        assert text_emotion.backend_name() == "jax-roberta"
+        assert text_emotion.predict_emotion("i am so happy today") in (
+            "happy", "sad", "angry", "calm",
+        )
+    finally:
+        text_emotion.reset_backend()
+
+
+def test_pretokenize_matches_gpt2_regex():
+    """The hand-written scanner is equivalent to the canonical GPT-2 pattern
+    (alternation order, contraction set, whitespace lookahead semantics)."""
+    regex = pytest.importorskip("regex")
+
+    from melogan_tpu.models.tokenizer import pretokenize
+
+    pat = regex.compile(
+        r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+    )
+    for text in EDGE_CORPUS + ["x  y", "a\n\nb", "  ", "\t\ta", "é'è", "1'2"]:
+        assert pretokenize(text) == pat.findall(text), repr(text)
