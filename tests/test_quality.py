@@ -115,3 +115,19 @@ def test_cli_quality_gate_subcommand(reference_dir, tmp_path, capsys):
     with pytest.raises(SystemExit):
         cli(["quality-gate", str(empty)])
     cli(["quality-gate", str(empty), "--no-strict"])  # non-strict: no raise
+
+
+def test_bands_are_exactly_the_derivation_output(reference_dir):
+    """VERDICT-r2 weak #7: the band constants must equal derive_bands() over
+    the 16 golden artifacts — margins are a rule, not eyeballed numbers."""
+    from melogan_tpu.diagnostics.analyze_midi import analyze_file
+    from melogan_tpu.diagnostics.quality import derive_bands
+
+    stats = []
+    for p in golden_paths(reference_dir):
+        s = analyze_file(p)
+        s["emotion"] = infer_emotion(p)
+        stats.append(s)
+    common, emotion = derive_bands(stats)
+    assert common == COMMON_BANDS
+    assert emotion == EMOTION_BANDS
