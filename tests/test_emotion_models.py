@@ -115,3 +115,129 @@ def test_ssd_priors_and_detect_interface(rng):
     out = det.detect(rng.uniform(0, 255, (60, 80, 3)).astype(np.float32), conf_threshold=0.0)
     assert out.shape[1] == 7
     assert (out[:, 2] >= 0).all() and (out[:, 2] <= 1).all()
+
+
+# ---------------------------------------------------------------------------
+# VERDICT-r2 #5: detector-in-the-loop camera e2e — crafted deterministic
+# caffemodel weights make the prototxt-exact SSD an actual working (brightness)
+# face detector, and the full frame→detect→crop→FER→annotate→JPEG pipeline
+# runs through the DETECTOR path, heuristic disabled.
+# ---------------------------------------------------------------------------
+
+
+def craft_brightness_detector_params():
+    """Hand-crafted res10-SSD weights that detect bright regions.
+
+    Construction: the input scale maps BGR to a positive brightness signal;
+    every residual stage passes the per-pixel mean brightness through its
+    expand/identity path (center-tap averaging kernels, all other convs
+    zero); the fc7 conf head turns brightness v into a face logit 6v − 3
+    (bright ⇒ p≈0.95, dark ⇒ p≈0.15) for its first prior only; all loc
+    heads are zero so boxes decode to the priors themselves — the detection
+    is the 60×60-equivalent prior centered on the brightest 19×19 cell.
+    """
+    import jax.numpy as jnp
+
+    from melogan_tpu.models import ssd
+
+    params = {}
+    for name, cin, cout, k, _s, _p, _d, bias in ssd.CONV_SPECS:
+        w = np.zeros((k, k, cin, cout), np.float32)
+        entry = {"w": w}
+        if bias:
+            entry["b"] = np.zeros((cout,), np.float32)
+        params[name] = entry
+    for bn, sc, ch in ssd.BN_SPECS:
+        params[bn] = {"mean": np.zeros(ch, np.float32), "var": np.ones(ch, np.float32)}
+        params[sc] = {"gamma": np.ones(ch, np.float32), "beta": np.zeros(ch, np.float32)}
+    params["conv4_3_norm"] = {"scale": np.full((128,), 20.0, np.float32)}
+
+    # brightness in [~0, ~1.3]: (x − mean)/255 + 0.7
+    params["data_scale"]["gamma"][:] = 1.0 / 255.0
+    params["data_scale"]["beta"][:] = 0.7
+    # trunk: center-tap channel-mean kernels along the surviving paths
+    params["conv1_h"]["w"][3, 3, :, :] = 1.0 / 3.0
+    params["layer_64_1_conv1_h"]["w"][1, 1, :, :] = 1.0 / 32.0
+    params["layer_128_1_conv_expand_h"]["w"][0, 0, :, :] = 1.0 / 32.0
+    params["layer_256_1_conv_expand"]["w"][0, 0, :, :] = 1.0 / 128.0
+    params["layer_512_1_conv_expand_h"]["w"][0, 0, :, :] = 1.0 / 256.0
+
+    # fc7 conf head: prior-0 face logit = 6·v − 3; everything else silent
+    conf = params["fc7_mbox_conf"]
+    conf["w"][1, 1, :, 1] = 6.0 / 256.0
+    conf["b"][1] = -3.0
+    for c in range(3, conf["b"].shape[0], 2):
+        conf["b"][c] = -10.0  # other priors' face channels: never fire
+    for head in ("conv4_3_norm", "conv6_2", "conv7_2", "conv8_2", "conv9_2"):
+        b = params[f"{head}_mbox_conf"]["b"]
+        b[1::2] = -10.0
+
+    return {
+        k: {kk: jnp.asarray(vv) for kk, vv in v.items()} for k, v in params.items()
+    }
+
+
+def face_frame():
+    """Dark 240×320 frame with a bright square 'face' at a known location."""
+    frame = np.full((240, 320, 3), 20.0, np.float32)
+    frame[60:180, 100:220, :] = 255.0
+    return frame
+
+
+def test_crafted_ssd_detects_bright_face_via_caffemodel(tmp_path):
+    """The crafted weights survive a real .caffemodel round trip and the
+    loaded detector localizes the bright square."""
+    from melogan_tpu.models.caffe import write_caffemodel
+    from melogan_tpu.models.ssd import FaceDetector, to_caffe_layers
+
+    params = craft_brightness_detector_params()
+    path = str(tmp_path / "crafted.caffemodel")
+    write_caffemodel(path, to_caffe_layers(params))
+    det = FaceDetector.from_caffemodel(path)
+
+    out = det.detect(face_frame(), conf_threshold=0.5)
+    assert out.shape[0] >= 1, "crafted detector found nothing"
+    best = out[np.argmax(out[:, 2])]
+    assert best[2] > 0.85  # confident
+    cx, cy = (best[3] + best[5]) / 2, (best[4] + best[6]) / 2
+    # face square spans x∈[0.3125, 0.6875], y∈[0.25, 0.75] in rel coords
+    assert 0.3125 < cx < 0.6875 and 0.25 < cy < 0.75, (cx, cy)
+
+    # stable: same frame → same box; empty frame → no detection
+    out2 = det.detect(face_frame(), conf_threshold=0.5)
+    np.testing.assert_array_equal(out, out2)
+    dark = np.full((240, 320, 3), 20.0, np.float32)
+    assert det.detect(dark, conf_threshold=0.5).shape[0] == 0
+
+
+def test_camera_e2e_through_detector_path(monkeypatch):
+    """Full frame→detect→crop→xception→annotate→JPEG with the DETECTOR
+    providing the box — the heuristic fallback is rigged to fail loudly."""
+    from melogan_tpu.models.ssd import FaceDetector
+    from melogan_tpu.serving.video import mjpeg_parts
+
+    def boom(*a, **k):
+        raise AssertionError("heuristic path used — detector did not fire")
+
+    import melogan_tpu.camera as camera_mod
+
+    monkeypatch.setattr(camera_mod, "heuristic_face_box", boom)
+
+    det = FaceDetector(params=craft_brightness_detector_params())
+    cam = CameraEmotion(face_detector=det)
+    frame = face_frame()
+    emotion = cam.process_frame(frame)
+    assert emotion in ("happy", "sad", "angry", "calm")
+    x1, y1, x2, y2 = cam.last_box
+    # crop lands on the bright square (pixels)
+    assert 100 <= (x1 + x2) / 2 <= 220 and 60 <= (y1 + y2) / 2 <= 180
+
+    emotions = []
+    parts = list(
+        mjpeg_parts([frame, frame], cam, on_emotion=emotions.append)
+    )
+    assert len(parts) == 2 and len(emotions) == 2
+    for part in parts:
+        assert b"Content-Type: image/jpeg" in part
+        jpeg = part.split(b"\r\n\r\n", 1)[1].rstrip(b"\r\n")
+        assert jpeg[:2] == b"\xff\xd8" and jpeg[-2:] == b"\xff\xd9"
