@@ -130,13 +130,25 @@ def train(
             t_stack.append(ti)
 
         if g_stack[0] is not None:
+            # pad a short final chunk to save_freq epochs with live-masked
+            # rows (skipped via lax.cond on device): every dispatch of the
+            # run then hits the SAME compiled program instead of paying a
+            # second full XLA compile (minutes through the remote compiler).
+            # Short total runs (n_epochs ≤ save_freq) keep their natural
+            # size — there is only one dispatch either way.
+            e_dim = cfg.save_freq if n_epochs > cfg.save_freq else len(chunk)
+            if len(chunk) < e_dim:
+                pad = e_dim - len(chunk)
+                g_stack = g_stack + [g_stack[-1]] * pad
+                t_stack = t_stack + [t_stack[-1]] * pad
+            live_mask = jnp.asarray(np.arange(e_dim) < len(chunk))
             gidx = jnp.asarray(np.stack(g_stack), jnp.int32)
             tidx = (
                 jnp.asarray(np.stack(t_stack), jnp.int32)
                 if t_stack[0] is not None
                 else None
             )
-            state, m = run_fn(state, data_dev, gidx, tidx)
+            state, m = run_fn(state, data_dev, gidx, tidx, live_mask)
             n_groups, k = gidx.shape[1], cfg.critic_iters
             n_steps = n_groups * k + (tidx.shape[1] if tidx is not None else 0)
             per_epoch = [

@@ -329,10 +329,13 @@ def make_train_steps(cfg: GANConfig, models: GANModels, mesh=None) -> TrainStepF
         return state, metrics
 
     # -- multi-epoch fusion: E whole epochs in ONE dispatch ------------------
-    def indexed_run_step(state: GANTrainState, data, group_idx, tail_idx=None):
+    def indexed_run_step(state: GANTrainState, data, group_idx, tail_idx=None, live=None):
         """``group_idx``: (E, G, critic_iters, B) int32 gather indices;
         ``tail_idx``: (E, T, B) int32 or None (datasets where the batch count
-        divides critic_iters have no tail).
+        divides critic_iters have no tail); ``live``: (E,) bool or None —
+        False marks padding rows the host added so a short final chunk runs
+        through the SAME compiled program (the epoch is skipped via
+        ``lax.cond``: state unchanged, zero metrics).
 
         Scans whole epochs — G fused group steps then the critic-only tail,
         in the reference's order — inside a single jitted program, so the
@@ -345,7 +348,7 @@ def make_train_steps(cfg: GANConfig, models: GANModels, mesh=None) -> TrainStepF
         def gather(idx):
             return (notes_all[idx], emot_all[idx], lat_all[idx], num_all[idx])
 
-        def epoch_body(st, idx_e):
+        def run_epoch(st, idx_e):
             st, gm = jax.lax.scan(lambda s, i: group_step(s, gather(i)), st, idx_e["group"])
             metrics = {
                 "loss_d_sum": jnp.sum(gm["loss_d_sum"]),
@@ -358,9 +361,27 @@ def make_train_steps(cfg: GANConfig, models: GANModels, mesh=None) -> TrainStepF
                 metrics["loss_d_sum"] = metrics["loss_d_sum"] + tm["loss_d_sum"]
             return st, metrics
 
+        def epoch_body(st, idx_e):
+            if "live" not in idx_e:
+                return run_epoch(st, idx_e)
+            payload = {k: v for k, v in idx_e.items() if k != "live"}
+
+            def skip(s):
+                zeros = {
+                    k: jnp.zeros((), jnp.float32)
+                    for k in ("loss_d_sum", "loss_g_adv", "loss_g_emo", "gp_mean")
+                }
+                return s, zeros
+
+            return jax.lax.cond(
+                idx_e["live"], lambda s: run_epoch(s, payload), skip, st
+            )
+
         idx = {"group": group_idx}
         if tail_idx is not None:
             idx["tail"] = tail_idx
+        if live is not None:
+            idx["live"] = live
         return jax.lax.scan(epoch_body, state, idx)
 
     # -- critic-only tail --------------------------------------------------

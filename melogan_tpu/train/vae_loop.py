@@ -188,13 +188,17 @@ def make_epoch_fns(cfg: AEConfig, model: VAE, mesh=None):
     # -- multi-epoch fusion: E epochs of train+val+LR-control+early-stop in
     # ONE dispatch ----------------------------------------------------------
     def run_epochs(state: VAETrainState, x_all, idx, betas, live_mask,
-                   val_batches, fixed_val, sched):
+                   val_batches, fixed_val, sched, dump_mask=None):
         """``idx``: (E, n_batches, B) gather indices; ``betas``: (E,) KL
         weights; ``live_mask``: (E,) bool — False marks padding rows the host
         added to keep E constant across chunks (one compiled program for the
         whole run, including a short final chunk); ``val_batches``: stacked
         validation batches; ``fixed_val``: (R, L, 4) recon-dump songs (R may
-        be 0); ``sched``: device scheduler state from :func:`init_sched`.
+        be 0); ``sched``: device scheduler state from :func:`init_sched`;
+        ``dump_mask``: (E,) bool — epochs whose fixed-set reconstruction the
+        host will actually write (``ep % recon_freq == 0``); the recon
+        forward is skipped (zeros returned) elsewhere. Default: every live
+        epoch.
 
         The ENTIRE per-epoch control flow of the reference loop
         (train_ae.py:96-205) — train epoch, validation at β=1, torch-semantics
@@ -212,18 +216,25 @@ def make_epoch_fns(cfg: AEConfig, model: VAE, mesh=None):
 
         def body(carry, xs):
             state, sched = carry
-            idx_e, beta, alive = xs
+            idx_e, beta, alive, dump = xs
             live = alive & jnp.logical_not(sched["done"])
 
             def do_epoch(st):
                 st, tm = train_epoch_indexed(st, x_all, idx_e, beta)
                 vm = eval_epoch(st, val_batches)
                 if fixed_val.shape[0]:
-                    recon = model.apply(
-                        {"params": st.params, "batch_stats": st.batch_stats},
-                        fixed_val,
-                        train=False,
-                    )[0]
+                    # recon forward only on epochs the host will dump —
+                    # elsewhere it was a discarded (E, R, L, 4) of work
+                    recon = jax.lax.cond(
+                        dump,
+                        lambda s: model.apply(
+                            {"params": s.params, "batch_stats": s.batch_stats},
+                            fixed_val,
+                            train=False,
+                        )[0],
+                        lambda s: jnp.zeros_like(fixed_val),
+                        st,
+                    )
                 else:
                     recon = jnp.zeros_like(fixed_val)
                 return st, tm, vm, recon
@@ -271,8 +282,9 @@ def make_epoch_fns(cfg: AEConfig, model: VAE, mesh=None):
             }
             return (state, sched), out
 
+        dumps = live_mask if dump_mask is None else dump_mask
         (state, sched), out = jax.lax.scan(
-            body, (state, sched), (idx, betas, live_mask)
+            body, (state, sched), (idx, betas, live_mask, dumps)
         )
         return state, sched, out
 
@@ -403,9 +415,14 @@ def train(
             idx = np.concatenate([idx, np.repeat(idx[-1:], pad, axis=0)])
             betas = np.concatenate([betas, np.repeat(betas[-1:], pad)])
             live[len(chunk):] = False
+        # recon forwards run only on the epochs whose dump the host writes
+        dump = np.zeros(chunk_size, bool)
+        if recon_dumps and fixed_val.shape[0]:
+            for j, ep in enumerate(chunk):
+                dump[j] = ep % cfg.recon_freq == 0
         state, sched, out = run_fn(
             state, x_train_dev, jnp.asarray(idx), jnp.asarray(betas),
-            jnp.asarray(live), val_batches, fixed_dev, sched,
+            jnp.asarray(live), val_batches, fixed_dev, sched, jnp.asarray(dump),
         )
         out = jax.tree_util.tree_map(np.asarray, out)
         dt = (time.perf_counter() - t0) / len(chunk)

@@ -369,3 +369,43 @@ def test_bf16_precision_training_plumbing(splits, tmp_path):
     assert jit_with_precision(f, None)(3.0) == 6.0
     assert float(jit_with_precision(f, "bf16")(3.0)) == 6.0
     assert default_precision() is before
+
+
+def test_gan_padded_final_chunk_matches_unchunked(splits, tmp_path):
+    """ADVICE-r2 #1: a run whose epochs don't divide save_freq pads the final
+    chunk with live-masked rows; the trajectory must equal the same run
+    dispatched as one full chunk (padding epochs are device no-ops)."""
+    train_data, _ = splits
+    ed_cfg = EDConfig(max_notes=64, notes_blocks=2, notes_hidden=32, mlp_hidden=(16,))
+    base = dict(max_notes=64, batch_size=4, noise_dim=16, latent_dim=8,
+                gen_hidden=32, epochs=3)
+    s_pad, m_pad = gan_loop.train(
+        GANConfig(**base, save_freq=2),  # chunks [1,2] + padded [3,(3)]
+        ed_cfg, train_data, workdir=str(tmp_path / "pad"), verbose=False,
+    )
+    s_one, m_one = gan_loop.train(
+        GANConfig(**base, save_freq=3),  # one unpadded chunk [1,2,3]
+        ed_cfg, train_data, workdir=str(tmp_path / "one"), verbose=False,
+    )
+    assert m_pad["Loss/Critic"] == pytest.approx(m_one["Loss/Critic"], rel=1e-5)
+    assert m_pad["Loss/Generator_Adv"] == pytest.approx(m_one["Loss/Generator_Adv"], rel=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_pad.gen_params)
+        + jax.tree_util.tree_leaves(s_pad.critic_params),
+        jax.tree_util.tree_leaves(s_one.gen_params)
+        + jax.tree_util.tree_leaves(s_one.critic_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_vae_recon_dumps_respect_recon_freq(splits, tmp_path):
+    """ADVICE-r2 #2: the fused program computes the fixed-set reconstruction
+    only on dump epochs (ep % recon_freq == 0); the host writes exactly
+    those files and no others."""
+    train_data, val_data = splits
+    cfg = AEConfig(max_notes=64, batch_size=8, epochs=5, recon_save_count=2,
+                   recon_freq=2)
+    vae_loop.train(cfg, train_data, val_data, workdir=str(tmp_path), verbose=False)
+    recon_files = os.listdir(tmp_path / cfg.recon_dir)
+    eps = sorted({int(f.split("_")[0][2:]) for f in recon_files})
+    assert eps == [2, 4], recon_files
