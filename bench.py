@@ -25,7 +25,9 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
-def _bench_sampling(sampler, batch: int, iters: int, warmup: int = 2):
+def _bench_sampling(sampler, batch: int, iters: int, warmup: int = 2, repeats: int = 1):
+    """Returns a list of ``repeats`` samples/sec measurements (fixed work per
+    repeat: ``iters`` dispatches of ``batch``), all on one warm trace."""
     import jax
     import jax.numpy as jnp
 
@@ -35,18 +37,24 @@ def _bench_sampling(sampler, batch: int, iters: int, warmup: int = 2):
         jax.block_until_ready(
             step(sampler.gen_variables, sampler.fe_variables, jax.random.PRNGKey(i), idx, batch=batch)
         )
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = step(
-            sampler.gen_variables, sampler.fe_variables, jax.random.PRNGKey(100 + i), idx, batch=batch
-        )
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
+    rates = []
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = step(
+                sampler.gen_variables, sampler.fe_variables,
+                jax.random.PRNGKey(100 + r * iters + i), idx, batch=batch,
+            )
+        jax.block_until_ready(out)
+        rates.append(batch * iters / (time.perf_counter() - t0))
+    return rates
 
 
 def _bench_train(iters: int = 20, warmup: int = 2, pallas: str = "off",
-                 epochs_per_dispatch: int = 0, precision=None):
+                 epochs_per_dispatch: int = 0, precision=None, repeats: int = 1):
+    """Returns (list of ``repeats`` batch-steps/sec measurements, analytic
+    FLOPs per reference batch-step from XLA's cost analysis of the compiled
+    program — exact for the double-backward WGAN-GP graph)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -82,23 +90,37 @@ def _bench_train(iters: int = 20, warmup: int = 2, pallas: str = "off",
     if e == 1:
         indexed = jit_with_precision(steps.indexed, precision)
         idx = jnp.asarray(rng.permutation(n).reshape(g, k, b), jnp.int32)
-        step = lambda st: indexed(st, data, idx)
+        jitted, jit_args = indexed, (data, idx)
     else:
         run_step = jit_with_precision(steps.run, precision)
         idx = jnp.asarray(
             np.stack([rng.permutation(n).reshape(g, k, b) for _ in range(e)]), jnp.int32
         )
-        step = lambda st: run_step(st, data, idx)
+        jitted, jit_args = run_step, (data, idx)
+    step = lambda st: jitted(st, *jit_args)
     for _ in range(warmup):
         state, metrics = step(state)
     jax.block_until_ready(metrics)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state)
-    jax.block_until_ready(metrics)
-    dt = time.perf_counter() - t0
-    # one dispatch = e epochs × g groups × critic_iters reference batch-steps
-    return iters * e * g * k / dt
+    # FLOPs of the compiled dispatch (cache-hit: same trace as above) — one
+    # dispatch covers e·g·k reference batch-steps
+    flops_per_step = None
+    try:
+        from melogan_tpu.utils.flops import program_flops
+
+        total = program_flops(jitted.lower(state, *jit_args).compile())
+        if total:
+            flops_per_step = total / (e * g * k)
+    except Exception as exc:  # noqa: BLE001 — MFU is best-effort reporting
+        print(f"[bench] train cost analysis unavailable: {exc}", file=sys.stderr)
+    rates = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state)
+        jax.block_until_ready(metrics)
+        # one dispatch = e epochs × g groups × critic_iters reference batch-steps
+        rates.append(iters * e * g * k / (time.perf_counter() - t0))
+    return rates, flops_per_step
 
 
 def _bench_latency(sampler, n: int = 20):
@@ -166,9 +188,23 @@ def run(cpu_baseline: bool = False):
     conv_ops.set_use_pallas("off")
     sampler = Sampler(GANConfig(), seed=0)
     if cpu_baseline:
+        # pinned methodology (VERDICT-r2 #6): fixed work per repeat, ≥3
+        # repeats, report median + spread so round-over-round comparisons
+        # carry their own error bars (r1 vs r2 drifted 2× silently)
+        def med_spread(rates):
+            rates = sorted(rates)
+            med = rates[len(rates) // 2]
+            spread = (rates[-1] - rates[0]) / med * 100 if med else None
+            return med, spread
+
+        s_med, s_spread = med_spread(_bench_sampling(sampler, batch=64, iters=5, repeats=3))
+        t_rates, _ = _bench_train(iters=2, warmup=1, epochs_per_dispatch=1, repeats=3)
+        t_med, t_spread = med_spread(t_rates)
         result = {
-            "samples_per_sec": _bench_sampling(sampler, batch=64, iters=5),
-            "train_steps_per_sec": _bench_train(iters=2, warmup=1, epochs_per_dispatch=1),
+            "samples_per_sec": s_med,
+            "samples_spread_pct": round(s_spread, 1),
+            "train_steps_per_sec": t_med,
+            "train_spread_pct": round(t_spread, 1),
         }
         print("CPU_BASELINE " + json.dumps(result))
         return result
@@ -176,8 +212,9 @@ def run(cpu_baseline: bool = False):
     # batch 65536: dispatch overhead amortizes with batch (sweep: 36.9k/s
     # @128 -> 449k/s @32768 -> 474k/s @65536; 131072 exceeds compile limits);
     # ~138 ms/batch at the optimum
-    samples_per_sec = _bench_sampling(sampler, batch=65536, iters=5)
-    train_steps = _bench_train(iters=15)
+    samples_per_sec = _bench_sampling(sampler, batch=65536, iters=5)[0]
+    train_steps, train_flops_per_step = _bench_train(iters=15)
+    train_steps = train_steps[0]
     p50_direct = _bench_latency(sampler)
     pool_lat = _bench_latency_pooled(sampler)  # the serving request path
 
@@ -186,19 +223,19 @@ def run(cpu_baseline: bool = False):
     # apples-to-apples dispatch comparison at batch 8192 (the kernels'
     # validated regime; the headline batch 65536 exceeds the fused kernel's
     # compile envelope)
-    xla_samples_8k = _bench_sampling(sampler, batch=8192, iters=5)
+    xla_samples_8k = _bench_sampling(sampler, batch=8192, iters=5)[0]
     pallas_samples = pallas_train = None
     if os.environ.get("MELOGAN_BENCH_PALLAS", "1") != "0":
         try:
             conv_ops.set_use_pallas("on")
             pallas_sampler = Sampler(GANConfig(), seed=0)
-            pallas_samples = _bench_sampling(pallas_sampler, batch=8192, iters=5)
+            pallas_samples = _bench_sampling(pallas_sampler, batch=8192, iters=5)[0]
         except Exception as e:  # noqa: BLE001
             print(f"[bench] pallas sampling variant failed: {e}", file=sys.stderr)
         try:
             # 1-epoch granularity on both sides of the Pallas-vs-XLA
             # comparison (xla_train_steps_per_sec_1ep below)
-            pallas_train = _bench_train(iters=15, pallas="on", epochs_per_dispatch=1)
+            pallas_train = _bench_train(iters=15, pallas="on", epochs_per_dispatch=1)[0][0]
         except Exception as e:  # noqa: BLE001
             print(f"[bench] pallas train variant failed: {e}", file=sys.stderr)
         finally:
@@ -209,7 +246,7 @@ def run(cpu_baseline: bool = False):
     fast_samples = None
     try:
         fast_sampler = Sampler(GANConfig(), seed=0, fast_math=True)
-        fast_samples = _bench_sampling(fast_sampler, batch=65536, iters=5)
+        fast_samples = _bench_sampling(fast_sampler, batch=65536, iters=5)[0]
     except Exception as e:  # noqa: BLE001
         print(f"[bench] fast-math sampling failed: {e}", file=sys.stderr)
 
@@ -218,7 +255,7 @@ def run(cpu_baseline: bool = False):
     # number stays HIGHEST (torch-parity numerics)
     bf16_train = None
     try:
-        bf16_train = _bench_train(iters=15, precision="bf16")
+        bf16_train = _bench_train(iters=15, precision="bf16")[0][0]
     except Exception as e:  # noqa: BLE001
         print(f"[bench] bf16 train variant failed: {e}", file=sys.stderr)
 
@@ -247,6 +284,29 @@ def run(cpu_baseline: bool = False):
     vs_baseline = (
         best_samples / cpu["samples_per_sec"] if cpu.get("samples_per_sec") else None
     )
+
+    # MFU / roofline accounting (VERDICT-r2 #2): analytic FLOPs/sample for the
+    # sampling pipeline (cross-checked vs XLA cost analysis to 0.05% in
+    # tests/test_flops.py), XLA cost analysis for the double-backward train
+    # step; percent-of-peak is against the chip's published bf16 matmul peak
+    # (f32 runs through the same MXU via multi-pass, so this is conservative)
+    from melogan_tpu.utils.flops import chip_peak_bf16_tflops, sampling_flops_per_sample
+
+    fps = sampling_flops_per_sample(GANConfig())
+    device_kind = jax.devices()[0].device_kind
+    peak = chip_peak_bf16_tflops(device_kind)
+
+    def tflops(rate, per_unit):
+        return rate * per_unit / 1e12 if (rate and per_unit) else None
+
+    def pct_peak(tf):
+        return round(tf / peak * 100, 2) if (tf and peak) else None
+
+    sampling_tf = tflops(best_samples, fps)
+    bf16_sampling_tf = tflops(fast_samples, fps)
+    train_tf = tflops(best_train, train_flops_per_step)
+    bf16_train_tf = tflops(bf16_train, train_flops_per_step)
+
     out = {
         "metric": "piano_roll_samples_per_sec_per_chip",
         "value": round(best_samples, 2),
@@ -270,6 +330,21 @@ def run(cpu_baseline: bool = False):
         "bf16_samples_per_sec": round(fast_samples, 2) if fast_samples else None,
         "bf16_train_steps_per_sec": round(bf16_train, 3) if bf16_train else None,
         "cpu_samples_per_sec": round(cpu["samples_per_sec"], 2) if cpu.get("samples_per_sec") else None,
+        "cpu_samples_spread_pct": cpu.get("samples_spread_pct"),
+        "cpu_train_spread_pct": cpu.get("train_spread_pct"),
+        # roofline / MFU
+        "chip": device_kind,
+        "chip_peak_bf16_tflops": peak,
+        "flops_per_sample": fps,
+        "train_flops_per_step": round(train_flops_per_step) if train_flops_per_step else None,
+        "sampling_tflops": round(sampling_tf, 2) if sampling_tf else None,
+        "sampling_pct_bf16_peak": pct_peak(sampling_tf),
+        "bf16_sampling_tflops": round(bf16_sampling_tf, 2) if bf16_sampling_tf else None,
+        "bf16_sampling_pct_bf16_peak": pct_peak(bf16_sampling_tf),
+        "train_tflops": round(train_tf, 2) if train_tf else None,
+        "train_pct_bf16_peak": pct_peak(train_tf),
+        "bf16_train_tflops": round(bf16_train_tf, 2) if bf16_train_tf else None,
+        "bf16_train_pct_bf16_peak": pct_peak(bf16_train_tf),
     }
     print(json.dumps(out))
     return out

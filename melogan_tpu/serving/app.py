@@ -33,7 +33,7 @@ import numpy as np
 
 from melogan_tpu.config import GANConfig
 from melogan_tpu.midi.codec import render_to_bytes
-from melogan_tpu.models.text_emotion import backend_name, predict_emotion
+from melogan_tpu.models.text_emotion import backend_info, backend_name, predict_emotion
 from melogan_tpu.sampling import EMOTION_BPM, Sampler, emotion_scale
 
 
@@ -204,6 +204,9 @@ def build_app(state: AppState):
                 {
                     "status": "ok",
                     "text_backend": backend_name(),
+                    # loud accuracy caveat when the lexicon fallback serves
+                    # text emotion instead of the go_emotions model
+                    "text_backend_note": backend_info()["note"],
                     "camera_backend": "xception" if state.camera else None,
                     "video_feed": state.frame_source is not None,
                     "generator": "loaded",

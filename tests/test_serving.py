@@ -401,3 +401,20 @@ def test_sample_pool_drain_count_survives_covered_refill():
         assert stub.batches[-1] >= 2 * 100  # sized to the accumulated drain rate
     finally:
         pool.close()
+
+
+def test_healthz_states_lexicon_accuracy_caveat(server):
+    """VERDICT-r2 weak #1: when the lexicon fallback serves text emotion the
+    health endpoint must say loudly that it is not the go_emotions model."""
+    from melogan_tpu.models import text_emotion
+
+    base, _ = server
+    status, _, body = req(base, "/healthz")
+    payload = json.loads(body)
+    assert payload["text_backend"] == text_emotion.backend_name()
+    note = payload["text_backend_note"]
+    if payload["text_backend"] == "lexicon":
+        assert "NOT the go_emotions model" in note
+        assert "MELOGAN_TEXT_MODEL_DIR" in note
+    else:
+        assert "accuracy" in note
