@@ -51,7 +51,8 @@ def _bench_sampling(sampler, batch: int, iters: int, warmup: int = 2, repeats: i
 
 
 def _bench_train(iters: int = 20, warmup: int = 2, pallas: str = "off",
-                 epochs_per_dispatch: int = 0, precision=None, repeats: int = 1):
+                 epochs_per_dispatch: int = 0, precision=None, repeats: int = 1,
+                 groups: int = 5):
     """Returns (list of ``repeats`` batch-steps/sec measurements, analytic
     FLOPs per reference batch-step from XLA's cost analysis of the compiled
     program — exact for the double-backward WGAN-GP graph)."""
@@ -77,7 +78,10 @@ def _bench_train(iters: int = 20, warmup: int = 2, pallas: str = "off",
     # the 1-epoch indexed program (epochs_per_dispatch=1): same math, smaller
     # compile, and an unchanged persistent-cache entry.
     e = epochs_per_dispatch or cfg.save_freq
-    g, k, b = 5, cfg.critic_iters, cfg.batch_size  # reference epoch: 897 rows
+    # g=5 groups/epoch matches the reference epoch (897 rows); the CPU
+    # baseline shrinks g — steps/sec is normalized by e·g·k so the metric
+    # definition is unchanged, only the per-dispatch measurement work
+    g, k, b = groups, cfg.critic_iters, cfg.batch_size
     n = g * k * b
     data = (
         jnp.asarray(rng.normal(size=(n, cfg.max_notes, cfg.note_dim)), jnp.float32),
@@ -101,17 +105,12 @@ def _bench_train(iters: int = 20, warmup: int = 2, pallas: str = "off",
     for _ in range(warmup):
         state, metrics = step(state)
     jax.block_until_ready(metrics)
-    # FLOPs of the compiled dispatch (cache-hit: same trace as above) — one
-    # dispatch covers e·g·k reference batch-steps
-    flops_per_step = None
-    try:
-        from melogan_tpu.utils.flops import program_flops
+    # analytic FLOPs per reference batch-step (critic+GP+amortized G update).
+    # XLA cost_analysis is NOT usable here: it counts lax.scan bodies once,
+    # not × trip count, undercounting the fused program ~100×.
+    from melogan_tpu.utils.flops import train_flops_per_step
 
-        total = program_flops(jitted.lower(state, *jit_args).compile())
-        if total:
-            flops_per_step = total / (e * g * k)
-    except Exception as exc:  # noqa: BLE001 — MFU is best-effort reporting
-        print(f"[bench] train cost analysis unavailable: {exc}", file=sys.stderr)
+    flops_per_step = train_flops_per_step(cfg, EDConfig())
     rates = []
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -198,7 +197,8 @@ def run(cpu_baseline: bool = False):
             return med, spread
 
         s_med, s_spread = med_spread(_bench_sampling(sampler, batch=64, iters=5, repeats=3))
-        t_rates, _ = _bench_train(iters=2, warmup=1, epochs_per_dispatch=1, repeats=3)
+        t_rates, _ = _bench_train(iters=1, warmup=1, epochs_per_dispatch=1, repeats=3,
+                                  groups=2)
         t_med, t_spread = med_spread(t_rates)
         result = {
             "samples_per_sec": s_med,
@@ -266,7 +266,7 @@ def run(cpu_baseline: bool = False):
             [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
             capture_output=True,
             text=True,
-            timeout=1500,
+            timeout=2100,
             cwd=REPO,
         )
         for line in proc.stdout.splitlines():

@@ -110,6 +110,19 @@ def jit_with_precision(fn, precision=None, **jit_kwargs):
         finally:
             set_default_precision(prev)
 
+    def lower(*args, **kwargs):
+        # expose jit's .lower (bench cost analysis); tracing must happen
+        # under the same precision context as execution
+        from melogan_tpu.models.layers import default_precision, set_default_precision
+
+        prev = default_precision()
+        set_default_precision(prec)
+        try:
+            return jitted.lower(*args, **kwargs)
+        finally:
+            set_default_precision(prev)
+
+    wrapped.lower = lower
     return wrapped
 
 

@@ -89,6 +89,56 @@ def sampling_flops_per_sample(cfg: GANConfig) -> int:
     return feature_encoder_flops(cfg) + generator_flops(cfg)
 
 
+def ed_flops(ed_cfg) -> int:
+    """Emotion-discriminator forward, notes mode (models/ed.py:55-68):
+    stride-1 conv blocks k5 then k3, channels 4→64→…→notes_hidden, pooled
+    linear + MLP head."""
+    l = ed_cfg.max_notes
+    total = 0
+    c_in, ch = ed_cfg.note_dim, 64
+    for i in range(ed_cfg.notes_blocks):
+        k = 5 if i == 0 else 3
+        total += _conv1d(l, c_in, ch, k)
+        c_in, ch = ch, min(ch * 2, ed_cfg.notes_hidden)
+    total += _linear(c_in, ed_cfg.notes_hidden)
+    d = ed_cfg.notes_hidden
+    for h in ed_cfg.mlp_hidden:
+        total += _linear(d, h)
+        d = h
+    total += _linear(d, ed_cfg.n_classes)
+    return total
+
+
+def train_flops_per_step(cfg: GANConfig, ed_cfg) -> int:
+    """Analytic FLOPs per reference batch-step of the WGAN-GP loop
+    (train/gan_step.py; reference src/gan/train_gan.py:183-251).
+
+    A batch-step = one critic update on batch B; every ``critic_iters``-th
+    step additionally runs the G+FE update, amortized in here. Standard
+    reverse-mode accounting: forward+backward = 3× forward (1 fwd + data-grad
+    + weight-grad); the gradient penalty's inner graph is fwd + data-grad
+    (2×) and differentiating it w.r.t. critic params costs ~2× that graph
+    again ⇒ GP ≈ 6× critic forward. These factors are the conventional
+    estimate (exact transcendental/elementwise costs excluded), so treat the
+    resulting MFU as accurate to ~±15%, not to the digit.
+
+    NOTE: XLA's ``cost_analysis`` cannot be used for this program — it counts
+    ``lax.scan`` bodies ONCE, not × trip count, undercounting the fused
+    multi-epoch program ~100×.
+    """
+    b = cfg.batch_size
+    f_c = critic_flops(cfg)
+    f_g = generator_flops(cfg)
+    f_f = feature_encoder_flops(cfg)
+    f_e = ed_flops(ed_cfg)
+    # critic update: G fwd (no grad) + FE fwd (no grad) + d_real (3×) +
+    # d_fake (3×) + gradient penalty (≈6×)
+    critic_step = b * (f_g + f_f + 12 * f_c)
+    # generator update: fwd+bwd through FE, G, critic score, frozen ED
+    gen_step = 3 * b * (f_g + f_f + f_c + f_e)
+    return int(critic_step + gen_step / max(1, cfg.critic_iters))
+
+
 def program_flops(compiled) -> Optional[float]:
     """FLOPs of a compiled XLA program via its own cost analysis (exact for
     arbitrary graphs, e.g. the double-backward WGAN-GP step). ``compiled``

@@ -72,3 +72,34 @@ def test_chip_peak_lookup():
     assert chip_peak_bf16_tflops("TPU v4") == 275.0
     assert chip_peak_bf16_tflops("TPU v6 lite") == 918.0
     assert chip_peak_bf16_tflops("cpu") is None
+
+
+def test_ed_flops_match_xla_cost_analysis(rng):
+    from melogan_tpu.config import EDConfig
+    from melogan_tpu.models.ed import EmotionDiscriminator
+    from melogan_tpu.utils.flops import ed_flops
+
+    ed_cfg = EDConfig()
+    ed = EmotionDiscriminator.from_config(ed_cfg)
+    variables = ed.init(jax.random.PRNGKey(0), jnp.zeros((1, 512, 4)), train=False)
+    batch = 16
+    notes = jnp.asarray(rng.normal(size=(batch, 512, 4)), jnp.float32)
+    fwd = jax.jit(lambda v, n: ed.apply(v, n, train=False))
+    xla_total = program_flops(fwd.lower(variables, notes).compile())
+    if xla_total is None:
+        pytest.skip("backend exposes no cost analysis")
+    analytic = ed_flops(ed_cfg)
+    # ED interleaves erf-GELU + BN over every (512, ch) map; XLA prices those
+    # transcendentals (~7% here) while the analytic count is matmul/conv-only
+    xla_per_sample = xla_total / batch
+    assert 0.85 < analytic / xla_per_sample <= 1.001, (analytic, xla_per_sample)
+
+
+def test_train_flops_per_step_scales_sensibly():
+    from melogan_tpu.config import EDConfig
+    from melogan_tpu.utils.flops import train_flops_per_step
+
+    base = train_flops_per_step(GANConfig(), EDConfig())
+    assert base > 10e9  # tens of GFLOPs at reference shapes
+    double_b = train_flops_per_step(GANConfig(batch_size=64), EDConfig())
+    assert abs(double_b / base - 2) < 1e-6  # linear in batch
