@@ -168,15 +168,19 @@ def _bench_latency_pooled(sampler, n: int = 100):
 def run(cpu_baseline: bool = False):
     import jax
 
-    # persistent compile cache: first driver run pays ~minutes of XLA compile
-    # for the second-order WGAN-GP program; subsequent runs are instant
-    cache_dir = os.path.join(REPO, ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     if cpu_baseline:
+        # NO persistent cache for the baseline: cached XLA:CPU AOT code may
+        # have been compiled for a different host's machine features and run
+        # denatured here (observed: 40% run-to-run drift from cache-hit vs
+        # fresh-compile codegen). Fresh host-native compiles every run.
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # persistent compile cache: first driver run pays ~minutes of XLA
+        # compile for the second-order WGAN-GP program; later runs are instant
+        cache_dir = os.path.join(REPO, ".jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from melogan_tpu.config import GANConfig
     from melogan_tpu.ops import conv as conv_ops
@@ -188,22 +192,25 @@ def run(cpu_baseline: bool = False):
     sampler = Sampler(GANConfig(), seed=0)
     if cpu_baseline:
         # pinned methodology (VERDICT-r2 #6): fixed work per repeat, ≥3
-        # repeats, report median + spread so round-over-round comparisons
-        # carry their own error bars (r1 vs r2 drifted 2× silently)
-        def med_spread(rates):
+        # repeats. The estimator is MAX-of-N — the machine's capability with
+        # the least interference from the shared 1-core host (medians still
+        # drifted ~25% run-to-run from background load; the max is stable
+        # when any one repeat runs clean). Spread is reported as the error
+        # bar (r1 vs r2 drifted 2× silently with single-shot timing).
+        def agg(rates):
             rates = sorted(rates)
-            med = rates[len(rates) // 2]
-            spread = (rates[-1] - rates[0]) / med * 100 if med else None
-            return med, spread
+            best = rates[-1]
+            spread = (rates[-1] - rates[0]) / best * 100 if best else None
+            return best, spread
 
-        s_med, s_spread = med_spread(_bench_sampling(sampler, batch=64, iters=5, repeats=3))
+        s_best, s_spread = agg(_bench_sampling(sampler, batch=64, iters=50, repeats=3))
         t_rates, _ = _bench_train(iters=1, warmup=1, epochs_per_dispatch=1, repeats=3,
                                   groups=2)
-        t_med, t_spread = med_spread(t_rates)
+        t_best, t_spread = agg(t_rates)
         result = {
-            "samples_per_sec": s_med,
+            "samples_per_sec": s_best,
             "samples_spread_pct": round(s_spread, 1),
-            "train_steps_per_sec": t_med,
+            "train_steps_per_sec": t_best,
             "train_spread_pct": round(t_spread, 1),
         }
         print("CPU_BASELINE " + json.dumps(result))
