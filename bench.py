@@ -53,9 +53,9 @@ def _bench_sampling(sampler, batch: int, iters: int, warmup: int = 2, repeats: i
 def _bench_train(iters: int = 20, warmup: int = 2, pallas: str = "off",
                  epochs_per_dispatch: int = 0, precision=None, repeats: int = 1,
                  groups: int = 5):
-    """Returns (list of ``repeats`` batch-steps/sec measurements, analytic
-    FLOPs per reference batch-step from XLA's cost analysis of the compiled
-    program — exact for the double-backward WGAN-GP graph)."""
+    """Returns (list of ``repeats`` batch-steps/sec measurements, ANALYTIC
+    FLOPs per reference batch-step — conventional fwd/bwd=3× factors, ±15%;
+    XLA cost_analysis is unusable here, see utils/flops.py)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -292,11 +292,13 @@ def run(cpu_baseline: bool = False):
         best_samples / cpu["samples_per_sec"] if cpu.get("samples_per_sec") else None
     )
 
-    # MFU / roofline accounting (VERDICT-r2 #2): analytic FLOPs/sample for the
-    # sampling pipeline (cross-checked vs XLA cost analysis to 0.05% in
-    # tests/test_flops.py), XLA cost analysis for the double-backward train
-    # step; percent-of-peak is against the chip's published bf16 matmul peak
-    # (f32 runs through the same MXU via multi-pass, so this is conservative)
+    # MFU / roofline accounting (VERDICT-r2 #2): analytic FLOPs throughout —
+    # sampling cross-checked vs XLA cost analysis to 0.05% (tests/test_flops
+    # .py); the train figure uses conventional fwd/bwd=3× factors (read its
+    # MFU as ±15% — XLA cost_analysis counts lax.scan bodies once, not × trip
+    # count, so it cannot price the fused program). Percent-of-peak is
+    # against the chip's published bf16 matmul peak (f32 runs through the
+    # same MXU via multi-pass, so this is conservative)
     from melogan_tpu.utils.flops import chip_peak_bf16_tflops, sampling_flops_per_sample
 
     fps = sampling_flops_per_sample(GANConfig())

@@ -273,13 +273,16 @@ def cmd_sample(args):
     emotions = [args.emotion] if args.emotion != "all" else ["happy", "sad", "angry", "calm"]
     # one device batch for all prompts; per-file jittered bpm around the
     # emotion base (test_gan reconstruction; shipped artifact bpms scatter
-    # ~±15% around the map)
+    # ~±BPM_JITTER around the map — the quality gate derives its tempo bands
+    # from the same constant)
+    from melogan_tpu.constants import BPM_JITTER
+
     prompts, paths, bpms = [], [], []
     for emotion in emotions:
         for i in range(1, args.samples + 1):
             prompts.append(emotion)
             paths.append(os.path.join(args.out, f"test_{emotion}_{i}.mid"))
-            bpms.append(float(EMOTION_BPM[emotion] * (1.0 + rng.uniform(-0.15, 0.15))))
+            bpms.append(float(EMOTION_BPM[emotion] * (1.0 + rng.uniform(-BPM_JITTER, BPM_JITTER))))
     sampler.generate_many(prompts, paths, seed=int(rng.integers(0, 2**31)), bpms=bpms)
     for emotion, out, bpm in zip(prompts, paths, bpms):
         print(f"[INFO] wrote {out} (bpm {max(60, min(bpm, 180)):.0f}, "

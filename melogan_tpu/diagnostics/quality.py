@@ -24,9 +24,10 @@ from typing import Dict, Iterable, List, Tuple
 from melogan_tpu.diagnostics.analyze_midi import analyze_file
 
 # serving bpm map (reference app.py:110) and its sampling jitter — tempo
-# bands must admit whatever `melogan sample`/`/generate` can legitimately emit
-_EMOTION_BPM = {"happy": 140, "sad": 70, "angry": 160, "calm": 90}
-_BPM_JITTER = 0.15
+# bands must admit whatever `melogan sample`/`/generate` can legitimately
+# emit, so both sides read the same module (melogan_tpu.constants, jax-free)
+from melogan_tpu.constants import BPM_JITTER as _BPM_JITTER
+from melogan_tpu.constants import EMOTION_BPM as _EMOTION_BPM
 
 # derivation constants (see derive_bands): additive metrics widen the golden
 # envelope by max(K_REL·range, K_MID·midpoint); rate metrics scale the

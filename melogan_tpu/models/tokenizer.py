@@ -229,7 +229,30 @@ class WordLevelTokenizer:
         self.pad_id = self.vocab.get(pad_token, self.unk_id)
 
     @staticmethod
-    def _split(text: str) -> List[str]:
+    def _is_word(c: str) -> bool:
+        # the tokenizers library's Whitespace uses the unicode regex \w =
+        # [\p{Alphabetic}\p{M}\p{Nd}\p{Pc}\p{Join_Control}]; Python's
+        # isalnum() differs (e.g. superscript '²' is isalnum but No — not
+        # \w; combining marks are \w but not isalnum), so classify by
+        # category. (Other_Alphabetic symbols like circled letters are the
+        # one uncovered sliver of \p{Alphabetic}.)
+        cat = unicodedata.category(c)
+        return (
+            cat.startswith(("L", "M"))
+            or cat in ("Nd", "Nl", "Pc")
+            or c in ("\u200c", "\u200d")  # Join_Control (ZWNJ/ZWJ)
+        )
+
+    @staticmethod
+    def _is_space(c: str) -> bool:
+        # unicode White_Space (regex \s): Z* plus these Cc controls — NOT
+        # Python isspace(), which also accepts U+001C–1F
+        return c in "\t\n\x0b\x0c\r\x85" or unicodedata.category(c) in (
+            "Zs", "Zl", "Zp",
+        )
+
+    @classmethod
+    def _split(cls, text: str) -> List[str]:
         # Whitespace pre-tokenizer: \w+|[^\w\s]+
         toks, run, mode = [], [], None  # mode: 'w' word chars, 'p' punct
 
@@ -239,10 +262,10 @@ class WordLevelTokenizer:
                 run.clear()
 
         for c in text:
-            if c.isspace():
+            if cls._is_space(c):
                 flush()
                 mode = None
-            elif c.isalnum() or c == "_":
+            elif cls._is_word(c):
                 if mode != "w":
                     flush()
                 mode = "w"
@@ -286,6 +309,24 @@ def _parse_merges_txt(path: str) -> List[Tuple[str, str]]:
             a, _, b = line.partition(" ")
             merges.append((a, b))
     return merges
+
+
+def _find_byte_level(pre_tokenizer) -> Dict:
+    """Locate the ByteLevel entry in a ``tokenizer.json`` pre_tokenizer —
+    either a bare ``{"type": "ByteLevel", ...}`` dict or nested inside a
+    ``{"type": "Sequence", "pretokenizers": [...]}`` wrapper (the common HF
+    serialization). Returns ``{}`` if absent, so ``add_prefix_space``
+    defaults to False only when genuinely unspecified."""
+    if not isinstance(pre_tokenizer, dict):
+        return {}
+    if pre_tokenizer.get("type") == "Sequence":
+        for sub in pre_tokenizer.get("pretokenizers") or []:
+            found = _find_byte_level(sub)
+            if found:
+                return found
+    if pre_tokenizer.get("type") == "ByteLevel" or "add_prefix_space" in pre_tokenizer:
+        return pre_tokenizer
+    return {}
 
 
 def _special_names(tokenizer_config: Dict) -> Dict[str, str]:
@@ -333,7 +374,7 @@ def load_tokenizer(model_dir: str):
         if mtype == "BPE":
             merges = [tuple(m.split(" ", 1)) if isinstance(m, str) else tuple(m)
                       for m in model["merges"]]
-            pre = tj.get("pre_tokenizer") or {}
+            pre = _find_byte_level(tj.get("pre_tokenizer"))
             return ByteLevelBPE(
                 model["vocab"],
                 merges,

@@ -36,7 +36,9 @@ EMOTION_FEATURES: Dict[str, list] = {
 }
 
 # Serving bpm map (reference app.py:110) and scale selection (app.py:109).
-EMOTION_BPM: Dict[str, float] = {"happy": 140.0, "sad": 70.0, "angry": 160.0, "calm": 90.0}
+# Single source of truth lives in melogan_tpu.constants (shared with the
+# quality gate's band derivation); re-exported here for the serving path.
+from melogan_tpu.constants import EMOTION_BPM  # noqa: E402,F401
 
 
 def emotion_scale(emotion: str) -> str:

@@ -186,6 +186,11 @@ class SamplePool:
                 )
             try:
                 self._refill([emotion])
+                # a take-path refill that succeeds resolves any prior incident
+                # (mirrors the producer) — without this, background=False
+                # pools report a long-stale error on later unrelated timeouts
+                with self._lock:
+                    self._last_error = None
             except Exception as e:  # noqa: BLE001 — deadline the failure, don't 500
                 msg = f"{type(e).__name__}: {e}"
                 with self._lock:

@@ -310,3 +310,88 @@ def test_pretokenize_matches_gpt2_regex():
     )
     for text in EDGE_CORPUS + ["x  y", "a\n\nb", "  ", "\t\ta", "é'è", "1'2"]:
         assert pretokenize(text) == pat.findall(text), repr(text)
+
+
+def test_wordlevel_split_matches_rust_whitespace():
+    """WordLevel pre-tokenization must match the tokenizers library's
+    Whitespace (\\w+|[^\\w\\s]+ with UNICODE \\w/\\s — NOT Python isalnum/
+    isspace: superscript digits are isalnum but not \\w, combining marks are
+    \\w but not isalnum, U+001C-1F are isspace but not White_Space)."""
+    from tokenizers.pre_tokenizers import Whitespace
+
+    from melogan_tpu.models.tokenizer import WordLevelTokenizer
+
+    ws = Whitespace()
+    corpus = EDGE_CORPUS + [
+        "x\u00b2y",                    # superscript two: isalnum() yet not \\w
+        "e\u0301clair e\u0301",       # NFD combining acute: \\w yet not isalnum()
+        "\u0939\u093f\u0928\u094d\u0926\u0940",  # Hindi with matras (Mc/Mn)
+        "\u0915\u094d\u200d\u0937",  # ZWJ conjunct (Join_Control)
+        "\u2162 xii \u2163",          # roman numerals (Nl)
+        "a_b __x",                       # connector punctuation
+        "x\u00adco",                   # soft hyphen (Cf -> punctuation run)
+        "\x1c\x1dweird",              # isspace() controls NOT White_Space
+        "\u00a0nbsp\u2009thin\u3000ideo",  # unicode spaces
+        "12\u00bd cups",               # vulgar fraction (No)
+    ]
+    for text in corpus:
+        rust = [p for p, _ in ws.pre_tokenize_str(text)]
+        assert WordLevelTokenizer._split(text) == rust, ascii(text)
+    # seeded fuzz over mixed scripts/marks/spaces/controls
+    import random
+
+    rng = random.Random(0)
+    pools = (
+        list(range(0x20, 0x300)) + list(range(0x370, 0x500))
+        + list(range(0x900, 0x9A0)) + list(range(0x2000, 0x2070))
+        + list(range(0x3040, 0x30A0))
+        + [0x200C, 0x200D, 0x1C, 0x85, 0xA0, 0x3000]
+    )
+    for _ in range(3000):
+        s = "".join(chr(rng.choice(pools)) for _ in range(rng.randint(0, 12)))
+        rust = [p for p, _ in ws.pre_tokenize_str(s)]
+        assert WordLevelTokenizer._split(s) == rust, ascii(s)
+
+
+def test_sequence_wrapped_byte_level_keeps_prefix_space(bpe_dir, tmp_path):
+    """tokenizer.json serializations commonly wrap ByteLevel in a Sequence
+    pre_tokenizer; add_prefix_space=true must survive the nesting (a silent
+    False produces systematically different ids on every first word)."""
+    from melogan_tpu.models.tokenizer import load_tokenizer
+
+    with open(os.path.join(bpe_dir, "vocab.json"), encoding="utf-8") as f:
+        vocab = json.load(f)
+    with open(os.path.join(bpe_dir, "merges.txt"), encoding="utf-8") as f:
+        merges = [line.rstrip("\n") for line in f
+                  if line.strip() and not line.startswith("#version")]
+    d = tmp_path / "seq_tok"
+    d.mkdir()
+    with open(d / "tokenizer.json", "w", encoding="utf-8") as f:
+        json.dump({
+            "model": {"type": "BPE", "vocab": vocab, "merges": merges,
+                      "unk_token": "<unk>"},
+            "pre_tokenizer": {
+                "type": "Sequence",
+                "pretokenizers": [
+                    {"type": "ByteLevel", "add_prefix_space": True,
+                     "trim_offsets": True, "use_regex": True},
+                ],
+            },
+        }, f)
+    own = load_tokenizer(str(d))
+    assert own.add_prefix_space is True
+    # flat (non-Sequence) form loads identically
+    flat = tmp_path / "flat_tok"
+    flat.mkdir()
+    with open(flat / "tokenizer.json", "w", encoding="utf-8") as f:
+        json.dump({
+            "model": {"type": "BPE", "vocab": vocab, "merges": merges,
+                      "unk_token": "<unk>"},
+            "pre_tokenizer": {"type": "ByteLevel", "add_prefix_space": True,
+                              "trim_offsets": True, "use_regex": True},
+        }, f)
+    assert load_tokenizer(str(flat)).encode_text("so happy") == \
+        own.encode_text("so happy")
+    # and the prefix space actually changes the first word's ids
+    assert own.encode_text("so happy") != \
+        load_tokenizer(bpe_dir).encode_text("so happy")

@@ -418,3 +418,28 @@ def test_healthz_states_lexicon_accuracy_caveat(server):
         assert "MELOGAN_TEXT_MODEL_DIR" in note
     else:
         assert "accuracy" in note
+
+
+def test_take_path_refill_success_clears_last_error():
+    """A background=False pool must not report a long-resolved incident: a
+    take-path refill that succeeds clears last_error just like the producer."""
+    from melogan_tpu.serving.pool import SamplePool
+
+    class FlakySampler:
+        def __init__(self):
+            self.calls = 0
+
+        def sample_notes(self, prompts, seed=0):
+            self.calls += 1
+            if self.calls == 1:
+                raise RuntimeError("transient wedge")
+            return np.zeros((len(prompts), 64, 4), np.float32)
+
+    pool = SamplePool(FlakySampler(), target=4, refill_batch=8, background=False,
+                      take_timeout=5.0)
+    try:
+        note = pool.take("happy")  # first refill fails, retry succeeds
+        assert note.shape == (64, 4)
+        assert pool.stats()["last_error"] is None
+    finally:
+        pool.close()
