@@ -6,7 +6,13 @@ size (320 songs/emotion ≈ the reference's 1282): preprocess → splits → VAE
 (100 epochs) → latent export → ED (50 epochs) → WGAN-GP (50 epochs) → sampling
 → diagnostics. Writes artifacts under the workdir and a RESULTS.md summary at
 the repo root.
+
+Usage:
+    python scripts/demo_run.py [WORKDIR] [PER_EMOTION] [EPOCHS]
+    python scripts/demo_run.py WORKDIR --summarize   # re-summarize an existing
+                                                     # run without retraining
 """
+import json
 import os
 import sys
 import time
@@ -15,47 +21,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def main(workdir: str = None, per_emotion: int = 320, epochs: int = None):
-    import jax
-
-    cache_dir = os.path.join(REPO, ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
+def summarize(workdir: str, per_emotion: int, total: float):
+    """Regenerate RESULTS.md from a completed demo-run workdir."""
     import numpy as np
 
-    from melogan_tpu.cli import main as cli
     from melogan_tpu.utils.metrics import read_tfevents
-
-    workdir = workdir or os.path.join(REPO, "experiments", "demo_run")
-    os.makedirs(workdir, exist_ok=True)
-    t0 = time.time()
-
-    args = ["pipeline", "--workdir", workdir, "--synthetic",
-            "--per-emotion", str(per_emotion),
-            "--ae-config", os.path.join(REPO, "configs/ae.yaml"),
-            "--ed-config", os.path.join(REPO, "configs/ed.yaml"),
-            "--gan-config", os.path.join(REPO, "configs/gan.yaml")]
-    if epochs:
-        args += ["--epochs", str(epochs)]
-    cli(args)
-
-    total = time.time() - t0
-
-    # extra samples for stats
-    gen_dir = os.path.join(workdir, "generated_tests")
-    cli(["sample", "--emotion", "all", "--samples", "2", "--seed", "123",
-         "--config", os.path.join(REPO, "configs/gan.yaml"),
-         "--workdir", workdir, "--out", gen_dir])
-
-    # diagnostics
-    splits_dir = os.path.join(workdir, "data/splits")
-    processed = os.path.join(workdir, "data/processed")
-    cli(["diagnose", "--split", "train", "--splits-dir", splits_dir,
-         "--processed-dir", processed])
-    cli(["tsne", "--split", "train", "--splits-dir", splits_dir,
-         "--processed-dir", processed, "--out", workdir])
 
     # summarize — only the NEWEST events file (a reused workdir accumulates
     # one file per run; merging them double-counts epochs)
@@ -88,6 +58,7 @@ def main(workdir: str = None, per_emotion: int = 320, epochs: int = None):
     # analysis pass serves both the gate and the stats table below.
     from melogan_tpu.diagnostics.quality import gate_directory
 
+    gen_dir = os.path.join(workdir, "generated_tests")
     gate = gate_directory(gen_dir)
     n_pass = sum(1 for e in gate.get("files", {}).values() if not e["violations"])
     stats = dict(sorted(gate.get("files", {}).items()))
@@ -98,29 +69,36 @@ def main(workdir: str = None, per_emotion: int = 320, epochs: int = None):
             return "n/a"
         return f"{vs[0][1]:.4f} → {vs[-1][1]:.4f} ({len(vs)} epochs)"
 
-    def mean_epoch_s(logs):
-        vs = logs.get("epoch_seconds", [])
-        return f"{np.mean([v for _, v in vs[1:]]):.3f}s" if len(vs) > 1 else "n/a"
+    def epoch_s(logs):
+        # Median, not mean: every epoch in a fused chunk shares the chunk's
+        # wall/len(chunk), so a cold-cache first chunk (XLA compile, minutes
+        # through the remote compiler) contaminates its whole chunk. The
+        # median over all epochs lands on the steady-state value.
+        vs = [v for _, v in logs.get("epoch_seconds", [])]
+        return f"{np.median(vs):.3f}s" if vs else "n/a"
 
+    wall = f"**{total:.1f}s**" if total else "(see git history)"
     lines = [
         "# RESULTS — end-to-end demo training run (single TPU v5e chip)",
         "",
         f"Corpus: {per_emotion * 4} synthetic emotion-labelled songs "
         "(reference regime: 1282 songs, same split ratios, same hyperparameters).",
-        f"Total wall-clock for the full pipeline: **{total:.1f}s** "
-        "(the reference trains for hours on a laptop GPU).",
+        f"Total wall-clock for the full pipeline: {wall} "
+        "(the reference trains for hours on a laptop GPU). Epoch times below "
+        "are steady-state medians; the first fused chunk additionally pays "
+        "one-time XLA compilation (cached across runs in `.jax_cache/`).",
         "",
         "## Training curves",
         "",
         f"- VAE val total loss: {curve('loss/val_total', ae_logs)}; "
-        f"epoch time {mean_epoch_s(ae_logs)}",
+        f"epoch time {epoch_s(ae_logs)}",
         f"- ED val accuracy: {curve('acc/val', ed_logs)}; "
-        f"epoch time {mean_epoch_s(ed_logs)}",
+        f"epoch time {epoch_s(ed_logs)}",
         f"- GAN critic loss: {curve('Loss/Critic', gan_logs)}",
         f"- GAN generator adversarial: {curve('Loss/Generator_Adv', gan_logs)}",
         f"- GAN generator emotion CE: {curve('Loss/Generator_Emo', gan_logs)} "
         f"(reference: 2.004 → 1.414 over 50 epochs)",
-        f"- GAN epoch time: {mean_epoch_s(gan_logs)} "
+        f"- GAN epoch time: {epoch_s(gan_logs)} "
         "(reference: 50 epochs ≈ hours on laptop GPU)",
         "",
         "## Generated sample statistics (melogan analyze-midi)",
@@ -162,9 +140,59 @@ def main(workdir: str = None, per_emotion: int = 320, epochs: int = None):
     print("\n".join(lines))
 
 
+def main(workdir: str = None, per_emotion: int = 320, epochs: int = None):
+    import jax
+
+    cache_dir = os.path.join(REPO, ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from melogan_tpu.cli import main as cli
+
+    workdir = workdir or os.path.join(REPO, "experiments", "demo_run")
+    os.makedirs(workdir, exist_ok=True)
+    t0 = time.time()
+
+    args = ["pipeline", "--workdir", workdir, "--synthetic",
+            "--per-emotion", str(per_emotion),
+            "--ae-config", os.path.join(REPO, "configs/ae.yaml"),
+            "--ed-config", os.path.join(REPO, "configs/ed.yaml"),
+            "--gan-config", os.path.join(REPO, "configs/gan.yaml")]
+    if epochs:
+        args += ["--epochs", str(epochs)]
+    cli(args)
+
+    total = time.time() - t0
+
+    # extra samples for stats
+    gen_dir = os.path.join(workdir, "generated_tests")
+    cli(["sample", "--emotion", "all", "--samples", "2", "--seed", "123",
+         "--config", os.path.join(REPO, "configs/gan.yaml"),
+         "--workdir", workdir, "--out", gen_dir])
+
+    # diagnostics
+    splits_dir = os.path.join(workdir, "data/splits")
+    processed = os.path.join(workdir, "data/processed")
+    cli(["diagnose", "--split", "train", "--splits-dir", splits_dir,
+         "--processed-dir", processed])
+    cli(["tsne", "--split", "train", "--splits-dir", splits_dir,
+         "--processed-dir", processed, "--out", workdir])
+
+    with open(os.path.join(workdir, "run_meta.json"), "w") as f:
+        json.dump({"wall_seconds": total, "per_emotion": per_emotion}, f)
+    summarize(workdir, per_emotion, total)
+
+
 if __name__ == "__main__":
-    main(
-        workdir=sys.argv[1] if len(sys.argv) > 1 else None,
-        per_emotion=int(sys.argv[2]) if len(sys.argv) > 2 else 320,
-        epochs=int(sys.argv[3]) if len(sys.argv) > 3 else None,
-    )
+    if "--summarize" in sys.argv:
+        wd = sys.argv[1]
+        meta_path = os.path.join(wd, "run_meta.json")
+        meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}
+        summarize(wd, meta.get("per_emotion", 320), meta.get("wall_seconds"))
+    else:
+        main(
+            workdir=sys.argv[1] if len(sys.argv) > 1 else None,
+            per_emotion=int(sys.argv[2]) if len(sys.argv) > 2 else 320,
+            epochs=int(sys.argv[3]) if len(sys.argv) > 3 else None,
+        )
