@@ -57,8 +57,11 @@ def bytes_to_unicode() -> Dict[int, str]:
 # ---------------------------------------------------------------------------
 
 _CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
-# regex \s for str patterns: unicode whitespace (Z*) plus these controls
-_WS_EXTRA = set("\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f\x85")
+# regex-module \s (what the GPT-2 pattern uses): unicode whitespace (Z*)
+# plus these controls — NOT Python isspace(), which also accepts the file/
+# group/record/unit separators U+001C–1F (regex \s does not: verified by an
+# exhaustive all-codepoints scan against regex.match(r"\s"))
+_WS_EXTRA = set("\t\n\x0b\x0c\r\x85")
 
 
 def _is_ws(c: str) -> bool:

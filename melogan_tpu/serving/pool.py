@@ -69,6 +69,7 @@ class SamplePool:
         self.emotions = list(emotions or EMOTIONS)
         self._pools: Dict[str, deque] = {e: deque() for e in self.emotions}
         self._lock = threading.Lock()  # protects pools + seed counter
+        self._stocked = threading.Condition(self._lock)  # signaled on refill
         self._refill_lock = threading.Lock()  # serializes device dispatches
         self._wakeup = threading.Event()
         self._stop = threading.Event()
@@ -111,23 +112,30 @@ class SamplePool:
         if not emotions:
             return
         with self._refill_lock:
-            # a concurrent refill may have stocked these emotions while we
-            # waited on the lock — re-check so N coalesced missers cost ONE
-            # dispatch, not N serial ones
-            with self._lock:
-                emotions = [e for e in emotions if len(self._pools[e]) < self.target]
-                if not emotions:
-                    # a concurrent refill covered everything: keep the drain
-                    # count so the NEXT dispatch still sizes to the real rate
-                    return
-                drained, self._drained = self._drained, 0
-            size = self._refill_size(max(self.refill_batch, 2 * drained))
-            # round-robin so the total is exactly the quantized size
-            prompts = [emotions[i % len(emotions)] for i in range(size)]
-            notes = self.sampler.sample_notes(prompts, seed=self._next_seed())
-            with self._lock:
-                for e, row in zip(prompts, notes):
-                    self._pools[e].append(row)
+            self._refill_locked(emotions)
+
+    def _refill_locked(self, emotions: List[str]) -> None:
+        """Refill body; caller must hold :attr:`_refill_lock` (split out so
+        :meth:`take` can use a TIMED lock acquire and stay deadline-bounded
+        even when another thread's dispatch is hung)."""
+        # a concurrent refill may have stocked these emotions while we
+        # waited on the lock — re-check so N coalesced missers cost ONE
+        # dispatch, not N serial ones
+        with self._lock:
+            emotions = [e for e in emotions if len(self._pools[e]) < self.target]
+            if not emotions:
+                # a concurrent refill covered everything: keep the drain
+                # count so the NEXT dispatch still sizes to the real rate
+                return
+            drained, self._drained = self._drained, 0
+        size = self._refill_size(max(self.refill_batch, 2 * drained))
+        # round-robin so the total is exactly the quantized size
+        prompts = [emotions[i % len(emotions)] for i in range(size)]
+        notes = self.sampler.sample_notes(prompts, seed=self._next_seed())
+        with self._lock:
+            for e, row in zip(prompts, notes):
+                self._pools[e].append(row)
+            self._stocked.notify_all()
 
     def _producer(self) -> None:
         while not self._stop.is_set():
@@ -158,9 +166,15 @@ class SamplePool:
         """Pop one fresh sample (generating a coalesced batch on a miss).
 
         The cold-miss path is bounded: if the sampler keeps failing past
-        ``timeout`` seconds (default :attr:`take_timeout`), raises
+        ``timeout`` seconds (default :attr:`take_timeout`), or another
+        thread's refill dispatch is hung holding the refill lock, raises
         :class:`PoolTimeout` carrying the last refill error instead of
-        spinning forever — a request-path hang is worse than a slow p99."""
+        blocking forever — a request-path hang is worse than a slow p99.
+        (The one unboundable case: THIS thread's own in-flight sampler
+        dispatch hanging — a blocked XLA call cannot be interrupted from
+        Python. With a background producer the request thread never
+        dispatches unless it wins the timed lock, so a wedged device
+        surfaces as a 503 here, not a stuck request.)"""
         if emotion not in self._pools:
             raise ValueError(f"unknown emotion {emotion!r}; valid: {self.emotions}")
         with self._lock:
@@ -179,13 +193,23 @@ class SamplePool:
                 if self._pools[emotion]:
                     return self._pools[emotion].popleft()
                 last = self._last_error
-            if time.monotonic() >= deadline:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
                 detail = f" (last refill error: {last})" if last else ""
                 raise PoolTimeout(
                     f"no {emotion!r} sample within deadline{detail}", last_error=last
                 )
+            # TIMED acquire: a stuck dispatch in another thread (wedged
+            # device, stalled remote compile) holds _refill_lock for minutes;
+            # a blocking acquire here would defeat the deadline
+            if not self._refill_lock.acquire(timeout=min(0.1, remaining)):
+                # someone else is dispatching — wait (bounded) for their stock
+                with self._stocked:
+                    if not self._pools[emotion]:
+                        self._stocked.wait(timeout=min(0.25, remaining))
+                continue
             try:
-                self._refill([emotion])
+                self._refill_locked([emotion])
                 # a take-path refill that succeeds resolves any prior incident
                 # (mirrors the producer) — without this, background=False
                 # pools report a long-stale error on later unrelated timeouts
@@ -197,6 +221,8 @@ class SamplePool:
                     self._last_error = msg
                 # brief backoff so a hot-failing sampler doesn't spin the CPU
                 time.sleep(min(0.05, max(0.0, deadline - time.monotonic())))
+            finally:
+                self._refill_lock.release()
 
     def depth(self) -> Dict[str, int]:
         with self._lock:

@@ -185,14 +185,17 @@ def main(workdir: str = None, per_emotion: int = 320, epochs: int = None):
 
 
 if __name__ == "__main__":
+    pos = [a for a in sys.argv[1:] if a != "--summarize"]
     if "--summarize" in sys.argv:
-        wd = sys.argv[1]
+        if not pos:
+            sys.exit("usage: demo_run.py WORKDIR --summarize")
+        wd = pos[0]
         meta_path = os.path.join(wd, "run_meta.json")
         meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}
         summarize(wd, meta.get("per_emotion", 320), meta.get("wall_seconds"))
     else:
         main(
-            workdir=sys.argv[1] if len(sys.argv) > 1 else None,
-            per_emotion=int(sys.argv[2]) if len(sys.argv) > 2 else 320,
-            epochs=int(sys.argv[3]) if len(sys.argv) > 3 else None,
+            workdir=pos[0] if len(pos) > 0 else None,
+            per_emotion=int(pos[1]) if len(pos) > 1 else 320,
+            epochs=int(pos[2]) if len(pos) > 2 else None,
         )

@@ -217,6 +217,9 @@ EDGE_CORPUS = [
     "a",
     "'quoted' \"double\" `backtick`",
     "url-ish http://example.com/path?q=1&r=2#frag",
+    # U+001C-1F: isspace() in Python but NOT regex \s — they must glue to
+    # punctuation runs (an apostrophe-separator pair "'\x1c" is ONE pre-token)
+    "sep'\x1cconts\x1d\x1e\x1f done \x1c",
 ]
 
 
@@ -308,8 +311,21 @@ def test_pretokenize_matches_gpt2_regex():
     pat = regex.compile(
         r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
     )
-    for text in EDGE_CORPUS + ["x  y", "a\n\nb", "  ", "\t\ta", "é'è", "1'2"]:
+    for text in EDGE_CORPUS + ["x  y", "a\n\nb", "  ", "\t\ta", "é'è", "1'2",
+                               "'\x1c", "a\x1cb", "\x1c\x1c", " \x1c "]:
         assert pretokenize(text) == pat.findall(text), repr(text)
+    # seeded fuzz incl. the U+001C-1F separators (isspace() yet not regex \s)
+    import random
+
+    rng = random.Random(7)
+    pools = (
+        list(range(0x09, 0x0E)) + list(range(0x1C, 0x21)) + [0x27, 0x85, 0xA0]
+        + list(range(0x30, 0x3A)) + list(range(0x61, 0x7B))
+        + list(range(0x2000, 0x200C)) + [0x0301, 0x00E9, 0x4E2D]
+    )
+    for _ in range(3000):
+        s = "".join(chr(rng.choice(pools)) for _ in range(rng.randint(0, 12)))
+        assert pretokenize(s) == pat.findall(s), ascii(s)
 
 
 def test_wordlevel_split_matches_rust_whitespace():

@@ -345,6 +345,74 @@ def test_sample_pool_take_deadline_on_failing_sampler():
         pool.close()
 
 
+def test_sample_pool_take_deadline_on_hung_dispatch():
+    """A dispatch HUNG in another thread (wedged device, stalled remote
+    compile) holds the refill lock for minutes; take() must still time out —
+    the timed lock acquire + stocked-condition wait keep the request path
+    deadline-bounded instead of blocking on the lock."""
+    import time
+
+    from melogan_tpu.serving.pool import PoolTimeout, SamplePool
+
+    release = threading.Event()
+
+    class HangingSampler:
+        def sample_notes(self, prompts, seed=0):
+            release.wait(timeout=30)  # simulates a wedged device dispatch
+            raise RuntimeError("unwedged")
+
+    pool = SamplePool(HangingSampler(), target=4, refill_batch=8, background=False,
+                      take_timeout=0.5)
+
+    def hung_refill():
+        try:
+            pool._refill(["happy"])
+        except RuntimeError:
+            pass  # the post-release "unwedged" error is the simulated outcome
+
+    try:
+        hung = threading.Thread(target=hung_refill, daemon=True)
+        hung.start()
+        time.sleep(0.05)  # let the hung dispatch grab the refill lock
+        t0 = time.monotonic()
+        with pytest.raises(PoolTimeout):
+            pool.take("happy")
+        assert time.monotonic() - t0 < 5.0  # bounded despite the held lock
+    finally:
+        release.set()
+        hung.join(timeout=5)
+        pool.close()
+
+
+def test_sample_pool_take_waits_for_concurrent_refill_stock():
+    """A take() that loses the refill lock race must pick up the winner's
+    stock promptly (condition-variable wait, not deadline expiry)."""
+    import time
+
+    from melogan_tpu.serving.pool import SamplePool
+
+    class SlowSampler:
+        max_notes = 8
+
+        def sample_notes(self, prompts, seed=0):
+            time.sleep(0.3)  # long enough for the taker to lose the race
+            return np.zeros((len(prompts), 8, 4), np.float32)
+
+    pool = SamplePool(SlowSampler(), target=2, refill_batch=4, background=False,
+                      take_timeout=10.0)
+    try:
+        refiller = threading.Thread(target=lambda: pool._refill(["happy"]), daemon=True)
+        refiller.start()
+        time.sleep(0.05)
+        t0 = time.monotonic()
+        note = pool.take("happy")  # blocks on the in-flight refill's stock
+        assert note.shape == (8, 4)
+        assert time.monotonic() - t0 < 5.0
+    finally:
+        refiller.join(timeout=5)
+        pool.close()
+
+
 def test_generate_returns_503_when_pool_refill_hangs():
     """The HTTP /generate path maps PoolTimeout to 503 + last_error detail."""
     from melogan_tpu.serving.pool import SamplePool
