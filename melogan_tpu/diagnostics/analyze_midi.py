@@ -11,7 +11,12 @@ from melogan_tpu.midi.midifile import read_midi
 
 
 def analyze_file(path: str) -> Dict[str, float]:
-    song = read_midi(path)
+    try:
+        song = read_midi(path)
+    except (ValueError, OSError) as e:
+        # one malformed user file must not kill a whole directory scan —
+        # the quality gate renders this as "unreadable: ..." (quality.py)
+        return {"error": str(e), "n_notes": 0}
     arr = song.note_array()  # (N, 4): pitch, velocity, start, end
     if arr.shape[0] == 0:
         return {"error": "no notes", "n_notes": 0}

@@ -234,6 +234,8 @@ def read_midi(path_or_bytes) -> MidiSong:
         for ev in track
         if ev.kind == "set_tempo"
     ]
+    if any(us <= 0 for _, us in tempo_events):
+        raise ValueError("malformed MIDI file: non-positive tempo event")
     tempo_events.sort()
     tmap = _TempoMap(parsed.division, tempo_events)
 

@@ -239,15 +239,34 @@ def _parse_track(data: bytes) -> List[Event]:
 
 
 def parse_file(data: bytes) -> ParsedFile:
+    """Parse SMF bytes. Raises :class:`ValueError` on ANY malformed input
+    (wrong magic, truncation mid-event, unknown status, SMPTE timing, zero
+    division) — callers handling user-supplied files need only catch one
+    exception type."""
+    try:
+        return _parse_file(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or malformed MIDI file: {e}") from e
+
+
+def _parse_file(data: bytes) -> ParsedFile:
     if data[:4] != b"MThd":
         raise ValueError("not a MIDI file (missing MThd)")
     hlen, fmt, ntrk, division = struct.unpack(">IHHH", data[4:14])
+    if hlen < 6:
+        raise ValueError(f"malformed MThd length {hlen}")
+    if division & 0x8000:
+        raise ValueError("SMPTE division is not supported")
+    if division == 0:
+        raise ValueError("MIDI division is zero")
     out = ParsedFile(fmt=fmt, division=division)
     pos = 8 + hlen
     for _ in range(ntrk):
         if data[pos : pos + 4] != b"MTrk":
             raise ValueError("expected MTrk chunk")
         (tlen,) = struct.unpack(">I", data[pos + 4 : pos + 8])
+        if pos + 8 + tlen > len(data):
+            raise ValueError("MTrk chunk length exceeds file size")
         out.tracks.append(_parse_track(data[pos + 8 : pos + 8 + tlen]))
         pos += 8 + tlen
     return out

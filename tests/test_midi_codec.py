@@ -211,19 +211,103 @@ def test_parser_rejects_garbage(rng):
 
     with pytest.raises(ValueError):
         read_midi(b"not a midi file at all")
-    # truncated header
-    with pytest.raises((ValueError, IndexError, Exception)):
+    # truncated header: ValueError specifically — the parser wraps all
+    # structural failures so user-file callers catch ONE exception type
+    with pytest.raises(ValueError):
         read_midi(b"MThd\x00\x00\x00\x06\x00\x01")
 
 
 def test_parser_survives_truncated_track(reference_dir):
-    """A file cut mid-track must raise, not hang or return garbage silently."""
+    """A file cut mid-track must raise ValueError, not hang or leak
+    IndexError/struct.error, and not return garbage silently."""
     import glob
     from melogan_tpu.midi.midifile import read_midi
 
     path = sorted(glob.glob(os.path.join(reference_dir, "good_gens1", "*.mid")))[0]
     data = open(path, "rb").read()
-    try:
+    with pytest.raises(ValueError):
         read_midi(data[: len(data) // 2])
-    except (ValueError, IndexError):
-        pass  # clean failure is acceptable
+
+
+def test_parser_every_truncation_prefix(reference_dir):
+    """EVERY prefix of a real file either parses or raises ValueError — never
+    IndexError/struct.error/ZeroDivisionError (the diagnostics CLIs feed
+    user-supplied files straight into read_midi)."""
+    import glob
+    from melogan_tpu.midi.midifile import read_midi
+
+    path = sorted(glob.glob(os.path.join(reference_dir, "good_gens1", "*.mid")))[0]
+    data = open(path, "rb").read()
+    for cut in list(range(0, min(len(data), 600))) + list(range(600, len(data), 37)):
+        try:
+            read_midi(data[:cut])
+        except ValueError:
+            pass
+
+
+def test_parser_byte_flip_fuzz(reference_dir, rng):
+    """Seeded single/multi-byte corruption of a real file: parse must either
+    succeed or raise ValueError — no other exception type, no hang."""
+    import glob
+    from melogan_tpu.midi.midifile import read_midi
+
+    path = sorted(glob.glob(os.path.join(reference_dir, "good_gens1", "*.mid")))[1]
+    data = bytearray(open(path, "rb").read())
+    for _ in range(500):
+        mutated = bytearray(data)
+        for _ in range(int(rng.integers(1, 4))):
+            mutated[int(rng.integers(0, len(mutated)))] = int(rng.integers(0, 256))
+        try:
+            read_midi(bytes(mutated))
+        except ValueError:
+            pass
+
+
+def test_parser_random_bytes_fuzz(rng):
+    """Pure random bytes (with and without a plausible MThd prefix) never
+    leak a non-ValueError failure."""
+    from melogan_tpu.midi.midifile import read_midi
+
+    header = b"MThd\x00\x00\x00\x06\x00\x01\x00\x02\x00\xdc"
+    for _ in range(300):
+        blob = rng.integers(0, 256, size=int(rng.integers(0, 200))).astype("uint8").tobytes()
+        for candidate in (blob, header + blob, header + b"MTrk" + blob):
+            try:
+                read_midi(candidate)
+            except ValueError:
+                pass
+
+
+@pytest.mark.parametrize(
+    "blob,what",
+    [
+        (b"MThd\x00\x00\x00\x06\x00\x01\x00\x00\x00\x00", "zero division field"),
+        (b"MThd\x00\x00\x00\x06\x00\x01\x00\x00\xe2\x50", "SMPTE division"),
+        (b"MThd\x00\x00\x00\x02\x00\x01\x00\x00\x00\xdc", "short MThd length"),
+        (
+            # declared MTrk length far beyond EOF
+            b"MThd\x00\x00\x00\x06\x00\x01\x00\x01\x00\xdc"
+            b"MTrk\x7f\xff\xff\xff\x00\xff\x2f\x00",
+            "MTrk length exceeds file",
+        ),
+        (
+            # VLQ bomb: endless continuation bytes, then EOF
+            b"MThd\x00\x00\x00\x06\x00\x01\x00\x01\x00\xdc"
+            b"MTrk\x00\x00\x00\x20" + b"\xff" * 32,
+            "VLQ continuation run to EOF",
+        ),
+        (
+            # tempo event with 0 us/beat -> would be an inf-bpm song
+            b"MThd\x00\x00\x00\x06\x00\x01\x00\x01\x00\xdc"
+            b"MTrk\x00\x00\x00\x0b"
+            b"\x00\xff\x51\x03\x00\x00\x00"
+            b"\x00\xff\x2f\x00",
+            "zero tempo",
+        ),
+    ],
+)
+def test_parser_rejects_malformed_structures(blob, what):
+    from melogan_tpu.midi.midifile import read_midi
+
+    with pytest.raises(ValueError):
+        read_midi(blob)

@@ -74,6 +74,22 @@ def test_out_of_band_bpm_and_velocity_fail():
     assert check_stats({"error": "boom"}, "happy") == ["unreadable: boom"]
 
 
+def test_gate_survives_corrupt_file(reference_dir, tmp_path):
+    """One malformed .mid in a directory must be reported as unreadable, not
+    crash the scan; the healthy files still get gated."""
+    import shutil
+
+    good = golden_paths(reference_dir)[0]
+    shutil.copy(good, tmp_path / os.path.basename(good))
+    (tmp_path / "test_happy_corrupt.mid").write_bytes(b"MThd\x00\x00\x00\x06garbage")
+    report = gate_directory(str(tmp_path))
+    assert not report["ok"]
+    bad = report["files"]["test_happy_corrupt.mid"]
+    assert any(v.startswith("unreadable:") for v in bad["violations"])
+    healthy = report["files"][os.path.basename(good)]
+    assert not healthy["violations"]
+
+
 def test_gate_directory_empty(tmp_path):
     report = gate_directory(str(tmp_path))
     assert not report["ok"] and "error" in report
