@@ -87,9 +87,18 @@ def _json_response(start_response, payload, status="200 OK"):
     return [body]
 
 
-def _read_json(environ) -> Dict:
+# JSON request bodies are tiny ({"emotion": ...} / {"text": ...}); cap reads
+# so an oversized body cannot balloon per-request memory. /camera_frame
+# carries a whole grayscale frame as JSON numbers (~8 bytes/pixel of text,
+# ~2.5 MB for 640x480), so it passes its own frame-sized limit.
+MAX_JSON_BODY = 1 << 20
+MAX_FRAME_BODY = 64 << 20
+
+
+def _read_json(environ, limit: int = MAX_JSON_BODY) -> Dict:
     try:
         length = int(environ.get("CONTENT_LENGTH") or 0)
+        length = min(length, limit)
         raw = environ["wsgi.input"].read(length) if length else b"{}"
         return json.loads(raw or b"{}")
     except Exception:  # noqa: BLE001
@@ -256,7 +265,7 @@ def build_app(state: AppState):
                     {"error": "camera emotion model not loaded"},
                     status="503 Service Unavailable",
                 )
-            payload = _read_json(environ)
+            payload = _read_json(environ, limit=MAX_FRAME_BODY)
             try:
                 frame = np.asarray(payload["frame"], dtype=np.float32)
                 emotion = state.camera.predict_emotion(frame)

@@ -103,6 +103,20 @@ def test_404(server):
     assert req(base, "/nope")[0] == 404
 
 
+def test_oversized_json_body_is_capped(server):
+    """Reads are capped at MAX_JSON_BODY: a multi-MB body neither balloons
+    memory nor errors — the truncated JSON parses to {} and the route falls
+    back to its defaults."""
+    base, _ = server
+    r = urllib.request.Request(
+        base + "/generate", data=b'{"emotion": "happy", "pad": "' + b"x" * (3 << 20) + b'"}',
+        headers={"Content-Type": "application/json"},
+    )
+    resp = urllib.request.urlopen(r, timeout=30)
+    assert resp.status == 200
+    assert resp.read()[:4] == b"MThd"
+
+
 def test_malformed_json_body(server):
     base, _ = server
     r = urllib.request.Request(
