@@ -364,6 +364,12 @@ def serve(
         pool = SamplePool(sampler)
         pool.prefill(timeout=120.0)
         print("[INIT] sample pool prefilled:", pool.depth())
+        if os.environ.get("MELOGAN_POOL_WARM", "1") != "0":
+            # pre-compile the adaptive refill ladder in the background so a
+            # load ramp never pays a first-contact XLA compile mid-request
+            # (persistent-cached across restarts); /healthz shows progress
+            pool.warm_async()
+            print(f"[INIT] warming refill batch sizes {pool.warm_sizes()} in background")
     state = AppState(cfg, sampler, frame_source=frame_source, pool=pool)
     httpd = make_server(host, port, build_app(state), server_class=ThreadingWSGIServer)
     print(f"[INIT] serving on http://{host}:{port} (text backend: {backend_name()})")

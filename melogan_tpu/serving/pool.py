@@ -50,7 +50,7 @@ class SamplePool:
         sampler,
         target: int = 64,
         refill_batch: int = 256,
-        max_refill: int = 8192,
+        max_refill: int = 2048,
         emotions: Optional[List[str]] = None,
         background: bool = True,
         seed: int = 0x5EED,
@@ -63,7 +63,10 @@ class SamplePool:
         # adaptive sizing: under sustained load the refill batch grows toward
         # the drain rate (up to max_refill), amortizing the per-dispatch
         # round trip — sustained throughput approaches the device's
-        # large-batch sampling rate instead of refill_batch/RTT
+        # large-batch sampling rate instead of refill_batch/RTT. max_refill
+        # also bounds the worst-case cold-miss wait: a misser blocks behind
+        # at most one max_refill dispatch+transfer (2048 ≈ 16 MB over the
+        # device tunnel; 8192 showed multi-second p99.99 waits under load)
         self.max_refill = max(int(max_refill), self.refill_batch)
         self._drained = 0  # takes since the last refill
         self.emotions = list(emotions or EMOTIONS)
@@ -75,6 +78,7 @@ class SamplePool:
         self._stop = threading.Event()
         self._seed = seed
         self._last_error: Optional[str] = None
+        self._warm_state = "idle"  # idle | in-progress | done | stopped | error: ...
         self.hits = 0
         self.misses = 0
         self._thread = None
@@ -224,6 +228,49 @@ class SamplePool:
             finally:
                 self._refill_lock.release()
 
+    def warm_sizes(self) -> List[int]:
+        """The quantized refill-size ladder (each size is a distinct compiled
+        XLA program — :meth:`_refill_size` doubles from ``refill_batch`` to
+        ``max_refill``)."""
+        sizes, s = [], self.refill_batch
+        while s <= self.max_refill:
+            sizes.append(s)
+            s *= 2
+        return sizes
+
+    def warm_async(self, depth_cap: Optional[int] = None) -> threading.Thread:
+        """Pre-compile the whole refill ladder in a background thread.
+
+        Without this, the FIRST time load pushes the adaptive refill to a new
+        batch size that dispatch pays a full XLA compile (multi-second through
+        a remote compiler) while cold missers wait it out. Warmed samples are
+        real and stocked up to ``depth_cap`` per emotion (default 4×target);
+        the rest are discarded — the point is the compile cache, not depth."""
+        cap = 4 * self.target if depth_cap is None else int(depth_cap)
+
+        def _warm():
+            self._warm_state = "in-progress"
+            try:
+                for size in self.warm_sizes():
+                    if self._stop.is_set():
+                        self._warm_state = "stopped"
+                        return
+                    prompts = [self.emotions[i % len(self.emotions)] for i in range(size)]
+                    with self._refill_lock:
+                        notes = self.sampler.sample_notes(prompts, seed=self._next_seed())
+                        with self._lock:
+                            for e, row in zip(prompts, notes):
+                                if len(self._pools[e]) < cap:
+                                    self._pools[e].append(row)
+                            self._stocked.notify_all()
+                self._warm_state = "done"
+            except Exception as e:  # noqa: BLE001 — warm failure must not kill serving
+                self._warm_state = f"error: {type(e).__name__}: {e}"
+
+        t = threading.Thread(target=_warm, name="sample-pool-warm", daemon=True)
+        t.start()
+        return t
+
     def depth(self) -> Dict[str, int]:
         with self._lock:
             return {e: len(q) for e, q in self._pools.items()}
@@ -235,6 +282,7 @@ class SamplePool:
                 "misses": self.misses,
                 "depth": {e: len(q) for e, q in self._pools.items()},
                 "target": self.target,
+                "warm": self._warm_state,
                 "last_error": self._last_error,
             }
 

@@ -306,6 +306,59 @@ def test_pooled_generate_concurrent(pooled_server):
     assert all(s > 50 for s in sizes)
 
 
+def test_sample_pool_warm_compiles_the_refill_ladder():
+    """warm_async dispatches one batch per quantized refill size (each size
+    is a distinct XLA program), stocks pools only to the cap, and reports
+    progress through stats()['warm']."""
+    import time
+
+    from melogan_tpu.serving.pool import SamplePool
+
+    class StubSampler:
+        def __init__(self):
+            self.batches = []
+
+        def sample_notes(self, prompts, seed=0):
+            self.batches.append(len(prompts))
+            return np.zeros((len(prompts), 8, 4), np.float32)
+
+    stub = StubSampler()
+    pool = SamplePool(stub, target=4, refill_batch=8, max_refill=64, background=False)
+    try:
+        assert pool.warm_sizes() == [8, 16, 32, 64]
+        assert pool.stats()["warm"] == "idle"
+        t = pool.warm_async()
+        t.join(timeout=10)
+        assert pool.stats()["warm"] == "done"
+        assert stub.batches == [8, 16, 32, 64]
+        assert all(d <= 4 * pool.target for d in pool.depth().values())
+        assert all(d > 0 for d in pool.depth().values())
+        # warmed samples are real: take() serves them without a dispatch
+        n_dispatches = len(stub.batches)
+        assert pool.take("happy").shape == (8, 4)
+        assert len(stub.batches) == n_dispatches
+    finally:
+        pool.close()
+
+
+def test_sample_pool_warm_failure_does_not_kill_serving():
+    from melogan_tpu.serving.pool import SamplePool
+
+    class BrokenSampler:
+        def sample_notes(self, prompts, seed=0):
+            raise RuntimeError("compile exploded")
+
+    pool = SamplePool(BrokenSampler(), target=4, refill_batch=8, max_refill=16,
+                      background=False, take_timeout=0.3)
+    try:
+        t = pool.warm_async()
+        t.join(timeout=10)
+        assert pool.stats()["warm"].startswith("error:")
+        assert "compile exploded" in pool.stats()["warm"]
+    finally:
+        pool.close()
+
+
 def test_sample_pool_adaptive_refill_batch():
     """Under sustained drain the refill batch grows toward the drain rate
     (amortizing the per-dispatch round trip)."""
