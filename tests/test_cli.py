@@ -2,6 +2,9 @@
 import json
 import os
 
+import jax
+import pytest
+
 import numpy as np
 
 from melogan_tpu.cli import build_parser, main
@@ -81,3 +84,104 @@ def test_host_only_fns_exist():
     for action in parser._subparsers._group_actions[0].choices.values():
         fn = action.get_default("fn")
         assert callable(fn)
+
+
+# ---------------------------------------------------------------------------
+# Process-level crash recovery (real subprocesses, SIGKILL)
+# ---------------------------------------------------------------------------
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_CLI_BOOT = (
+    "import jax; jax.config.update('jax_platforms', 'cpu'); "
+    "import sys; from melogan_tpu.cli import main; main(sys.argv[1:])"
+)
+
+
+def _cli_env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["MELOGAN_EPOCH_CHUNK"] = "2"  # checkpoint every 2 epochs
+    env["MELOGAN_COMPILE_CACHE"] = "0"  # don't pollute the repo cache from tests
+    return env
+
+
+@pytest.mark.slow
+def test_sigkill_crash_resume_through_real_cli(tmp_path):
+    """Hard-crash recovery end to end: SIGKILL a real `melogan train-ae`
+    subprocess mid-run, resume through the CLI, and the final checkpoints are
+    ARRAY-IDENTICAL to an uninterrupted run — proving atomic checkpoint
+    writes (utils/checkpoint.py:33-37) plus step-identical resume survive a
+    kill at an arbitrary moment, not just the library-level simulated
+    interruption of test_train_loops."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from melogan_tpu.utils.checkpoint import load_checkpoint
+
+    data = tmp_path / "data"
+    splits = str(data / "splits")
+    processed = str(data / "processed")
+    prep = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "from melogan_tpu.cli import main; "
+        f"main(['synth-data', '--out', {str(data)!r}, '--per-emotion', '6', '--seed', '42']); "
+        f"main(['preprocess', '--manifest', {str(data / 'data_manifest.csv')!r}, '--out', {processed!r}]); "
+        f"main(['make-splits', '--manifest', {str(data / 'data_manifest.csv')!r}, '--out', {splits!r}, '--seed', '42']); "
+        f"main(['split-arrays', '--splits-dir', {splits!r}, '--processed-dir', {processed!r}])"
+    )
+    subprocess.run([sys.executable, "-c", prep], env=_cli_env(), check=True,
+                   capture_output=True, timeout=300)
+
+    cfg_path = tmp_path / "ae_tiny.yaml"
+    cfg_path.write_text(
+        "latent_dim: 4\nhidden_dim: 32\nbatch_size: 8\nepochs: 40\n"
+        "recon_save_count: 2\n"
+    )
+
+    def train_args(workdir, resume=False):
+        a = ["train-ae", "--config", str(cfg_path), "--workdir", str(workdir),
+             "--splits-dir", splits, "--processed-dir", processed]
+        return a + (["--resume"] if resume else [])
+
+    # uninterrupted reference run
+    straight = tmp_path / "straight"
+    subprocess.run([sys.executable, "-c", _CLI_BOOT, *train_args(straight)],
+                   env=_cli_env(), check=True, capture_output=True, timeout=600)
+
+    # crash run: wait for the first checkpoint, then SIGKILL mid-training
+    crash = tmp_path / "crash"
+    ckpt = crash / "data" / "models" / "ae" / "ae_best.ckpt"
+    proc = subprocess.Popen([sys.executable, "-c", _CLI_BOOT, *train_args(crash)],
+                            env=_cli_env(), stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    try:
+        deadline = time.monotonic() + 300
+        while not ckpt.exists():
+            assert proc.poll() is None, "train-ae exited before its first checkpoint"
+            assert time.monotonic() < deadline, "no checkpoint within 300 s"
+            time.sleep(0.02)
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == -signal.SIGKILL, (
+        f"expected the kill to land mid-run, got exit {proc.returncode}"
+    )
+
+    # resume through the CLI and compare final artifacts
+    subprocess.run([sys.executable, "-c", _CLI_BOOT, *train_args(crash, resume=True)],
+                   env=_cli_env(), check=True, capture_output=True, timeout=600)
+    for name in ("ae_best.ckpt", "ae_final.ckpt"):
+        a = load_checkpoint(str(straight / "data" / "models" / "ae" / name))
+        b = load_checkpoint(str(crash / "data" / "models" / "ae" / name))
+        flat_a = jax.tree_util.tree_leaves_with_path(a)
+        flat_b = jax.tree_util.tree_leaves_with_path(b)
+        assert len(flat_a) == len(flat_b)
+        for (pa, va), (pb, vb) in zip(flat_a, flat_b):
+            assert pa == pb
+            assert np.array_equal(np.asarray(va), np.asarray(vb)), (
+                f"{name}: leaf {jax.tree_util.keystr(pa)} differs after crash-resume"
+            )
