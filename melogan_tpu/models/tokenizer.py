@@ -248,11 +248,9 @@ class WordLevelTokenizer:
 
     @staticmethod
     def _is_space(c: str) -> bool:
-        # unicode White_Space (regex \s): Z* plus these Cc controls — NOT
-        # Python isspace(), which also accepts U+001C–1F
-        return c in "\t\n\x0b\x0c\r\x85" or unicodedata.category(c) in (
-            "Zs", "Zl", "Zp",
-        )
+        # one shared White_Space classifier for both pre-tokenizers — the BPE
+        # scanner once drifted from this copy (U+001C–1F; fixed in 9c9d7ec)
+        return _is_ws(c)
 
     @classmethod
     def _split(cls, text: str) -> List[str]:

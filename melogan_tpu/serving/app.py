@@ -93,13 +93,33 @@ def _json_response(start_response, payload, status="200 OK"):
 # ~2.5 MB for 640x480), so it passes its own frame-sized limit.
 MAX_JSON_BODY = 1 << 20
 MAX_FRAME_BODY = 64 << 20
+# how much of an over-limit body we are willing to drain (in chunks) so the
+# connection closes cleanly after a 413 — unread socket bytes at close can
+# RST away the buffered response. Beyond this the client is hostile; close.
+_DRAIN_CAP = 8 << 20
 
 
-def _read_json(environ, limit: int = MAX_JSON_BODY) -> Dict:
+def _read_json(environ, limit: int = MAX_JSON_BODY) -> Optional[Dict]:
+    """Parse the JSON request body; ``None`` means the declared body exceeds
+    ``limit`` (the route should answer 413). A negative/absent/unparsable
+    Content-Length reads nothing — this server never reads to socket EOF."""
     try:
         length = int(environ.get("CONTENT_LENGTH") or 0)
-        length = min(length, limit)
-        raw = environ["wsgi.input"].read(length) if length else b"{}"
+    except (TypeError, ValueError):
+        length = 0
+    if length > limit:
+        try:
+            remaining = min(length, _DRAIN_CAP)
+            while remaining > 0:
+                chunk = environ["wsgi.input"].read(min(remaining, 1 << 16))
+                if not chunk:
+                    break
+                remaining -= len(chunk)
+        except Exception:  # noqa: BLE001
+            pass
+        return None
+    try:
+        raw = environ["wsgi.input"].read(length) if length > 0 else b"{}"
         return json.loads(raw or b"{}")
     except Exception:  # noqa: BLE001
         return {}
@@ -225,6 +245,11 @@ def build_app(state: AppState):
 
         if method == "POST" and path == "/get_text_emotion":
             payload = _read_json(environ)
+            if payload is None:
+                return _json_response(
+                    start_response, {"error": "request body too large"},
+                    status="413 Content Too Large",
+                )
             emotion = predict_emotion(payload.get("text", ""))
             return _json_response(start_response, {"emotion": emotion})
 
@@ -266,6 +291,11 @@ def build_app(state: AppState):
                     status="503 Service Unavailable",
                 )
             payload = _read_json(environ, limit=MAX_FRAME_BODY)
+            if payload is None:
+                return _json_response(
+                    start_response, {"error": "request body too large"},
+                    status="413 Content Too Large",
+                )
             try:
                 frame = np.asarray(payload["frame"], dtype=np.float32)
                 emotion = state.camera.predict_emotion(frame)
@@ -278,6 +308,11 @@ def build_app(state: AppState):
 
         if method == "POST" and path == "/generate":
             payload = _read_json(environ)
+            if payload is None:
+                return _json_response(
+                    start_response, {"error": "request body too large"},
+                    status="413 Content Too Large",
+                )
             emotion = str(payload.get("emotion", "happy")).lower()
             if emotion not in EMOTION_BPM:
                 return _json_response(

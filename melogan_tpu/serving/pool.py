@@ -212,6 +212,7 @@ class SamplePool:
                     if not self._pools[emotion]:
                         self._stocked.wait(timeout=min(0.25, remaining))
                 continue
+            failed = False
             try:
                 self._refill_locked([emotion])
                 # a take-path refill that succeeds resolves any prior incident
@@ -223,19 +224,25 @@ class SamplePool:
                 msg = f"{type(e).__name__}: {e}"
                 with self._lock:
                     self._last_error = msg
-                # brief backoff so a hot-failing sampler doesn't spin the CPU
-                time.sleep(min(0.05, max(0.0, deadline - time.monotonic())))
+                failed = True
             finally:
                 self._refill_lock.release()
+            if failed:
+                # brief backoff (AFTER releasing the refill lock — other
+                # missers and the producer must not stall behind the sleep)
+                # so a hot-failing sampler doesn't spin the CPU
+                time.sleep(min(0.05, max(0.0, deadline - time.monotonic())))
 
     def warm_sizes(self) -> List[int]:
         """The quantized refill-size ladder (each size is a distinct compiled
-        XLA program — :meth:`_refill_size` doubles from ``refill_batch`` to
-        ``max_refill``)."""
+        XLA program): exactly the values :meth:`_refill_size` can return —
+        doubling from ``refill_batch``, clamped to ``max_refill``, which is
+        itself included even when it is not a power-of-two multiple."""
         sizes, s = [], self.refill_batch
-        while s <= self.max_refill:
+        while s < self.max_refill:
             sizes.append(s)
             s *= 2
+        sizes.append(self.max_refill)
         return sizes
 
     def warm_async(self, depth_cap: Optional[int] = None) -> threading.Thread:

@@ -103,18 +103,46 @@ def test_404(server):
     assert req(base, "/nope")[0] == 404
 
 
-def test_oversized_json_body_is_capped(server):
-    """Reads are capped at MAX_JSON_BODY: a multi-MB body neither balloons
-    memory nor errors — the truncated JSON parses to {} and the route falls
-    back to its defaults."""
+def test_oversized_json_body_gets_413(server):
+    """A body above MAX_JSON_BODY is rejected with 413 (after a bounded
+    drain so the connection closes cleanly), never read into memory whole,
+    and the server stays healthy for the next request."""
     base, _ = server
+    big = b'{"emotion": "happy", "pad": "' + b"x" * (3 << 20) + b'"}'
+    status, _, body = req_raw(base, "/generate", big)
+    assert status == 413
+    assert b"too large" in body
+    status, _, body = req(base, "/generate", {"emotion": "happy"})
+    assert status == 200 and body[:4] == b"MThd"
+
+
+def test_negative_content_length_reads_nothing():
+    """A hostile 'Content-Length: -1' must not make the server read to
+    socket EOF (read(-1) on the wsgi input would buffer unboundedly)."""
+    import io
+
+    from melogan_tpu.serving.app import _read_json
+
+    class EofBomb(io.RawIOBase):
+        def read(self, n=-1):
+            assert n is not None and n >= 0, "read-to-EOF issued against the socket"
+            return b""
+
+    payload = _read_json({"CONTENT_LENGTH": "-1", "wsgi.input": EofBomb()})
+    assert payload == {}
+    payload = _read_json({"CONTENT_LENGTH": "junk", "wsgi.input": EofBomb()})
+    assert payload == {}
+
+
+def req_raw(base, path, data):
     r = urllib.request.Request(
-        base + "/generate", data=b'{"emotion": "happy", "pad": "' + b"x" * (3 << 20) + b'"}',
-        headers={"Content-Type": "application/json"},
+        base + path, data=data, headers={"Content-Type": "application/json"}
     )
-    resp = urllib.request.urlopen(r, timeout=30)
-    assert resp.status == 200
-    assert resp.read()[:4] == b"MThd"
+    try:
+        resp = urllib.request.urlopen(r, timeout=30)
+        return resp.status, dict(resp.headers), resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, dict(e.headers), e.read()
 
 
 def test_malformed_json_body(server):
@@ -326,6 +354,13 @@ def test_sample_pool_warm_compiles_the_refill_ladder():
     pool = SamplePool(stub, target=4, refill_batch=8, max_refill=64, background=False)
     try:
         assert pool.warm_sizes() == [8, 16, 32, 64]
+        # a non-power-of-two max_refill is itself a reachable _refill_size
+        # and must be part of the ladder
+        odd = SamplePool(stub, target=4, refill_batch=8, max_refill=48,
+                         background=False)
+        assert odd.warm_sizes() == [8, 16, 32, 48]
+        assert odd._refill_size(1000) == 48
+        odd.close()
         assert pool.stats()["warm"] == "idle"
         t = pool.warm_async()
         t.join(timeout=10)
