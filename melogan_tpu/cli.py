@@ -289,6 +289,102 @@ def cmd_sample(args):
               f"{emotion_scale(emotion)})")
 
 
+def _launch_precompiles(args, workdir, splits_dir, stages):
+    """Warm the persistent XLA compile cache for the requested training
+    stages' fused multi-epoch programs — at the EXACT corpus shapes read from
+    ``splits_dir`` — in background threads. Returns ``{"train-<s>": Thread}``.
+    Each stage's ``precompile()`` mirrors its ``train()`` construction path,
+    so the later real run's jit is a cache hit (equality enforced by
+    tests/test_train_loops.py::test_*_precompile_seeds_the_exact_train_program).
+    Best-effort: a failed warm-up only means the stage compiles itself."""
+    import threading
+    import time
+
+    from melogan_tpu.config import AEConfig, EDConfig, GANConfig
+    from melogan_tpu.train import ed_loop, gan_loop, vae_loop
+
+    def _n_rows(split):
+        arr = np.load(os.path.join(splits_dir, split, "notes.npy"), mmap_mode="r")
+        return int(arr.shape[0])
+
+    train_notes = np.load(os.path.join(splits_dir, "train", "notes.npy"),
+                          mmap_mode="r")
+    n_train, corpus_len = int(train_notes.shape[0]), int(train_notes.shape[1])
+    n_val = _n_rows("val")
+    precision = "bf16" if getattr(args, "bf16", False) else None
+    epochs = getattr(args, "epochs", None)
+
+    def _launch(name, fn, *a, **kw):
+        def run():
+            try:
+                t0 = time.perf_counter()
+                fn(*a, **kw)
+                print(f"[INFO] {name} precompile finished in "
+                      f"{time.perf_counter() - t0:.1f}s (overlapped)")
+            except Exception as e:  # noqa: BLE001 — warm-up is best-effort
+                print(f"[WARN] {name} precompile failed "
+                      f"(the stage will compile itself): {e}")
+
+        t = threading.Thread(target=run, name=f"precompile-{name}", daemon=True)
+        t.start()
+        return t
+
+    def _len_ok(name, cfg_len):
+        # the AE/GAN loops consume the stored (n, L, 4) arrays unpadded, so a
+        # config whose max_notes ≠ the corpus L can never match the real run
+        # (the ED datasets pad/truncate to cfg.max_notes, so ED is immune)
+        if cfg_len == corpus_len:
+            return True
+        print(f"[WARN] skipping {name} precompile: config max_notes "
+              f"({cfg_len}) != corpus note length ({corpus_len})")
+        return False
+
+    threads = {}
+    if "ae" in stages:
+        ae_cfg = _load_cfg(AEConfig, args.ae_config, workdir)
+        if epochs:
+            ae_cfg.epochs = epochs
+        if _len_ok("AE", ae_cfg.max_notes):
+            threads["train-ae"] = _launch(
+                "AE", vae_loop.precompile, ae_cfg, n_train, n_val,
+                mesh=_mesh_from_args(args, ae_cfg.batch_size), precision=precision)
+    ed_cfg = _load_cfg(EDConfig, args.ed_config, workdir)
+    if epochs:
+        ed_cfg.num_epochs = epochs
+    if "ed" in stages:
+        threads["train-ed"] = _launch(
+            "ED", ed_loop.precompile, ed_cfg, n_train, n_val,
+            mesh=_mesh_from_args(args, ed_cfg.batch_size), precision=precision)
+    if "gan" in stages:
+        gan_cfg = _load_cfg(GANConfig, args.gan_config, workdir)
+        if epochs:
+            gan_cfg.epochs = epochs
+        if _len_ok("GAN", gan_cfg.max_notes):
+            threads["train-gan"] = _launch(
+                "GAN", gan_loop.precompile, gan_cfg, ed_cfg, n_train,
+                mesh=_mesh_from_args(args, gan_cfg.batch_size), precision=precision)
+    return threads
+
+
+def cmd_precompile(args):
+    """Warm the persistent compile cache (.jax_cache by default) for all three
+    stages' fused training programs in parallel, at the corpus shapes found in
+    --splits-dir — so a subsequent `melogan pipeline`/`train-*` run pays zero
+    cold XLA compiles. Compilation parallelizes across threads even though
+    training can't; on a cold cache this turns ~3 serial remote compiles into
+    the wall-clock of the slowest one."""
+    import time
+
+    t0 = time.perf_counter()
+    threads = _launch_precompiles(
+        args, args.workdir, args.splits_dir,
+        tuple(args.stages) if args.stages else ("ae", "ed", "gan"))
+    for t in threads.values():
+        t.join()
+    print(f"[INFO] precompile done ({len(threads)} programs) in "
+          f"{time.perf_counter() - t0:.1f}s")
+
+
 def cmd_pipeline(args):
     """full_script.sh equivalent: synth-data? → preprocess → splits → arrays →
     train-ae → encode → train-ed → train-gan → sample ×4 emotions.
@@ -326,13 +422,40 @@ def cmd_pipeline(args):
         config=args.ae_config, epochs=args.epochs, checkpoint=None,
         bf16=getattr(args, "bf16", False), dp=getattr(args, "dp", 0),
     )
-    stage("train-ae", cmd_train_ae, base)
-    stage("encode", cmd_encode,
-          SimpleNamespace(**{**vars(base), "splits": ["train", "val", "test"]}))
-    stage("train-ed", cmd_train_ed, SimpleNamespace(**{**vars(base), "config": args.ed_config}))
-    stage("train-gan", cmd_train_gan,
-          SimpleNamespace(**{**vars(base), "config": args.gan_config,
-                             "ed_config": args.ed_config, "ed_ckpt": None}))
+
+    # overlap the ED/GAN fused-program XLA compiles with the AE stage: on a
+    # cold cache the remote compiler dominates pipeline wall (~760 s of 830 s
+    # measured round 3) and compiles parallelize across threads. precompile()
+    # reproduces each stage's program at the exact corpus shapes, so the
+    # stage's own jit becomes a persistent-cache hit. Best-effort: a failed
+    # warm-up only means the stage compiles itself as before.
+    precompiles = {}
+    if os.environ.get("MELOGAN_PIPELINE_PRECOMPILE", "1") != "0":
+        precompiles = _launch_precompiles(args, work, splits_dir, ("ed", "gan"))
+
+    try:
+        stage("train-ae", cmd_train_ae, base)
+        stage("encode", cmd_encode,
+              SimpleNamespace(**{**vars(base), "splits": ["train", "val", "test"]}))
+        if "train-ed" in precompiles:
+            precompiles["train-ed"].join()
+        stage("train-ed", cmd_train_ed, SimpleNamespace(**{**vars(base), "config": args.ed_config}))
+        if "train-gan" in precompiles:
+            precompiles["train-gan"].join()
+        stage("train-gan", cmd_train_gan,
+              SimpleNamespace(**{**vars(base), "config": args.gan_config,
+                                 "ed_config": args.ed_config, "ed_ckpt": None}))
+    except BaseException:
+        # a stage failed while background precompiles may still be mid-XLA-
+        # compile: interpreter teardown under an active compile aborts the
+        # process (LLVM crash) and eats the real traceback — drain first
+        live = [t for t in precompiles.values() if t.is_alive()]
+        if live:
+            print(f"[INFO] stage failed; waiting for {len(live)} background "
+                  "precompile(s) before exiting")
+            for t in live:
+                t.join()
+        raise
     gen_dir = os.path.join(work, "generated_tests")
     stage("sample", cmd_sample, SimpleNamespace(
         workdir=work, config=args.gan_config, checkpoint=None, emotion="all",
@@ -680,6 +803,24 @@ def build_parser():
     s.add_argument("--dp", type=int, default=0,
                    help="data-parallel device count for all three stages")
     s.set_defaults(fn=cmd_pipeline)
+
+    s = sub.add_parser(
+        "precompile",
+        help="warm the XLA compile cache for the fused training programs "
+             "(all stages in parallel, at the corpus shapes in --splits-dir)")
+    s.add_argument("--workdir", default=".")
+    s.add_argument("--splits-dir", default="data/splits")
+    s.add_argument("--stages", nargs="+", choices=["ae", "ed", "gan"], default=None,
+                   help="subset of stages to warm (default: all three)")
+    s.add_argument("--epochs", type=int, default=None)
+    s.add_argument("--ae-config", default="configs/ae.yaml", dest="ae_config")
+    s.add_argument("--ed-config", default="configs/ed.yaml", dest="ed_config")
+    s.add_argument("--gan-config", default="configs/gan.yaml", dest="gan_config")
+    s.add_argument("--dp", type=int, default=0,
+                   help="data-parallel device count (matches the later run)")
+    s.add_argument("--bf16", action="store_true",
+                   help="warm the mixed-precision variants")
+    s.set_defaults(fn=cmd_precompile)
 
     s = sub.add_parser("diagnose", help="data-sanity diagnostics")
     s.add_argument("--split", default="train")

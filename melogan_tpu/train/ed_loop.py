@@ -260,6 +260,49 @@ def _stack(x: np.ndarray, y: np.ndarray, batch_size: int, order: np.ndarray):
     return jnp.asarray(x[idx]), jnp.asarray(y[idx])
 
 
+def precompile(cfg: EDConfig, n_train: int, n_val: int, mesh=None, precision=None):
+    """Compile the fused multi-epoch ED program for the given corpus sizes
+    WITHOUT training — e.g. from a background thread overlapped with an
+    earlier pipeline stage. Uses the same construction path and the same
+    argument shapes/dtypes as :func:`train`, so the resulting XLA program is
+    byte-identical and lands in the persistent compile cache; train()'s own
+    jit then hits the cache instead of paying the multi-minute remote
+    compile. Data arrays are passed as ShapeDtypeStructs (no device memory)."""
+    from melogan_tpu.train.harness import data_sds, jit_with_precision
+
+    model = EmotionDiscriminator.from_config(cfg)
+    state = init_state(cfg, model, seed=cfg.seed)
+    run_fn = jit_with_precision(make_epoch_fns(cfg, model, mesh=mesh)[3], precision)
+
+    feat = (cfg.latent_dim,) if cfg.input_mode == "latent" else (cfg.max_notes, 4)
+    bs = min(cfg.batch_size, n_train)
+    n_batches = max(1, n_train // bs)
+    vbs = min(cfg.batch_size, n_val)
+    n_vbatches = max(1, n_val // vbs)
+
+    plateau = ReduceLROnPlateau(
+        factor=cfg.scheduler.factor,
+        patience=cfg.scheduler.patience,
+        threshold=cfg.scheduler.threshold,
+    )
+    stopper = EarlyStopping(patience=cfg.early_stopping_patience)
+    sched = init_sched(state, plateau, stopper)
+    sched["epoch"] = jnp.asarray(0, jnp.int32)
+
+    sds = jax.ShapeDtypeStruct
+    dsds = data_sds(mesh)  # train() commits the data args replicated-over-mesh
+    run_fn.lower(
+        state,
+        dsds((n_train,) + feat, jnp.float32),
+        dsds((n_train,), jnp.int32),
+        sds((cfg.save_freq, n_batches, bs), jnp.int32),
+        sds((cfg.save_freq,), jnp.bool_),
+        (dsds((n_vbatches, vbs) + feat, jnp.float32),
+         dsds((n_vbatches, vbs), jnp.int32)),
+        sched,
+    ).compile()
+
+
 def train(
     cfg: EDConfig,
     train_data: SplitData,

@@ -24,6 +24,49 @@ from melogan_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint, sav
 from melogan_tpu.utils.metrics import MetricsWriter
 
 
+def precompile(
+    cfg: GANConfig,
+    ed_cfg: EDConfig,
+    n_train: int,
+    epochs: Optional[int] = None,
+    mesh=None,
+    precision=None,
+):
+    """Compile the fused multi-epoch WGAN-GP run program for an ``n_train``-row
+    corpus WITHOUT training — e.g. from a background thread overlapped with an
+    earlier pipeline stage. Mirrors :func:`train`'s construction path and
+    argument shapes exactly (parameter shapes don't depend on the frozen ED's
+    weights), so the persistent compile cache turns train()'s own jit into a
+    cache hit. Data is passed as ShapeDtypeStructs (no device memory)."""
+    from melogan_tpu.train.harness import data_sds, jit_with_precision
+
+    models = gan_step.build_models(cfg, ed_cfg)
+    state = gan_step.init_state(cfg, models, seed=cfg.seed)
+    steps = gan_step.make_train_steps(cfg, models, mesh=mesh)
+    run_fn = jit_with_precision(steps.run, precision)
+
+    n_batches = n_train // cfg.batch_size
+    n_groups = n_batches // cfg.critic_iters
+    if n_groups == 0:
+        return  # tiny corpus: train() takes the tail-only path, cheap compile
+    rem = n_batches - n_groups * cfg.critic_iters
+    n_epochs = epochs or cfg.epochs
+    e_dim = cfg.save_freq if n_epochs > cfg.save_freq else n_epochs
+
+    sds = jax.ShapeDtypeStruct
+    dsds = data_sds(mesh)  # train() commits the data args replicated-over-mesh
+    data_dev = (
+        dsds((n_train, cfg.max_notes, 4), jnp.float32),
+        dsds((n_train,), jnp.int32),
+        dsds((n_train, cfg.latent_dim), jnp.float32),
+        dsds((n_train, 6), jnp.float32),
+    )
+    gidx = sds((e_dim, n_groups, cfg.critic_iters, cfg.batch_size), jnp.int32)
+    tidx = sds((e_dim, rem, cfg.batch_size), jnp.int32) if rem else None
+    live = sds((e_dim,), jnp.bool_)
+    run_fn.lower(state, data_dev, gidx, tidx, live).compile()
+
+
 def train(
     cfg: GANConfig,
     ed_cfg: EDConfig,

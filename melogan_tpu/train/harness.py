@@ -126,6 +126,21 @@ def jit_with_precision(fn, precision=None, **jit_kwargs):
     return wrapped
 
 
+def data_sds(mesh=None):
+    """ShapeDtypeStruct factory for the precompile() warm-up paths, matching
+    how train() commits its epoch data arrays: replicated over ``mesh`` when
+    one is given (the input sharding enters jit's compile key, so the warmed
+    program only matches the real run if the spec matches), plain otherwise."""
+    import jax as _jax
+
+    if mesh is None:
+        return _jax.ShapeDtypeStruct
+    from melogan_tpu.parallel.mesh import replicated_sharding
+
+    sh = replicated_sharding(mesh)
+    return lambda shape, dtype: _jax.ShapeDtypeStruct(shape, dtype, sharding=sh)
+
+
 # -- device-resident scheduler (for multi-epoch fused programs) -------------
 #
 # The VAE/ED loops run E epochs per device dispatch; the plateau scheduler and

@@ -304,6 +304,47 @@ def stack_epoch(notes: np.ndarray, batch_size: int, rng: np.random.Generator, sh
     return jnp.asarray(notes[epoch_indices(notes.shape[0], batch_size, rng, shuffle)])
 
 
+def precompile(cfg: AEConfig, n_train: int, n_val: int, mesh=None,
+               precision=None, recon_dumps: bool = True):
+    """Compile the fused multi-epoch VAE program for the given corpus sizes
+    WITHOUT training — e.g. to warm the persistent compile cache ahead of a
+    production run (``melogan precompile``). Mirrors :func:`train`'s
+    construction path and argument shapes/dtypes exactly, so train()'s own
+    jit becomes a cache hit. Data is passed as ShapeDtypeStructs (no device
+    memory beyond the initialized model)."""
+    from melogan_tpu.train.harness import data_sds, jit_with_precision
+
+    model = VAE.from_config(cfg)
+    state = init_state(cfg, model, seed=cfg.seed)
+    run_fn = jit_with_precision(make_epoch_fns(cfg, model, mesh=mesh)[3], precision)
+
+    bs = min(cfg.batch_size, n_train)
+    n_batches = max(1, n_train // bs)
+    vbs = min(cfg.batch_size, n_val)
+    n_vbatches = max(1, n_val // vbs)
+    n_recon = min(cfg.recon_save_count, n_val) if recon_dumps else 0
+    chunk = max(1, int(os.environ.get("MELOGAN_EPOCH_CHUNK", "10")))
+
+    plateau = ReduceLROnPlateau(factor=0.5, patience=5, min_lr=1e-6)
+    stopper = EarlyStopping(patience=cfg.early_stop_patience)
+    sched = init_sched(state, plateau, stopper)
+    sched["epoch"] = jnp.asarray(0, jnp.int32)
+
+    sds = jax.ShapeDtypeStruct
+    dsds = data_sds(mesh)  # train() commits the data args replicated-over-mesh
+    run_fn.lower(
+        state,
+        dsds((n_train, cfg.max_notes, 4), jnp.float32),
+        sds((chunk, n_batches, bs), jnp.int32),
+        sds((chunk,), jnp.float32),
+        sds((chunk,), jnp.bool_),
+        dsds((n_vbatches, vbs, cfg.max_notes, 4), jnp.float32),
+        dsds((n_recon, cfg.max_notes, 4), jnp.float32),
+        sched,
+        sds((chunk,), jnp.bool_),
+    ).compile()
+
+
 def train(
     cfg: AEConfig,
     train_data: SplitData,

@@ -16,7 +16,7 @@ def test_parser_has_all_subcommands():
     expected = {
         "synth-data", "preprocess", "make-splits", "split-arrays",
         "train-ae", "encode", "train-ed", "eval-ed", "train-gan",
-        "sample", "pipeline", "diagnose", "analyze-midi", "tsne",
+        "sample", "pipeline", "precompile", "diagnose", "analyze-midi", "tsne",
         "serve", "bench", "roll-to-midi", "clean",
     }
     assert expected <= set(subs)
@@ -84,6 +84,50 @@ def test_host_only_fns_exist():
     for action in parser._subparsers._group_actions[0].choices.values():
         fn = action.get_default("fn")
         assert callable(fn)
+
+
+def test_precompile_cli_warms_all_three_stages(tmp_path, capsys, monkeypatch):
+    """`melogan precompile` compiles the AE/ED/GAN fused programs in parallel
+    at the corpus shapes found in --splits-dir, with zero WARNs (a WARN means
+    a precompile() diverged from its train() construction path)."""
+    from jax.experimental.compilation_cache import compilation_cache as cc
+
+    cache_dir = tmp_path / "xla_cache"
+    monkeypatch.setenv("MELOGAN_COMPILE_CACHE", str(cache_dir))
+    monkeypatch.setenv("MELOGAN_EPOCH_CHUNK", "2")
+    cc.reset_cache()  # rebind the singleton: an earlier test may own it
+
+    data = tmp_path / "data"
+    splits, processed = str(data / "splits"), str(data / "processed")
+    main(["synth-data", "--out", str(data), "--per-emotion", "6", "--seed", "42"])
+    main(["preprocess", "--manifest", str(data / "data_manifest.csv"), "--out", processed])
+    main(["make-splits", "--manifest", str(data / "data_manifest.csv"),
+          "--out", splits, "--seed", "42"])
+    main(["split-arrays", "--splits-dir", splits, "--processed-dir", processed])
+
+    # max_notes must equal the preprocessed corpus note length (512): the
+    # AE/GAN loops consume the stored arrays unpadded, and _launch_precompiles
+    # refuses to warm a program that can't match the later run
+    ae = tmp_path / "ae.yaml"
+    ae.write_text("latent_dim: 4\nhidden_dim: 32\n"
+                  "batch_size: 8\nrecon_save_count: 2\n")
+    ed = tmp_path / "ed.yaml"
+    ed.write_text("input_mode: notes\nnotes_hidden: 32\n"
+                  "mlp_hidden: [32, 16]\nbatch_size: 8\nlatent_dim: 4\n")
+    gan = tmp_path / "gan.yaml"
+    gan.write_text("NOISE_DIM: 16\nLATENT_DIM: 4\nGEN_HIDDEN: 32\n"
+                   "BATCH_SIZE: 4\nCRITIC_ITERS: 2\nEPOCHS: 2\nSAVE_FREQ: 2\n")
+
+    try:
+        main(["precompile", "--workdir", str(tmp_path), "--splits-dir", splits,
+              "--ae-config", str(ae), "--ed-config", str(ed),
+              "--gan-config", str(gan)])
+    finally:
+        cc.reset_cache()  # detach the singleton from the tmp dir
+    out = capsys.readouterr().out
+    assert "precompile done (3 programs)" in out
+    assert "[WARN]" not in out, out
+    assert cache_dir.exists() and any(cache_dir.iterdir())
 
 
 # ---------------------------------------------------------------------------

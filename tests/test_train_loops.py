@@ -409,3 +409,127 @@ def test_vae_recon_dumps_respect_recon_freq(splits, tmp_path):
     recon_files = os.listdir(tmp_path / cfg.recon_dir)
     eps = sorted({int(f.split("_")[0][2:]) for f in recon_files})
     assert eps == [2, 4], recon_files
+
+
+# ---------------------------------------------------------------------------
+# Pipeline precompile: warm the persistent cache with the EXACT stage programs
+# ---------------------------------------------------------------------------
+
+
+def _with_fresh_cache(tmp_path, fn):
+    """Run fn() with an isolated persistent compile cache; returns the set of
+    cache entries created. Restores the global cache config afterwards."""
+    from jax.experimental.compilation_cache import compilation_cache as cc
+
+    cache = str(tmp_path / "xla_cache")
+    os.makedirs(cache, exist_ok=True)
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.35)
+    # the cache singleton binds its directory at first use and ignores later
+    # config updates — drop it so this test's dir takes effect
+    cc.reset_cache()
+    try:
+        fn()
+        return set(os.listdir(cache))
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
+        cc.reset_cache()
+
+
+def test_ed_precompile_seeds_the_exact_train_program(splits, tmp_path):
+    """precompile() must produce the SAME XLA program train() compiles: after
+    warming a fresh persistent cache, a real train() run adds no new cache
+    entry for the fused program. Guards against shape/dtype drift between
+    precompile's reconstruction and train's real argument construction."""
+    train_data, val_data = splits
+    cfg = EDConfig(max_notes=64, batch_size=8, num_epochs=2, save_freq=2,
+                   notes_hidden=32, mlp_hidden=[32, 16])
+
+    before = _with_fresh_cache(
+        tmp_path, lambda: ed_loop.precompile(cfg, train_data.n, val_data.n)
+    )
+    assert before, "precompile cached nothing (min-compile-time too high?)"
+
+    def run_train():
+        ed_loop.train(cfg, train_data, val_data,
+                      workdir=str(tmp_path / "ed"), verbose=False)
+
+    after = _with_fresh_cache(tmp_path, run_train)
+    assert after == before, (
+        f"train() compiled a program precompile missed: {after - before}"
+    )
+
+
+def test_ed_precompile_matches_dp_train_program(splits, tmp_path):
+    """Under --dp the train() data args are committed replicated-over-mesh,
+    and that sharding enters jit's compile key — precompile must reproduce it
+    (harness.data_sds) or the warmed program never matches the dp run."""
+    from melogan_tpu.parallel.mesh import make_mesh
+
+    train_data, val_data = splits
+    cfg = EDConfig(max_notes=64, batch_size=8, num_epochs=2, save_freq=2,
+                   notes_hidden=32, mlp_hidden=[32, 16])
+    mesh = make_mesh(n_devices=2)
+
+    before = _with_fresh_cache(
+        tmp_path,
+        lambda: ed_loop.precompile(cfg, train_data.n, val_data.n, mesh=mesh),
+    )
+    assert before
+
+    def run_train():
+        ed_loop.train(cfg, train_data, val_data,
+                      workdir=str(tmp_path / "ed"), verbose=False, mesh=mesh)
+
+    after = _with_fresh_cache(tmp_path, run_train)
+    assert after == before, (
+        f"dp train() compiled a program precompile missed: {after - before}"
+    )
+
+
+def test_vae_precompile_seeds_the_exact_train_program(splits, tmp_path, monkeypatch):
+    monkeypatch.setenv("MELOGAN_EPOCH_CHUNK", "2")  # keep the fused program small
+    train_data, val_data = splits
+    cfg = AEConfig(max_notes=64, batch_size=8, epochs=2, recon_save_count=2)
+
+    before = _with_fresh_cache(
+        tmp_path, lambda: vae_loop.precompile(cfg, train_data.n, val_data.n)
+    )
+    assert before, "precompile cached nothing (min-compile-time too high?)"
+
+    def run_train():
+        vae_loop.train(cfg, train_data, val_data,
+                       workdir=str(tmp_path / "ae"), verbose=False)
+
+    after = _with_fresh_cache(tmp_path, run_train)
+    assert after == before, (
+        f"train() compiled a program precompile missed: {after - before}"
+    )
+
+
+def test_gan_precompile_seeds_the_exact_train_program(rng, tmp_path):
+    # big enough that the fused WGAN-GP program's compile crosses the cache's
+    # min-compile-time threshold (the tiny-32-hidden variant compiles too
+    # fast to be persisted at all)
+    train_data = synth_split(rng, 24, 64)
+    cfg = GANConfig(max_notes=64, batch_size=4, epochs=2, save_freq=2,
+                    critic_iters=2, noise_dim=32, latent_dim=8, gen_hidden=96)
+    ed_cfg = EDConfig(max_notes=64, batch_size=8, notes_hidden=32,
+                      mlp_hidden=[32, 16])
+
+    before = _with_fresh_cache(
+        tmp_path, lambda: gan_loop.precompile(cfg, ed_cfg, train_data.n)
+    )
+    assert before
+
+    def run_train():
+        gan_loop.train(cfg, ed_cfg, train_data,
+                       workdir=str(tmp_path / "gan"), verbose=False)
+
+    after = _with_fresh_cache(tmp_path, run_train)
+    assert after == before, (
+        f"train() compiled a program precompile missed: {after - before}"
+    )
