@@ -12,6 +12,7 @@ the TPU lane dimension. Convolutions lower to XLA ``conv_general_dilated``
 from __future__ import annotations
 
 import math
+import threading
 from typing import Optional
 
 import jax
@@ -24,16 +25,18 @@ from melogan_tpu.ops import conv as conv_ops
 # accumulation semantics matching the reference (the models are small enough
 # that v5e f32-via-bf16-passes is nowhere near the bottleneck); switch to
 # 'default' for max-throughput bf16 experiments.
-_DEFAULT_PRECISION = jax.lax.Precision.HIGHEST
+_PRECISION_TLS = threading.local()  # per-thread: concurrent traces (e.g. the
+# pipeline's background precompile threads vs the AE train) must not see each
+# other's set/reset — a shared global let one thread's finally-reset flip
+# precision mid-trace in another, producing mixed-precision programs
 
 
 def set_default_precision(precision) -> None:
-    global _DEFAULT_PRECISION
-    _DEFAULT_PRECISION = precision
+    _PRECISION_TLS.value = precision
 
 
 def default_precision():
-    return _DEFAULT_PRECISION
+    return getattr(_PRECISION_TLS, "value", jax.lax.Precision.HIGHEST)
 
 # ---------------------------------------------------------------------------
 # Initializers with torch-default semantics

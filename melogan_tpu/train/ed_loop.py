@@ -260,7 +260,8 @@ def _stack(x: np.ndarray, y: np.ndarray, batch_size: int, order: np.ndarray):
     return jnp.asarray(x[idx]), jnp.asarray(y[idx])
 
 
-def precompile(cfg: EDConfig, n_train: int, n_val: int, mesh=None, precision=None):
+def precompile(cfg: EDConfig, n_train: int, n_val: int, mesh=None, precision=None,
+               notes_len: Optional[int] = None):
     """Compile the fused multi-epoch ED program for the given corpus sizes
     WITHOUT training — e.g. from a background thread overlapped with an
     earlier pipeline stage. Uses the same construction path and the same
@@ -274,7 +275,14 @@ def precompile(cfg: EDConfig, n_train: int, n_val: int, mesh=None, precision=Non
     state = init_state(cfg, model, seed=cfg.seed)
     run_fn = jit_with_precision(make_epoch_fns(cfg, model, mesh=mesh)[3], precision)
 
-    feat = (cfg.latent_dim,) if cfg.input_mode == "latent" else (cfg.max_notes, 4)
+    # notes mode consumes the stored corpus arrays UNPADDED (_inputs →
+    # notes_gan(), no pad/trunc to cfg.max_notes; the encoder is
+    # length-agnostic via adaptive pooling) — the warmed program must use the
+    # corpus note length, not the config's
+    if cfg.input_mode == "latent":
+        feat = (cfg.latent_dim,)
+    else:
+        feat = (notes_len or cfg.max_notes, 4)
     bs = min(cfg.batch_size, n_train)
     n_batches = max(1, n_train // bs)
     vbs = min(cfg.batch_size, n_val)

@@ -28,7 +28,6 @@ def precompile(
     cfg: GANConfig,
     ed_cfg: EDConfig,
     n_train: int,
-    epochs: Optional[int] = None,
     mesh=None,
     precision=None,
 ):
@@ -50,7 +49,7 @@ def precompile(
     if n_groups == 0:
         return  # tiny corpus: train() takes the tail-only path, cheap compile
     rem = n_batches - n_groups * cfg.critic_iters
-    n_epochs = epochs or cfg.epochs
+    n_epochs = cfg.epochs
     e_dim = cfg.save_freq if n_epochs > cfg.save_freq else n_epochs
 
     sds = jax.ShapeDtypeStruct

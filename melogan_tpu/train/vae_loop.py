@@ -46,6 +46,10 @@ class VAETrainState(struct.PyTreeNode):
     rng: jnp.ndarray
 
 
+ENCODE_BATCH = 256  # µ-export batch: encode_mu pads its tail to this, so the
+# whole export is ONE compiled shape (warmable by precompile)
+
+
 def make_optimizer(cfg: AEConfig) -> optax.GradientTransformation:
     return optax.chain(
         optax.clip_by_global_norm(1.0),
@@ -344,6 +348,17 @@ def precompile(cfg: AEConfig, n_train: int, n_val: int, mesh=None,
         sds((chunk,), jnp.bool_),
     ).compile()
 
+    # the encode stage's µ-export program too: weight-independent (params are
+    # jit arguments) and single-shape (encode_mu pads its tail batch), so one
+    # warm covers every later `melogan encode` on this config
+    var_sds = jax.tree_util.tree_map(
+        lambda a: sds(a.shape, a.dtype),
+        {"params": state.params, "batch_stats": state.batch_stats},
+    )
+    _encode_apply(model).lower(
+        var_sds, sds((ENCODE_BATCH, cfg.max_notes, 4), jnp.float32)
+    ).compile()
+
 
 def train(
     cfg: AEConfig,
@@ -559,16 +574,24 @@ def train(
     return best_state, {"best_val": float(sched["stop_best"]), **history}
 
 
-def encode_mu(model: VAE, state: VAETrainState, notes_ae: np.ndarray, batch_size: int = 256) -> np.ndarray:
+def _encode_apply(model: VAE):
+    # weights enter as ARGUMENTS, not closure constants: captured arrays are
+    # inlined into the HLO, which made every run (new weights) a fresh XLA
+    # compile and defeated the persistent cache across runs/precompile
+    return jax.jit(lambda v, x: model.apply(v, x, method=VAE.encode_mu))
+
+
+def encode_mu(model: VAE, state: VAETrainState, notes_ae: np.ndarray,
+              batch_size: int = ENCODE_BATCH) -> np.ndarray:
     """Export deterministic µ latents (reference src/ae/encode.py parity)."""
-    apply = jax.jit(
-        lambda x: model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            x,
-            method=VAE.encode_mu,
-        )
-    )
+    apply = _encode_apply(model)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
     outs = []
     for i in range(0, notes_ae.shape[0], batch_size):
-        outs.append(np.asarray(apply(jnp.asarray(notes_ae[i : i + batch_size]))))
+        chunk = notes_ae[i : i + batch_size]
+        k = chunk.shape[0]
+        if k < batch_size:  # pad the tail: ONE compiled shape per export
+            pad = np.zeros((batch_size - k,) + chunk.shape[1:], chunk.dtype)
+            chunk = np.concatenate([chunk, pad])
+        outs.append(np.asarray(apply(variables, jnp.asarray(chunk)))[:k])
     return np.concatenate(outs, axis=0)

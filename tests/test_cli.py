@@ -95,6 +95,7 @@ def test_precompile_cli_warms_all_three_stages(tmp_path, capsys, monkeypatch):
     cache_dir = tmp_path / "xla_cache"
     monkeypatch.setenv("MELOGAN_COMPILE_CACHE", str(cache_dir))
     monkeypatch.setenv("MELOGAN_EPOCH_CHUNK", "2")
+    prev_dir = jax.config.jax_compilation_cache_dir
     cc.reset_cache()  # rebind the singleton: an earlier test may own it
 
     data = tmp_path / "data"
@@ -123,7 +124,10 @@ def test_precompile_cli_warms_all_three_stages(tmp_path, capsys, monkeypatch):
               "--ae-config", str(ae), "--ed-config", str(ed),
               "--gan-config", str(gan)])
     finally:
-        cc.reset_cache()  # detach the singleton from the tmp dir
+        # main() pointed the config at the tmp dir — restore it and detach
+        # the singleton so later tests don't persist into pytest tmp
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        cc.reset_cache()
     out = capsys.readouterr().out
     assert "precompile done (3 programs)" in out
     assert "[WARN]" not in out, out

@@ -239,3 +239,33 @@ def test_spectral_norm_bounds_singular_value(rng):
     sigma = float(v @ (kernel @ (u2 / np.linalg.norm(u2))))
     top_sv = np.linalg.svd(kernel / sigma, compute_uv=False)[0]
     np.testing.assert_allclose(top_sv, 1.0, atol=1e-3)
+
+
+def test_default_precision_is_thread_local():
+    """Concurrent traces (pipeline precompile threads vs the AE train, pool
+    refill threads under --fast-math) must not see each other's precision
+    set/reset: one thread's finally-reset flipping a shared global mid-trace
+    in another produced mixed-precision programs."""
+    import threading
+
+    from melogan_tpu.models.layers import default_precision, set_default_precision
+
+    prev = default_precision()
+    set_default_precision(jax.lax.Precision.HIGHEST)
+    seen = {}
+
+    def worker():
+        seen["initial"] = default_precision()  # fresh thread: the default
+        set_default_precision(jax.lax.Precision.DEFAULT)
+        seen["after_set"] = default_precision()
+
+    try:
+        t = threading.Thread(target=worker)
+        t.start()
+        t.join()
+        assert seen["initial"] == jax.lax.Precision.HIGHEST
+        assert seen["after_set"] == jax.lax.Precision.DEFAULT
+        # the worker's set must not leak into this thread
+        assert default_precision() == jax.lax.Precision.HIGHEST
+    finally:
+        set_default_precision(prev)

@@ -463,6 +463,57 @@ def test_ed_precompile_seeds_the_exact_train_program(splits, tmp_path):
     )
 
 
+def test_ed_precompile_uses_corpus_note_length(splits, tmp_path):
+    """ED notes mode consumes the stored corpus arrays unpadded (the encoder
+    is length-agnostic), so when cfg.max_notes != the corpus note length the
+    warmed program must be built at the CORPUS length or it can never match
+    the real run."""
+    train_data, val_data = splits  # corpus note length 64
+    cfg = EDConfig(max_notes=128, batch_size=8, num_epochs=2, save_freq=2,
+                   notes_hidden=32, mlp_hidden=[32, 16])
+
+    before = _with_fresh_cache(
+        tmp_path,
+        lambda: ed_loop.precompile(cfg, train_data.n, val_data.n, notes_len=64),
+    )
+    assert before
+
+    def run_train():
+        ed_loop.train(cfg, train_data, val_data,
+                      workdir=str(tmp_path / "ed"), verbose=False)
+
+    after = _with_fresh_cache(tmp_path, run_train)
+    assert after == before, (
+        f"train() compiled a program precompile missed: {after - before}"
+    )
+
+
+def test_ed_precompile_matches_bf16_train_program(splits, tmp_path):
+    """--bf16 runs trace different programs (single-pass bf16 MXU matmuls);
+    precompile(precision='bf16') must warm exactly those. Also guards the
+    precision context being thread-correct: a warmed program traced at the
+    wrong precision would show up as a cache mismatch here."""
+    train_data, val_data = splits
+    cfg = EDConfig(max_notes=64, batch_size=8, num_epochs=2, save_freq=2,
+                   notes_hidden=32, mlp_hidden=[32, 16])
+
+    before = _with_fresh_cache(
+        tmp_path,
+        lambda: ed_loop.precompile(cfg, train_data.n, val_data.n,
+                                   precision="bf16"),
+    )
+    assert before
+
+    def run_train():
+        ed_loop.train(cfg, train_data, val_data, workdir=str(tmp_path / "ed"),
+                      verbose=False, precision="bf16")
+
+    after = _with_fresh_cache(tmp_path, run_train)
+    assert after == before, (
+        f"bf16 train() compiled a program precompile missed: {after - before}"
+    )
+
+
 def test_ed_precompile_matches_dp_train_program(splits, tmp_path):
     """Under --dp the train() data args are committed replicated-over-mesh,
     and that sharding enters jit's compile key — precompile must reproduce it
@@ -501,12 +552,20 @@ def test_vae_precompile_seeds_the_exact_train_program(splits, tmp_path, monkeypa
     assert before, "precompile cached nothing (min-compile-time too high?)"
 
     def run_train():
-        vae_loop.train(cfg, train_data, val_data,
-                       workdir=str(tmp_path / "ae"), verbose=False)
+        from melogan_tpu.models.vae import VAE
+
+        state, _ = vae_loop.train(cfg, train_data, val_data,
+                                  workdir=str(tmp_path / "ae"), verbose=False)
+        # the µ export too: its program must be weight-independent (params as
+        # jit args) and single-shape (padded tail), or trained weights would
+        # force a compile precompile can never have warmed
+        mu = vae_loop.encode_mu(VAE.from_config(cfg), state,
+                                train_data.notes_ae(cfg))
+        assert mu.shape == (train_data.n, cfg.latent_dim)
 
     after = _with_fresh_cache(tmp_path, run_train)
     assert after == before, (
-        f"train() compiled a program precompile missed: {after - before}"
+        f"train()+encode compiled a program precompile missed: {after - before}"
     )
 
 
