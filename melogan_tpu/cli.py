@@ -267,7 +267,8 @@ def cmd_sample(args):
     else:
         print(f"[WARN] checkpoint not found at {ckpt_path}; sampling with random weights")
 
-    sampler = Sampler(cfg, gen_variables=gen_vars, fe_variables=fe_vars, seed=args.seed)
+    sampler = Sampler(cfg, gen_variables=gen_vars, fe_variables=fe_vars,
+                      seed=args.seed, mesh=_mesh_from_args(args))
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     emotions = [args.emotion] if args.emotion != "all" else ["happy", "sad", "angry", "calm"]
@@ -332,38 +333,44 @@ def _launch_precompiles(args, workdir, splits_dir, stages):
     def _len_ok(name, cfg_len):
         # the AE/GAN loops consume the stored (n, L, 4) arrays unpadded, so a
         # config whose max_notes ≠ the corpus L can never match the real run
-        # (the ED datasets pad/truncate to cfg.max_notes, so ED is immune)
+        # (ED is length-agnostic — its precompile gets the corpus L directly)
         if cfg_len == corpus_len:
             return True
         print(f"[WARN] skipping {name} precompile: config max_notes "
               f"({cfg_len}) != corpus note length ({corpus_len})")
         return False
 
-    threads = {}
+    # resolve every config/mesh BEFORE starting any thread: an exception
+    # raised here with a compile already in flight would propagate past the
+    # caller's drain and abort the interpreter mid-compile (LLVM crash)
+    launches = []
+    ed_cfg = _load_cfg(EDConfig, args.ed_config, workdir)
+    if epochs:
+        ed_cfg.num_epochs = epochs
     if "ae" in stages:
         ae_cfg = _load_cfg(AEConfig, args.ae_config, workdir)
         if epochs:
             ae_cfg.epochs = epochs
         if _len_ok("AE", ae_cfg.max_notes):
-            threads["train-ae"] = _launch(
-                "AE", vae_loop.precompile, ae_cfg, n_train, n_val,
-                mesh=_mesh_from_args(args, ae_cfg.batch_size), precision=precision)
-    ed_cfg = _load_cfg(EDConfig, args.ed_config, workdir)
-    if epochs:
-        ed_cfg.num_epochs = epochs
+            launches.append(("train-ae", "AE", vae_loop.precompile,
+                             (ae_cfg, n_train, n_val),
+                             dict(mesh=_mesh_from_args(args, ae_cfg.batch_size),
+                                  precision=precision)))
     if "ed" in stages:
-        threads["train-ed"] = _launch(
-            "ED", ed_loop.precompile, ed_cfg, n_train, n_val,
-            mesh=_mesh_from_args(args, ed_cfg.batch_size), precision=precision)
+        launches.append(("train-ed", "ED", ed_loop.precompile,
+                         (ed_cfg, n_train, n_val),
+                         dict(mesh=_mesh_from_args(args, ed_cfg.batch_size),
+                              precision=precision, notes_len=corpus_len)))
     if "gan" in stages:
         gan_cfg = _load_cfg(GANConfig, args.gan_config, workdir)
         if epochs:
             gan_cfg.epochs = epochs
         if _len_ok("GAN", gan_cfg.max_notes):
-            threads["train-gan"] = _launch(
-                "GAN", gan_loop.precompile, gan_cfg, ed_cfg, n_train,
-                mesh=_mesh_from_args(args, gan_cfg.batch_size), precision=precision)
-    return threads
+            launches.append(("train-gan", "GAN", gan_loop.precompile,
+                             (gan_cfg, ed_cfg, n_train),
+                             dict(mesh=_mesh_from_args(args, gan_cfg.batch_size),
+                                  precision=precision)))
+    return {key: _launch(name, fn, *a, **kw) for key, name, fn, a, kw in launches}
 
 
 def cmd_precompile(args):
@@ -454,7 +461,12 @@ def cmd_pipeline(args):
             print(f"[INFO] stage failed; waiting for {len(live)} background "
                   "precompile(s) before exiting")
             for t in live:
-                t.join()
+                t.join(timeout=600)  # a stalled remote compile must not turn
+                # the stage failure (or a Ctrl-C) into an indefinite hang
+            stuck = [t.name for t in live if t.is_alive()]
+            if stuck:
+                print(f"[WARN] {', '.join(stuck)} still compiling after 600 s; "
+                      "exiting anyway (teardown may abort noisily)")
         raise
     gen_dir = os.path.join(work, "generated_tests")
     stage("sample", cmd_sample, SimpleNamespace(
@@ -620,7 +632,8 @@ def cmd_serve(args):
 
     serve(host=args.host, port=args.port, workdir=args.workdir,
           config=args.config, checkpoint=args.checkpoint,
-          fast_math=getattr(args, "fast_math", False))
+          fast_math=getattr(args, "fast_math", False),
+          dp=getattr(args, "dp", 0))
 
 
 def cmd_roll_to_midi(args):
@@ -785,6 +798,8 @@ def build_parser():
     s.add_argument("--checkpoint", default=None)
     s.add_argument("--workdir", default=".")
     s.add_argument("--out", default="generated_tests")
+    s.add_argument("--dp", type=int, default=0,
+                   help="shard the sample batch over N devices")
     s.set_defaults(fn=cmd_sample)
 
     s = sub.add_parser("pipeline", help="all stages end-to-end")
@@ -881,6 +896,8 @@ def build_parser():
     s.add_argument("--checkpoint", default=None)
     s.add_argument("--fast-math", action="store_true", dest="fast_math",
                    help="bf16 MXU passes: ~2x throughput, non-f32-deterministic bytes")
+    s.add_argument("--dp", type=int, default=0,
+                   help="shard pool-refill batches over N devices")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("roll-to-midi", help="raw (pitch,vel,dur,start) .npy → .mid")

@@ -368,10 +368,14 @@ def serve(
     checkpoint: Optional[str] = None,
     fast_math: bool = False,
     camera_source: Optional[str] = None,
+    dp: int = 0,
 ):
     """``camera_source``: None (no /video_feed) or "synthetic" (built-in test
     pattern; also enabled by MELOGAN_CAMERA_SOURCE=synthetic). A real capture
-    device would plug in as any iterable of RGB frames."""
+    device would plug in as any iterable of RGB frames.
+    ``dp``: data-parallel device count for the sample step — pool refill
+    batches shard over a dp-device 'data' mesh (values match single-device
+    up to reduction order, deterministic run-to-run; see Sampler)."""
     cfg = GANConfig.from_yaml(config) if os.path.exists(config) else GANConfig()
     gen_vars = fe_vars = None
     ckpt_path = checkpoint or os.path.join(workdir, cfg.checkpoint_dir, "gan_final.ckpt")
@@ -383,7 +387,13 @@ def serve(
     else:
         print(f"[WARN] GAN checkpoint not found at {ckpt_path}; serving random weights")
 
-    sampler = Sampler(cfg, gen_variables=gen_vars, fe_variables=fe_vars, fast_math=fast_math)
+    mesh = None
+    if dp:
+        from melogan_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_devices=dp)
+    sampler = Sampler(cfg, gen_variables=gen_vars, fe_variables=fe_vars,
+                      fast_math=fast_math, mesh=mesh)
     # warm the XLA program before accepting traffic
     sampler.sample_notes(["happy"], seed=0)
     source = camera_source or os.environ.get("MELOGAN_CAMERA_SOURCE")

@@ -54,3 +54,42 @@ def test_fast_math_sampler():
     assert notes.shape == (1, 64, 4)
     assert np.isfinite(notes).all()
     assert default_precision() == before == jax.lax.Precision.HIGHEST
+
+
+def test_dp_sampling_matches_single_device(tmp_path):
+    """A dp-sharded sample step computes the same values as single-device up
+    to XLA's per-placement fusion/reduction order (the threefry RNG is
+    counter-based per element and the eval-mode nets are row-independent;
+    observed diff ≤3e-12 absolute), and is fully deterministic run-to-run on
+    its mesh. This is the multi-chip serving-refill contract
+    (`melogan serve --dp N`)."""
+    from melogan_tpu.parallel.mesh import make_mesh
+
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    single = Sampler(cfg, seed=0)
+    sharded = Sampler(cfg, seed=0, mesh=make_mesh(n_devices=8))
+
+    emotions = ["happy", "sad", "angry", "calm"] * 4  # 16 rows = 8 devices × 2
+    ref = single.sample_notes(emotions, seed=11)
+    got = sharded.sample_notes(emotions, seed=11)
+    np.testing.assert_allclose(ref, got, rtol=1e-3, atol=1e-9)
+
+    # determinism on the sharded path: same mesh → same bytes, every run
+    sharded.generate_many(emotions[:8], [str(tmp_path / f"a{i}.mid") for i in range(8)], seed=5)
+    sharded.generate_many(emotions[:8], [str(tmp_path / f"b{i}.mid") for i in range(8)], seed=5)
+    for i in range(8):
+        assert (tmp_path / f"a{i}.mid").read_bytes() == (tmp_path / f"b{i}.mid").read_bytes()
+
+
+def test_dp_sampling_non_divisible_batch_still_works():
+    """Batches that don't divide the data axis run replicated (constrainer
+    skips them) — correctness over sharding."""
+    from melogan_tpu.parallel.mesh import make_mesh
+
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    single = Sampler(cfg, seed=0)
+    sharded = Sampler(cfg, seed=0, mesh=make_mesh(n_devices=8))
+    emotions = ["happy", "sad", "calm"]  # 3 rows over an 8-device axis
+    np.testing.assert_array_equal(
+        single.sample_notes(emotions, seed=2), sharded.sample_notes(emotions, seed=2)
+    )
