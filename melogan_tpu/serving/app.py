@@ -37,6 +37,31 @@ from melogan_tpu.models.text_emotion import backend_info, backend_name, predict_
 from melogan_tpu.sampling import EMOTION_BPM, Sampler, emotion_scale
 
 
+def init_watchdog(what: str, timeout_secs: float) -> threading.Event:
+    """Start a daemon timer that prints a diagnostic if the returned event is
+    not set within ``timeout_secs``. Device-backend initialization through a
+    TPU tunnel can hang indefinitely when the backend is unavailable (no
+    exception, no log) — without this, `melogan serve` sits silent and the
+    operator has nothing to act on. Set the event once the guarded step
+    completes; 0 disables."""
+    done = threading.Event()
+    if timeout_secs <= 0:
+        return done
+
+    def watch():
+        if not done.wait(timeout_secs):
+            print(
+                f"[WARN] {what} still not finished after {timeout_secs:.0f} s — "
+                "the device backend may be unavailable (a wedged TPU tunnel "
+                "initializes forever without erroring). Serving has NOT "
+                "started. Options: wait (the device self-recovers), or run "
+                "degraded CPU serving by forcing jax_platforms=cpu."
+            )
+
+    threading.Thread(target=watch, name="device-watchdog", daemon=True).start()
+    return done
+
+
 class AppState:
     def __init__(self, cfg: GANConfig, sampler: Sampler, frame_source=None, pool=None):
         self.cfg = cfg
@@ -387,6 +412,12 @@ def serve(
     else:
         print(f"[WARN] GAN checkpoint not found at {ckpt_path}; serving random weights")
 
+    # first device touch below can hang forever on a wedged TPU tunnel —
+    # surface that instead of sitting silent (MELOGAN_DEVICE_WARN_SECS=0 off)
+    ready = init_watchdog(
+        "device init + first XLA compile",
+        float(os.environ.get("MELOGAN_DEVICE_WARN_SECS", "120")),
+    )
     mesh = None
     if dp:
         from melogan_tpu.parallel.mesh import make_mesh
@@ -396,6 +427,7 @@ def serve(
                       fast_math=fast_math, mesh=mesh)
     # warm the XLA program before accepting traffic
     sampler.sample_notes(["happy"], seed=0)
+    ready.set()
     source = camera_source or os.environ.get("MELOGAN_CAMERA_SOURCE")
     frame_source = None
     if source == "synthetic":

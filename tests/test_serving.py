@@ -613,3 +613,41 @@ def test_take_path_refill_success_clears_last_error():
         assert pool.stats()["last_error"] is None
     finally:
         pool.close()
+
+
+# ---------------------------------------------------------------------------
+# Startup watchdog: a wedged TPU tunnel hangs device init forever, silently
+# ---------------------------------------------------------------------------
+
+
+def test_init_watchdog_fires_when_step_never_finishes(capsys):
+    import time
+
+    from melogan_tpu.serving.app import init_watchdog
+
+    init_watchdog("device probe", 0.05)
+    time.sleep(0.5)
+    out = capsys.readouterr().out
+    assert "device probe still not finished" in out
+    assert "Serving has NOT started" in out
+
+
+def test_init_watchdog_silent_when_step_completes(capsys):
+    import time
+
+    from melogan_tpu.serving.app import init_watchdog
+
+    done = init_watchdog("device probe", 0.05)
+    done.set()
+    time.sleep(0.5)
+    assert "still not finished" not in capsys.readouterr().out
+
+
+def test_init_watchdog_disabled_by_zero_timeout(capsys):
+    import time
+
+    from melogan_tpu.serving.app import init_watchdog
+
+    init_watchdog("device probe", 0)
+    time.sleep(0.2)
+    assert capsys.readouterr().out == ""
