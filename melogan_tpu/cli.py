@@ -308,10 +308,12 @@ def _launch_precompiles(args, workdir, splits_dir, stages):
         arr = np.load(os.path.join(splits_dir, split, "notes.npy"), mmap_mode="r")
         return int(arr.shape[0])
 
-    train_notes = np.load(os.path.join(splits_dir, "train", "notes.npy"),
-                          mmap_mode="r")
-    n_train, corpus_len = int(train_notes.shape[0]), int(train_notes.shape[1])
-    n_val = _n_rows("val")
+    n_train = corpus_len = n_val = None
+    if set(stages) & {"ae", "ed", "gan"}:  # "serve" alone needs no corpus
+        train_notes = np.load(os.path.join(splits_dir, "train", "notes.npy"),
+                              mmap_mode="r")
+        n_train, corpus_len = int(train_notes.shape[0]), int(train_notes.shape[1])
+        n_val = _n_rows("val")
     precision = "bf16" if getattr(args, "bf16", False) else None
     epochs = getattr(args, "epochs", None)
 
@@ -370,7 +372,28 @@ def _launch_precompiles(args, workdir, splits_dir, stages):
                              (gan_cfg, ed_cfg, n_train),
                              dict(mesh=_mesh_from_args(args, gan_cfg.batch_size),
                                   precision=precision)))
+    if "serve" in stages:
+        launches.append(("serve", "serve", _serve_warm,
+                         (_load_cfg(GANConfig, args.gan_config, workdir),),
+                         dict(fast_math=getattr(args, "bf16", False),
+                              mesh=_mesh_from_args(args))))
     return {key: _launch(name, fn, *a, **kw) for key, name, fn, a, kw in launches}
+
+
+def _serve_warm(gan_cfg, fast_math=False, mesh=None):
+    """Warm every sampling program `melogan serve` will dispatch: the batch-1
+    startup warm plus the pool's whole quantized refill ladder (each size is
+    a distinct compiled program). The sample step takes its weights as jit
+    arguments, so these warms serve any later checkpoint."""
+    from melogan_tpu import EMOTIONS
+    from melogan_tpu.sampling import Sampler
+    from melogan_tpu.serving.pool import SamplePool
+
+    sampler = Sampler(gan_cfg, fast_math=fast_math, mesh=mesh)
+    ladder = SamplePool(sampler, background=False).warm_sizes()
+    for b in [1] + ladder:
+        prompts = [EMOTIONS[i % len(EMOTIONS)] for i in range(b)]
+        sampler.sample_notes(prompts, seed=0)
 
 
 def cmd_precompile(args):
@@ -825,8 +848,10 @@ def build_parser():
              "(all stages in parallel, at the corpus shapes in --splits-dir)")
     s.add_argument("--workdir", default=".")
     s.add_argument("--splits-dir", default="data/splits")
-    s.add_argument("--stages", nargs="+", choices=["ae", "ed", "gan"], default=None,
-                   help="subset of stages to warm (default: all three)")
+    s.add_argument("--stages", nargs="+", choices=["ae", "ed", "gan", "serve"],
+                   default=None,
+                   help="stages to warm (default: the three training stages; "
+                        "'serve' additionally warms the serving refill ladder)")
     s.add_argument("--epochs", type=int, default=None)
     s.add_argument("--ae-config", default="configs/ae.yaml", dest="ae_config")
     s.add_argument("--ed-config", default="configs/ed.yaml", dest="ed_config")

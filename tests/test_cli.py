@@ -233,3 +233,16 @@ def test_sigkill_crash_resume_through_real_cli(tmp_path):
             assert np.array_equal(np.asarray(va), np.asarray(vb)), (
                 f"{name}: leaf {jax.tree_util.keystr(pa)} differs after crash-resume"
             )
+
+
+def test_serve_warm_compiles_the_ladder(monkeypatch):
+    """`melogan precompile --stages serve` wiring: warms batch-1 plus every
+    pool refill-ladder size through the real sample step (ladder shrunk here;
+    the real ladder is SamplePool.warm_sizes)."""
+    from melogan_tpu import cli
+    from melogan_tpu.config import GANConfig
+    from melogan_tpu.serving import pool as pool_mod
+
+    monkeypatch.setattr(pool_mod.SamplePool, "warm_sizes", lambda self: [2, 4])
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    cli._serve_warm(cfg)  # completes without error = all programs compiled
