@@ -373,9 +373,10 @@ def _launch_precompiles(args, workdir, splits_dir, stages):
                              dict(mesh=_mesh_from_args(args, gan_cfg.batch_size),
                                   precision=precision)))
     if "serve" in stages:
-        launches.append(("serve", "serve", _serve_warm,
-                         (_load_cfg(GANConfig, args.gan_config, workdir),),
-                         dict(fast_math=getattr(args, "bf16", False),
+        serve_cfg = (gan_cfg if "gan" in stages
+                     else _load_cfg(GANConfig, args.gan_config, workdir))
+        launches.append(("serve", "serve", _serve_warm, (serve_cfg,),
+                         dict(fast_math=getattr(args, "fast_math", False),
                               mesh=_mesh_from_args(args))))
     return {key: _launch(name, fn, *a, **kw) for key, name, fn, a, kw in launches}
 
@@ -383,17 +384,38 @@ def _launch_precompiles(args, workdir, splits_dir, stages):
 def _serve_warm(gan_cfg, fast_math=False, mesh=None):
     """Warm every sampling program `melogan serve` will dispatch: the batch-1
     startup warm plus the pool's whole quantized refill ladder (each size is
-    a distinct compiled program). The sample step takes its weights as jit
-    arguments, so these warms serve any later checkpoint."""
+    a distinct compiled program; only the SHAPES enter the compile key, so
+    prompt/seed choices here cannot drift from the pool's real refills). The
+    sample step takes its weights as jit arguments, so the warmed programs
+    serve any later checkpoint. ``fast_math`` must match the later
+    `melogan serve --fast-math` — bf16-pass traces are different programs.
+    Per-size compiles run in parallel threads (compilation parallelizes; the
+    warm would otherwise be ~5 serial remote compiles)."""
+    import threading
+
     from melogan_tpu import EMOTIONS
     from melogan_tpu.sampling import Sampler
     from melogan_tpu.serving.pool import SamplePool
 
     sampler = Sampler(gan_cfg, fast_math=fast_math, mesh=mesh)
     ladder = SamplePool(sampler, background=False).warm_sizes()
-    for b in [1] + ladder:
-        prompts = [EMOTIONS[i % len(EMOTIONS)] for i in range(b)]
-        sampler.sample_notes(prompts, seed=0)
+    errors = []
+
+    def warm_one(b):
+        try:
+            prompts = [EMOTIONS[i % len(EMOTIONS)] for i in range(b)]
+            sampler.sample_notes(prompts, seed=0)
+        except Exception as e:  # noqa: BLE001 — collect, report once
+            errors.append(f"batch {b}: {e}")
+
+    threads = [threading.Thread(target=warm_one, args=(b,), daemon=True)
+               for b in [1] + ladder]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise RuntimeError("; ".join(errors))
 
 
 def cmd_precompile(args):
@@ -651,10 +673,15 @@ def cmd_tsne(args):
 
 
 def cmd_serve(args):
+    from melogan_tpu.config import GANConfig
     from melogan_tpu.serving.app import serve
 
+    # resolve the config exactly like every other subcommand (as given →
+    # --workdir → repo root), so `melogan precompile --stages serve` and
+    # `melogan serve` can never warm/compile different-shaped programs
+    cfg = _load_cfg(GANConfig, args.config, args.workdir)
     serve(host=args.host, port=args.port, workdir=args.workdir,
-          config=args.config, checkpoint=args.checkpoint,
+          config=cfg, checkpoint=args.checkpoint,
           fast_math=getattr(args, "fast_math", False),
           dp=getattr(args, "dp", 0))
 
@@ -859,7 +886,10 @@ def build_parser():
     s.add_argument("--dp", type=int, default=0,
                    help="data-parallel device count (matches the later run)")
     s.add_argument("--bf16", action="store_true",
-                   help="warm the mixed-precision variants")
+                   help="warm the --bf16 mixed-precision TRAINING variants")
+    s.add_argument("--fast-math", action="store_true", dest="fast_math",
+                   help="warm the `serve --fast-math` sampling variants "
+                        "(independent of --bf16; only affects --stages serve)")
     s.set_defaults(fn=cmd_precompile)
 
     s = sub.add_parser("diagnose", help="data-sanity diagnostics")

@@ -43,20 +43,31 @@ def init_watchdog(what: str, timeout_secs: float) -> threading.Event:
     TPU tunnel can hang indefinitely when the backend is unavailable (no
     exception, no log) — without this, `melogan serve` sits silent and the
     operator has nothing to act on. Set the event once the guarded step
-    completes; 0 disables."""
+    completes; 0 disables. If the step DOES finish after the warning fired,
+    an all-clear is printed — a slow first-ever cold compile (minutes through
+    a remote compiler is routine) must not read as a wedged device, and the
+    printed guidance must never tempt an operator into killing a healthy
+    startup (killing a TPU client can itself wedge the device)."""
     done = threading.Event()
     if timeout_secs <= 0:
         return done
 
     def watch():
-        if not done.wait(timeout_secs):
-            print(
-                f"[WARN] {what} still not finished after {timeout_secs:.0f} s — "
-                "the device backend may be unavailable (a wedged TPU tunnel "
-                "initializes forever without erroring). Serving has NOT "
-                "started. Options: wait (the device self-recovers), or run "
-                "degraded CPU serving by forcing jax_platforms=cpu."
-            )
+        if done.wait(timeout_secs):
+            return
+        print(
+            f"[WARN] {what} still not finished after {timeout_secs:.0f} s. "
+            "Either this is a first-ever COLD COMPILE (routinely minutes "
+            "through a remote compiler — wait, an all-clear prints when it "
+            "finishes) or the device backend is unavailable (a wedged TPU "
+            "tunnel initializes forever without erroring; it self-recovers "
+            "— do NOT kill the process to retry, that can wedge the device "
+            "further). Serving has NOT started. For degraded CPU serving, "
+            "restart with jax_platforms=cpu."
+        )
+        done.wait()
+        print(f"[INFO] all clear: {what} finished — the warning above was a "
+              "slow compile, not an unavailable device; serving is starting.")
 
     threading.Thread(target=watch, name="device-watchdog", daemon=True).start()
     return done
@@ -401,7 +412,14 @@ def serve(
     ``dp``: data-parallel device count for the sample step — pool refill
     batches shard over a dp-device 'data' mesh (values match single-device
     up to reduction order, deterministic run-to-run; see Sampler)."""
-    cfg = GANConfig.from_yaml(config) if os.path.exists(config) else GANConfig()
+    # `config` may be an already-resolved GANConfig (the CLI resolves paths
+    # workdir/repo-root-aware via _load_cfg, so `melogan precompile` and
+    # `melogan serve` are guaranteed to build the SAME config — a mismatch
+    # would silently waste every warmed program) or a path for direct callers
+    if isinstance(config, GANConfig):
+        cfg = config
+    else:
+        cfg = GANConfig.from_yaml(config) if os.path.exists(config) else GANConfig()
     gen_vars = fe_vars = None
     ckpt_path = checkpoint or os.path.join(workdir, cfg.checkpoint_dir, "gan_final.ckpt")
     if os.path.exists(ckpt_path):
@@ -413,11 +431,13 @@ def serve(
         print(f"[WARN] GAN checkpoint not found at {ckpt_path}; serving random weights")
 
     # first device touch below can hang forever on a wedged TPU tunnel —
-    # surface that instead of sitting silent (MELOGAN_DEVICE_WARN_SECS=0 off)
-    ready = init_watchdog(
-        "device init + first XLA compile",
-        float(os.environ.get("MELOGAN_DEVICE_WARN_SECS", "120")),
-    )
+    # surface that instead of sitting silent (MELOGAN_DEVICE_WARN_SECS=0 off;
+    # default 300 s sits above routine cold-compile latency)
+    try:
+        warn_secs = float(os.environ.get("MELOGAN_DEVICE_WARN_SECS", "300"))
+    except ValueError:  # '' / 'off' — a diagnostics knob must not kill serve
+        warn_secs = 0.0
+    ready = init_watchdog("device init + first XLA compile", warn_secs)
     mesh = None
     if dp:
         from melogan_tpu.parallel.mesh import make_mesh

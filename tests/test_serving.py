@@ -651,3 +651,19 @@ def test_init_watchdog_disabled_by_zero_timeout(capsys):
     init_watchdog("device probe", 0)
     time.sleep(0.2)
     assert capsys.readouterr().out == ""
+
+
+def test_init_watchdog_all_clear_after_late_completion(capsys):
+    """A slow cold compile fires the warning but must be retracted when init
+    completes — otherwise a healthy startup reads as a wedged device."""
+    import time
+
+    from melogan_tpu.serving.app import init_watchdog
+
+    done = init_watchdog("device probe", 0.05)
+    time.sleep(0.4)
+    done.set()
+    time.sleep(0.4)
+    out = capsys.readouterr().out
+    assert "device probe still not finished" in out
+    assert "all clear" in out
