@@ -359,5 +359,49 @@ def run(cpu_baseline: bool = False):
     return out
 
 
+def wait_for_device(max_wait: float = 1800.0, probe_timeout: float = 240.0) -> bool:
+    """Bounded device-availability gate for the main (TPU) bench path.
+
+    A wedged TPU tunnel makes the first device access hang FOREVER with no
+    error; without this gate an outage turns the bench into a silent hang
+    that eats the whole driver budget and records nothing. Probes
+    `jax.devices()` in a subprocess (so a hung probe is killable without
+    poisoning this process), retrying until ``max_wait`` — the tunnel
+    usually self-recovers in ~10 min. Returns True when the device answers;
+    on exhaustion prints an explicit error JSON line and returns False.
+    Skipped for `--cpu-baseline` children (CPU init can't hang this way)."""
+    deadline = time.time() + max_wait
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            print(json.dumps({
+                "metric": "piano_roll_samples_per_sec_per_chip", "value": None,
+                "unit": "samples/s", "vs_baseline": None,
+                "error": f"device backend unavailable: {attempt} probes over "
+                         f"{max_wait:.0f}s all hung or failed (wedged TPU tunnel)",
+            }))
+            return False
+        print(f"[bench] device probe {attempt} failed; retrying "
+              f"({remaining:.0f}s left before giving up)", file=sys.stderr)
+        time.sleep(min(120.0, max(0.0, remaining)))
+
+
 if __name__ == "__main__":
-    run(cpu_baseline="--cpu-baseline" in sys.argv)
+    cpu_child = "--cpu-baseline" in sys.argv
+    if cpu_child or wait_for_device(
+        max_wait=float(os.environ.get("MELOGAN_BENCH_DEVICE_WAIT", "1800"))
+    ):
+        run(cpu_baseline=cpu_child)
+    else:
+        sys.exit(1)
