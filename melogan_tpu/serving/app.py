@@ -73,6 +73,20 @@ def init_watchdog(what: str, timeout_secs: float) -> threading.Event:
     return done
 
 
+def _device_info() -> Dict[str, object]:
+    """Platform/device summary for /healthz. By /healthz time the backend is
+    initialized (serve() warmed the sampler before accepting traffic), so
+    this never triggers — or blocks on — device initialization itself."""
+    import jax
+
+    devices = jax.devices()
+    return {
+        "platform": devices[0].platform,
+        "kind": devices[0].device_kind,
+        "count": len(devices),
+    }
+
+
 class AppState:
     def __init__(self, cfg: GANConfig, sampler: Sampler, frame_source=None, pool=None):
         self.cfg = cfg
@@ -276,6 +290,10 @@ def build_app(state: AppState):
                     "video_feed": state.frame_source is not None,
                     "generator": "loaded",
                     "sample_pool": state.pool.stats() if state.pool else None,
+                    # which backend actually serves compute — an operator
+                    # diagnosing latency (or a post-outage degraded-CPU
+                    # restart) should see the platform without a device probe
+                    "device": _device_info(),
                 },
             )
 

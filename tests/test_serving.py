@@ -667,3 +667,11 @@ def test_init_watchdog_all_clear_after_late_completion(capsys):
     out = capsys.readouterr().out
     assert "device probe still not finished" in out
     assert "all clear" in out
+
+
+def test_healthz_reports_device_info(server):
+    base, _ = server
+    status, _, body = req(base, "/healthz")
+    dev = json.loads(body)["device"]
+    assert status == 200
+    assert dev["platform"] == "cpu" and dev["count"] >= 1 and dev["kind"]
