@@ -454,25 +454,46 @@ def cmd_pipeline(args):
 
     work = args.workdir
     data_root = os.path.join(work, "data")
-    if args.synthetic:
-        stage("synth-data", cmd_synth_data,
-              SimpleNamespace(out=data_root, per_emotion=args.per_emotion, seed=42))
-        manifest = os.path.join(data_root, "data_manifest.csv")
-    else:
-        manifest = args.manifest
+    resume = getattr(args, "resume", False)
+
+    def done_if(name, *artifacts):
+        # --resume: a data stage whose outputs already exist is skipped (the
+        # train stages resume from their own checkpoints instead)
+        if resume and artifacts and all(os.path.exists(p) for p in artifacts):
+            print(f"[INFO] --resume: skipping {name} (outputs exist)")
+            timings.append((name, 0.0))
+            return True
+        return False
+
     processed = os.path.join(data_root, "processed")
     splits_dir = os.path.join(data_root, "splits")
-    stage("preprocess", cmd_preprocess,
-          SimpleNamespace(manifest=manifest, out=processed, scaler=None))
-    stage("make-splits", cmd_make_splits,
-          SimpleNamespace(manifest=manifest, out=splits_dir, seed=42))
-    stage("split-arrays", cmd_split_arrays,
-          SimpleNamespace(splits=["train", "val", "test"], splits_dir=splits_dir,
-                          processed_dir=processed))
+    if args.synthetic:
+        manifest = os.path.join(data_root, "data_manifest.csv")
+        if not done_if("synth-data", manifest):
+            stage("synth-data", cmd_synth_data,
+                  SimpleNamespace(out=data_root, per_emotion=args.per_emotion, seed=42))
+    else:
+        manifest = args.manifest
+    if not done_if("preprocess", processed,
+                   os.path.join(data_root, "scaler.npz")):
+        stage("preprocess", cmd_preprocess,
+              SimpleNamespace(manifest=manifest, out=processed, scaler=None))
+    if not done_if("make-splits",
+                   *(os.path.join(splits_dir, f"{s}_split.csv")
+                     for s in ("train", "val", "test"))):
+        stage("make-splits", cmd_make_splits,
+              SimpleNamespace(manifest=manifest, out=splits_dir, seed=42))
+    if not done_if("split-arrays",
+                   *(os.path.join(splits_dir, s, "notes.npy")
+                     for s in ("train", "val", "test"))):
+        stage("split-arrays", cmd_split_arrays,
+              SimpleNamespace(splits=["train", "val", "test"], splits_dir=splits_dir,
+                              processed_dir=processed))
     base = SimpleNamespace(
         workdir=work, splits_dir=splits_dir, processed_dir=processed,
         config=args.ae_config, epochs=args.epochs, checkpoint=None,
         bf16=getattr(args, "bf16", False), dp=getattr(args, "dp", 0),
+        resume=resume,
     )
 
     # overlap the ED/GAN fused-program XLA compiles with the AE stage: on a
@@ -863,6 +884,10 @@ def build_parser():
     s.add_argument("--gan-config", default="configs/gan.yaml", dest="gan_config")
     s.add_argument("--skip-quality-gate", action="store_true", dest="skip_quality_gate",
                    help="skip the final golden-band quality gate")
+    s.add_argument("--resume", action="store_true",
+                   help="continue an interrupted run: skip data stages whose "
+                        "outputs exist, resume each train stage from its "
+                        "checkpoints (step-identical)")
     s.add_argument("--bf16", action="store_true",
                    help="mixed-precision MXU training for all three stages")
     s.add_argument("--dp", type=int, default=0,

@@ -246,3 +246,37 @@ def test_serve_warm_compiles_the_ladder(monkeypatch):
     monkeypatch.setattr(pool_mod.SamplePool, "warm_sizes", lambda self: [2, 4])
     cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
     cli._serve_warm(cfg)  # completes without error = all programs compiled
+
+
+@pytest.mark.slow
+def test_pipeline_resume_skips_done_stages(tmp_path, capsys, monkeypatch):
+    """`melogan pipeline --resume` after a completed run: data stages are
+    skipped (outputs exist) and the train stages resume from their final
+    checkpoints without retraining — the rerun completes fast and re-samples."""
+    monkeypatch.setenv("MELOGAN_EPOCH_CHUNK", "2")
+    monkeypatch.setenv("MELOGAN_PIPELINE_PRECOMPILE", "0")
+    monkeypatch.setenv("MELOGAN_COMPILE_CACHE", "0")
+
+    ae = tmp_path / "ae.yaml"
+    ae.write_text("latent_dim: 4\nhidden_dim: 32\nbatch_size: 8\n"
+                  "recon_save_count: 0\n")
+    ed = tmp_path / "ed.yaml"
+    ed.write_text("input_mode: notes\nnotes_hidden: 32\nmlp_hidden: [32, 16]\n"
+                  "batch_size: 8\nlatent_dim: 4\n")
+    gan = tmp_path / "gan.yaml"
+    gan.write_text("NOISE_DIM: 16\nLATENT_DIM: 4\nGEN_HIDDEN: 32\n"
+                   "BATCH_SIZE: 4\nCRITIC_ITERS: 2\nSAVE_FREQ: 2\n")
+
+    argv = ["pipeline", "--workdir", str(tmp_path), "--synthetic",
+            "--per-emotion", "6", "--epochs", "2", "--skip-quality-gate",
+            "--ae-config", str(ae), "--ed-config", str(ed),
+            "--gan-config", str(gan)]
+    main(argv)
+    capsys.readouterr()
+
+    main(argv + ["--resume"])
+    out = capsys.readouterr().out
+    for s in ("synth-data", "preprocess", "make-splits", "split-arrays"):
+        assert f"--resume: skipping {s}" in out, out
+    assert "resumed from" in out  # train stages picked up their checkpoints
+    assert "pipeline complete" in out
