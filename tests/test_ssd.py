@@ -2,6 +2,8 @@
 prior generation, and the cv2.dnn-style detect interface."""
 import os
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -144,3 +146,40 @@ def test_detect_interface_random_weights(rng):
     frame = rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
     out = det.detect(frame, conf_threshold=0.99)
     assert out.shape[1] == 7
+
+
+def test_caffemodel_fuzz_malformed_bytes_fail_cleanly(tmp_path, rng):
+    """Corrupt/truncated caffemodel blobs must raise clean Python exceptions
+    (ValueError/struct.error/IndexError), never hang or crash — the serving
+    camera path loads operator-supplied files."""
+    from melogan_tpu.models.caffe import read_caffemodel
+
+    # a small valid file to mutate
+    from melogan_tpu.models.caffe import CaffeLayer, write_caffemodel
+
+    path = str(tmp_path / "m.caffemodel")
+    write_caffemodel(
+        path, [CaffeLayer("conv", "Convolution", [np.ones((2, 3), np.float32)])])
+    valid = open(path, "rb").read()
+
+    cases = []
+    for cut in (1, len(valid) // 2, len(valid) - 1):  # truncations
+        cases.append(valid[:cut])
+    for _ in range(300):  # random byte flips
+        b = bytearray(valid)
+        for _ in range(rng.integers(1, 6)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        cases.append(bytes(b))
+    cases.append(b"\xff" * 64)  # pure garbage
+    cases.append(b"")           # empty
+
+    bad = str(tmp_path / "bad.caffemodel")
+    for payload in cases:
+        with open(bad, "wb") as f:
+            f.write(payload)
+        try:
+            read_caffemodel(bad)  # parsing garbage MAY succeed vacuously...
+        except Exception as e:
+            # ...but any failure must be a clean, typed Python exception
+            assert isinstance(e, (ValueError, KeyError, IndexError,
+                                  EOFError, struct.error)), (type(e), payload[:40])
