@@ -46,3 +46,41 @@ def test_reference_training_log_parses(reference_dir):
     np.testing.assert_allclose(adv[50], -14.432, atol=1e-3)
     np.testing.assert_allclose(emo[1], 2.004, atol=1e-3)
     np.testing.assert_allclose(emo[50], 1.414, atol=1e-3)
+
+
+def test_read_tfevents_fuzz_malformed_bytes(tmp_path, rng):
+    """Corrupt/truncated tfevents files must fail cleanly (typed exception)
+    or parse partially — never hang or crash. `melogan logs` reads
+    operator-supplied files."""
+    import struct
+
+    from melogan_tpu.utils.metrics import MetricsWriter, read_tfevents
+
+    w = MetricsWriter(str(tmp_path / "logs"))
+    for i in range(4):
+        w.add_scalars({"loss/x": float(i)}, step=i)
+    w.close()
+    import os
+
+    log_dir = str(tmp_path / "logs")
+    events = [f for f in os.listdir(log_dir) if f.startswith("events.out")]
+    valid = open(os.path.join(log_dir, events[0]), "rb").read()
+
+    cases = [valid[:c] for c in (1, 7, 13, len(valid) // 2, len(valid) - 1)]
+    for _ in range(300):
+        b = bytearray(valid)
+        for _ in range(rng.integers(1, 6)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        cases.append(bytes(b))
+    cases.append(b"\xff" * 64)
+    cases.append(b"")
+
+    bad = tmp_path / "bad.tfevents"
+    for payload in cases:
+        bad.write_bytes(payload)
+        try:
+            out = read_tfevents(str(bad))
+            assert isinstance(out, list)  # partial parse is fine
+        except Exception as e:
+            assert isinstance(e, (ValueError, IndexError, struct.error)), (
+                type(e), payload[:40])
