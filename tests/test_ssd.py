@@ -183,3 +183,31 @@ def test_caffemodel_fuzz_malformed_bytes_fail_cleanly(tmp_path, rng):
             # ...but any failure must be a clean, typed Python exception
             assert isinstance(e, (ValueError, KeyError, IndexError,
                                   EOFError, struct.error)), (type(e), payload[:40])
+
+
+def test_prototxt_fuzz_malformed_text(tmp_path, rng, reference_dir):
+    """Mutated/truncated prototxt text must parse partially or fail with a
+    typed exception — never hang or crash."""
+    src = os.path.join(reference_dir, "camera", "deploy.prototxt.txt")
+    if not os.path.exists(src):
+        pytest.skip("reference prototxt not available")
+    valid = open(src, "rb").read()
+
+    cases = [valid[:c] for c in (1, len(valid) // 3, len(valid) - 2)]
+    for _ in range(100):
+        b = bytearray(valid)
+        for _ in range(rng.integers(1, 8)):
+            b[rng.integers(0, len(b))] = rng.integers(32, 127)
+        cases.append(bytes(b))
+    cases.append(b"{{{{")
+    cases.append(b"")
+
+    bad = tmp_path / "bad.prototxt"
+    for payload in cases:
+        bad.write_bytes(payload)
+        try:
+            layers = parse_prototxt(str(bad))
+            assert isinstance(layers, list)
+        except Exception as e:
+            assert isinstance(e, (ValueError, KeyError, IndexError)), (
+                type(e), payload[:40])
