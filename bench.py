@@ -367,11 +367,15 @@ def wait_for_device(max_wait: float = 1800.0, probe_timeout: float = 240.0) -> b
     that eats the whole driver budget and records nothing. Probes
     `jax.devices()` in a subprocess (so a hung probe is killable without
     poisoning this process), retrying until ``max_wait`` — the tunnel
-    usually self-recovers in ~10 min. Returns True when the device answers;
-    on exhaustion prints an explicit error JSON line and returns False.
-    Skipped for `--cpu-baseline` children (CPU init can't hang this way)."""
+    usually self-recovers in ~10 min. Killing a hung TPU client can itself
+    re-wedge the device for ~10 min, so the retry cadence (probe_timeout +
+    600 s sleep) is chosen to clear that window — a transient wedge recovers
+    between probes instead of being re-wedged by them. Returns True when the
+    device answers; on exhaustion prints an explicit error JSON line and
+    returns False."""
     deadline = time.time() + max_wait
     attempt = 0
+    outcomes = []
     while True:
         attempt += 1
         try:
@@ -381,27 +385,37 @@ def wait_for_device(max_wait: float = 1800.0, probe_timeout: float = 240.0) -> b
             )
             if r.returncode == 0:
                 return True
+            tail = r.stderr.decode("utf-8", "replace").strip().splitlines()[-1:] or ["?"]
+            outcomes.append(f"errored ({tail[0][:160]})")
         except subprocess.TimeoutExpired:
-            pass
+            outcomes.append(f"hung >{probe_timeout:.0f}s")
         remaining = deadline - time.time()
         if remaining <= 0:
             print(json.dumps({
                 "metric": "piano_roll_samples_per_sec_per_chip", "value": None,
                 "unit": "samples/s", "vs_baseline": None,
-                "error": f"device backend unavailable: {attempt} probes over "
-                         f"{max_wait:.0f}s all hung or failed (wedged TPU tunnel)",
+                "error": f"device backend unavailable over {max_wait:.0f}s; "
+                         f"probes: {outcomes}",
             }))
             return False
-        print(f"[bench] device probe {attempt} failed; retrying "
+        print(f"[bench] device probe {attempt} {outcomes[-1]}; retrying "
               f"({remaining:.0f}s left before giving up)", file=sys.stderr)
-        time.sleep(min(120.0, max(0.0, remaining)))
+        # sleep past the re-wedge window a killed hung probe may have caused
+        time.sleep(min(600.0, max(0.0, remaining)))
+
+
+def main():
+    cpu_child = "--cpu-baseline" in sys.argv
+    if not cpu_child:  # CPU init can't hang this way; only gate the device path
+        try:
+            max_wait = float(os.environ.get("MELOGAN_BENCH_DEVICE_WAIT", "1800"))
+        except ValueError:  # '' / 'off' — a diagnostics knob must not crash bench
+            max_wait = 1800.0
+        # 0 disables the gate entirely (run immediately, accepting a possible hang)
+        if max_wait > 0 and not wait_for_device(max_wait=max_wait):
+            sys.exit(1)
+    run(cpu_baseline=cpu_child)
 
 
 if __name__ == "__main__":
-    cpu_child = "--cpu-baseline" in sys.argv
-    if cpu_child or wait_for_device(
-        max_wait=float(os.environ.get("MELOGAN_BENCH_DEVICE_WAIT", "1800"))
-    ):
-        run(cpu_baseline=cpu_child)
-    else:
-        sys.exit(1)
+    main()

@@ -484,8 +484,9 @@ def cmd_pipeline(args):
         stage("make-splits", cmd_make_splits,
               SimpleNamespace(manifest=manifest, out=splits_dir, seed=42))
     if not done_if("split-arrays",
-                   *(os.path.join(splits_dir, s, "notes.npy")
-                     for s in ("train", "val", "test"))):
+                   *(os.path.join(splits_dir, s, f"{a}.npy")
+                     for s in ("train", "val", "test")
+                     for a in ("notes", "emotion", "numeric_features"))):
         stage("split-arrays", cmd_split_arrays,
               SimpleNamespace(splits=["train", "val", "test"], splits_dir=splits_dir,
                               processed_dir=processed))
@@ -757,7 +758,9 @@ def cmd_bench(args):
     sys.path.insert(0, repo)
     import bench
 
-    bench.run()
+    # main(), not run(): the CLI surface must get the same wedged-device gate
+    # as `python bench.py` (an unavailable TPU otherwise hangs forever)
+    bench.main()
 
 
 def cmd_profile(args):

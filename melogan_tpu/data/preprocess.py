@@ -241,8 +241,13 @@ def build_split_arrays(
         "numeric_features": np.stack(feats) if feats else np.zeros((0, numeric_input_dim), np.float32),
     }
     os.makedirs(out_dir, exist_ok=True)
+    from melogan_tpu.utils.atomic import atomic_write
+
     for name, arr in arrays.items():
-        np.save(os.path.join(out_dir, f"{name}.npy"), arr)
+        # atomic: these arrays are pipeline --resume completion markers, and
+        # a half-written notes.npy would poison every later stage
+        atomic_write(os.path.join(out_dir, f"{name}.npy"),
+                     lambda f, a=arr: np.save(f, a), mode="wb")
     if verbose:
         print(f"[INFO] wrote split arrays ({arrays['notes'].shape[0]} rows) -> {out_dir}")
     return arrays

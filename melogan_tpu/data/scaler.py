@@ -40,9 +40,15 @@ class StandardScaler:
 
     # -- persistence -------------------------------------------------------
     def save(self, path: str) -> str:
-        os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
-        np.savez(path, mean=self.mean_, scale=self.scale_, n=self.n_samples_seen_)
-        return path
+        from melogan_tpu.utils.atomic import atomic_write
+
+        # atomic: scaler.npz is pipeline --resume's preprocess marker
+        return atomic_write(
+            path,
+            lambda f: np.savez(f, mean=self.mean_, scale=self.scale_,
+                               n=self.n_samples_seen_),
+            mode="wb",
+        )
 
     @classmethod
     def load(cls, path: str) -> "StandardScaler":

@@ -46,11 +46,16 @@ def create_splits(
 
     os.makedirs(out_dir, exist_ok=True)
     fieldnames = ["file_key", "emotion", "source", "full_path", "npz_path"]
+    from melogan_tpu.utils.atomic import atomic_write
+
     for name, rows in splits.items():
-        with open(os.path.join(out_dir, f"{name}_split.csv"), "w", newline="") as f:
+        def _write(f, rows=rows):
             writer = csv.DictWriter(f, fieldnames=fieldnames, extrasaction="ignore")
             writer.writeheader()
             writer.writerows(rows)
+
+        # atomic: these CSVs are pipeline --resume completion markers
+        atomic_write(os.path.join(out_dir, f"{name}_split.csv"), _write, newline="")
     return splits
 
 

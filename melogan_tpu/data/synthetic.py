@@ -90,8 +90,15 @@ def generate_corpus(
                 dict(file_key=key, emotion=emotion, source="synthetic", full_path=path)
             )
     manifest = os.path.join(out_dir, "data_manifest.csv")
-    with open(manifest, "w", newline="") as f:
+
+    def _write(f):
         writer = csv.DictWriter(f, fieldnames=["file_key", "emotion", "source", "full_path"])
         writer.writeheader()
         writer.writerows(rows)
+
+    from melogan_tpu.utils.atomic import atomic_write
+
+    # atomic: the manifest is pipeline --resume's completion marker for this
+    # stage — a truncated one would silently resume a smaller corpus
+    atomic_write(manifest, _write, newline="")
     return entries
