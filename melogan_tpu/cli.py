@@ -547,6 +547,16 @@ def cmd_pipeline(args):
     print("[INFO] pipeline stage timings: "
           + " | ".join(f"{n} {t:.1f}s" for n, t in timings)
           + f" | total {total:.1f}s")
+    # persist the timings for tooling (demo_run summaries, regression checks)
+    from melogan_tpu.utils.atomic import atomic_write
+
+    atomic_write(
+        os.path.join(work, "pipeline_timings.json"),
+        lambda f: json.dump(
+            {"stages": [{"name": n, "seconds": round(t, 3)} for n, t in timings],
+             "total_seconds": round(total, 3),
+             "resumed": resume}, f),
+    )
     print("[INFO] pipeline complete")
 
 

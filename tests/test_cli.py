@@ -280,3 +280,6 @@ def test_pipeline_resume_skips_done_stages(tmp_path, capsys, monkeypatch):
         assert f"--resume: skipping {s}" in out, out
     assert "resumed from" in out  # train stages picked up their checkpoints
     assert "pipeline complete" in out
+    meta = json.loads((tmp_path / "pipeline_timings.json").read_text())
+    assert meta["resumed"] is True and meta["total_seconds"] > 0
+    assert [s["name"] for s in meta["stages"]][:2] == ["synth-data", "preprocess"]
