@@ -552,21 +552,51 @@ def test_vae_precompile_seeds_the_exact_train_program(splits, tmp_path, monkeypa
     assert before, "precompile cached nothing (min-compile-time too high?)"
 
     def run_train():
-        from melogan_tpu.models.vae import VAE
+        vae_loop.train(cfg, train_data, val_data,
+                       workdir=str(tmp_path / "ae"), verbose=False)
 
-        state, _ = vae_loop.train(cfg, train_data, val_data,
-                                  workdir=str(tmp_path / "ae"), verbose=False)
-        # the µ export too: its program must be weight-independent (params as
-        # jit args) and single-shape (padded tail), or trained weights would
-        # force a compile precompile can never have warmed
-        mu = vae_loop.encode_mu(VAE.from_config(cfg), state,
-                                train_data.notes_ae(cfg))
-        assert mu.shape == (train_data.n, cfg.latent_dim)
-
-    after = _with_fresh_cache(tmp_path, run_train)
+    # the encode program is checked separately
+    # (test_encode_program_is_weight_independent): its ~0.35 s compile
+    # straddles the cache persistence threshold, which made a cache-entry
+    # equality assertion for it nondeterministic on a loaded host
+    after = {e for e in _with_fresh_cache(tmp_path, run_train)
+             if not e.startswith("jit__lambda")}
+    before = {e for e in before if not e.startswith("jit__lambda")}
     assert after == before, (
-        f"train()+encode compiled a program precompile missed: {after - before}"
+        f"train() compiled a program precompile missed: {after - before}"
     )
+
+
+def test_encode_program_is_weight_independent(splits):
+    """encode_mu's program must take the weights as jit ARGUMENTS: closure
+    capture would inline them into the HLO as constants, forcing a fresh XLA
+    compile for every new checkpoint (the bug fixed in round 3). Lowered HLO
+    must therefore be identical across different weight values, and the
+    padded-tail export must produce correct values for a non-multiple corpus."""
+    import jax.numpy as jnp
+
+    from melogan_tpu.models.vae import VAE
+
+    train_data, _ = splits
+    cfg = AEConfig(max_notes=64, batch_size=8, recon_save_count=0)
+    model = VAE.from_config(cfg)
+    s1 = vae_loop.init_state(cfg, model, seed=0)
+    s2 = vae_loop.init_state(cfg, model, seed=99)  # different weights
+
+    def lowered_text(state):
+        v = {"params": state.params, "batch_stats": state.batch_stats}
+        x = jnp.zeros((vae_loop.ENCODE_BATCH, cfg.max_notes, 4), jnp.float32)
+        return vae_loop._encode_apply(model).lower(v, x).as_text()
+
+    assert lowered_text(s1) == lowered_text(s2)
+
+    # padded tail: n=24 < ENCODE_BATCH — one padded batch, rows sliced back,
+    # and identical to an unpadded whole-corpus forward
+    x = train_data.notes_ae(cfg)
+    mu = vae_loop.encode_mu(model, s1, x)
+    assert mu.shape == (train_data.n, cfg.latent_dim)
+    ref = vae_loop.encode_mu(model, s1, x, batch_size=train_data.n)
+    np.testing.assert_allclose(mu, ref, rtol=1e-5, atol=1e-6)
 
 
 def test_gan_precompile_seeds_the_exact_train_program(rng, tmp_path):
