@@ -437,6 +437,114 @@ def cmd_precompile(args):
           f"{time.perf_counter() - t0:.1f}s")
 
 
+def cmd_doctor(args):
+    """Bounded environment diagnostic: device backend, compile cache, config
+    resolution, data/checkpoint presence, native codecs, text backend. Every
+    check that could touch the device runs in a KILLABLE subprocess with a
+    timeout — a wedged TPU tunnel hangs device init forever, and a diagnostic
+    tool hanging on the very condition it diagnoses would be useless. Exits
+    nonzero if any check FAILs (WARNs don't fail the run)."""
+    import subprocess
+    import time
+
+    work = args.workdir
+    results = []  # (level, name, detail)
+
+    def check(level, name, detail):
+        results.append((level, name, detail))
+        print(f"[{level}] {name}: {detail}")
+
+    # device backend (subprocess probe; a hung init means wedged/unavailable)
+    probe_secs = float(os.environ.get("MELOGAN_DOCTOR_PROBE_SECS", "240"))
+    t0 = time.perf_counter()
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d=jax.devices(); print(d[0].platform, d[0].device_kind, len(d))"],
+            timeout=probe_secs, capture_output=True)
+        if r.returncode == 0:
+            check("OK", "device", f"{r.stdout.decode().strip()} "
+                  f"(init {time.perf_counter() - t0:.1f}s)")
+        else:
+            tail = r.stderr.decode("utf-8", "replace").strip().splitlines()[-1:]
+            check("FAIL", "device", f"backend errored: {tail[0][:160] if tail else '?'}")
+    except subprocess.TimeoutExpired:
+        check("FAIL", "device",
+              f"init hung >{probe_secs:.0f}s — wedged/unavailable TPU tunnel "
+              "(usually self-recovers in ~10 min; do not kill live clients)")
+
+    # persistent compile cache
+    cache = os.environ.get("MELOGAN_COMPILE_CACHE", os.path.join(_REPO_ROOT, ".jax_cache"))
+    if cache == "0":
+        check("WARN", "compile-cache", "disabled (MELOGAN_COMPILE_CACHE=0)")
+    elif os.path.isdir(cache):
+        entries = os.listdir(cache)
+        size = sum(os.path.getsize(os.path.join(cache, e)) for e in entries)
+        check("OK", "compile-cache", f"{cache}: {len(entries)} entries, "
+              f"{size / 1e6:.0f} MB")
+    else:
+        check("WARN", "compile-cache", f"{cache} does not exist yet (cold)")
+
+    # config resolution (the same loader every subcommand uses)
+    from melogan_tpu.config import AEConfig, EDConfig, GANConfig
+
+    for name, cls, path in (("ae-config", AEConfig, args.ae_config),
+                            ("ed-config", EDConfig, args.ed_config),
+                            ("gan-config", GANConfig, args.gan_config)):
+        resolved = _resolve_config(path, work)
+        if resolved:
+            check("OK", name, resolved)
+        else:
+            check("WARN", name, f"{path} not found; built-in defaults would be used")
+
+    # data + checkpoints under the workdir
+    splits_dir = os.path.join(work, "data", "splits")
+    have = [s for s in ("train", "val", "test")
+            if os.path.exists(os.path.join(splits_dir, s, "notes.npy"))]
+    if len(have) == 3:
+        n = int(np.load(os.path.join(splits_dir, "train", "notes.npy"),
+                        mmap_mode="r").shape[0])
+        check("OK", "splits", f"{splits_dir} (train {n} rows)")
+    else:
+        check("WARN", "splits", f"{splits_dir}: arrays present for {have or 'none'}")
+    for name, rel in (("ae-ckpt", "data/models/ae/ae_best.ckpt"),
+                      ("ed-ckpt", "data/models/ed/ed_best.ckpt"),
+                      ("gan-ckpt", "experiments/gan/checkpoints/gan_final.ckpt")):
+        p = os.path.join(work, rel)
+        check("OK" if os.path.exists(p) else "WARN", name,
+              p if os.path.exists(p) else f"{p} missing")
+
+    # native codecs (builds on demand; no jax involved)
+    from melogan_tpu.imaging.native import get_lib as jpeg_lib
+    from melogan_tpu.midi.native import native_available as midi_native
+
+    check("OK" if midi_native() else "WARN", "native-midi",
+          "built" if midi_native() else "unavailable (Python fallback serves)")
+    check("OK" if jpeg_lib() is not None else "WARN", "native-jpeg",
+          "built" if jpeg_lib() is not None else "unavailable (Python fallback serves)")
+
+    # text backend (subprocess, CPU-forced: the jax-roberta path would touch
+    # the device)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.config.update('jax_platforms', 'cpu'); "
+             "from melogan_tpu.models.text_emotion import backend_name; "
+             "print(backend_name())"],
+            timeout=120, capture_output=True)
+        name = r.stdout.decode().strip() or "?"
+        check("OK" if r.returncode == 0 else "FAIL", "text-backend", name)
+    except subprocess.TimeoutExpired:
+        check("FAIL", "text-backend", "probe hung >120s")
+
+    fails = [n for lv, n, _ in results if lv == "FAIL"]
+    print(f"[{'FAIL' if fails else 'OK'}] doctor: "
+          f"{len(results) - len(fails)}/{len(results)} checks passed"
+          + (f" (failing: {', '.join(fails)})" if fails else ""))
+    if fails:
+        raise SystemExit(1)
+
+
 def cmd_pipeline(args):
     """full_script.sh equivalent: synth-data? → preprocess → splits → arrays →
     train-ae → encode → train-ed → train-gan → sample ×4 emotions.
@@ -930,6 +1038,15 @@ def build_parser():
                         "(independent of --bf16; only affects --stages serve)")
     s.set_defaults(fn=cmd_precompile)
 
+    s = sub.add_parser("doctor", help="environment diagnostic (device, cache, "
+                                      "configs, data, native codecs) — bounded, "
+                                      "never hangs on a wedged device")
+    s.add_argument("--workdir", default=".")
+    s.add_argument("--ae-config", default="configs/ae.yaml", dest="ae_config")
+    s.add_argument("--ed-config", default="configs/ed.yaml", dest="ed_config")
+    s.add_argument("--gan-config", default="configs/gan.yaml", dest="gan_config")
+    s.set_defaults(fn=cmd_doctor)
+
     s = sub.add_parser("diagnose", help="data-sanity diagnostics")
     s.add_argument("--split", default="train")
     s.add_argument("--splits-dir", default="data/splits")
@@ -1019,7 +1136,10 @@ def build_parser():
 # compile-cache setup) entirely for them
 _HOST_ONLY_FNS = {"cmd_synth_data", "cmd_preprocess", "cmd_make_splits",
                   "cmd_split_arrays", "cmd_analyze_midi", "cmd_quality_gate",
-                  "cmd_clean", "cmd_logs"}
+                  "cmd_clean", "cmd_logs",
+                  # doctor must never init jax in-process: it diagnoses the
+                  # wedged-device condition, whose init hangs forever
+                  "cmd_doctor"}
 
 
 def _enable_compile_cache():
