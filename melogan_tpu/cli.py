@@ -514,6 +514,16 @@ def cmd_doctor(args):
         check("OK" if os.path.exists(p) else "WARN", name,
               p if os.path.exists(p) else f"{p} missing")
 
+    # golden artifacts (the quality gate's ground truth)
+    golden = os.environ.get("MELOGAN_REFERENCE_DIR", "/root/reference")
+    n_golden = len([f for d in ("good_gens1", "generated_tests")
+                    for f in (os.listdir(os.path.join(golden, d))
+                              if os.path.isdir(os.path.join(golden, d)) else [])
+                    if f.endswith(".mid")])
+    check("OK" if n_golden else "WARN", "golden-artifacts",
+          f"{n_golden} reference .mid files under {golden}"
+          if n_golden else f"none under {golden} (quality gate unavailable)")
+
     # native codecs (builds on demand; no jax involved)
     from melogan_tpu.imaging.native import get_lib as jpeg_lib
     from melogan_tpu.midi.native import native_available as midi_native

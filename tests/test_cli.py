@@ -300,3 +300,25 @@ def test_doctor_cli_is_bounded_and_reports(tmp_path, capsys, monkeypatch):
                  "native-midi:", "text-backend:", "doctor:"):
         assert frag in out, out
     assert "text-backend: lexicon" in out  # offline image: lexicon fallback
+
+
+def test_precompile_refuses_corpus_length_mismatch(tmp_path, capsys, monkeypatch):
+    """A GAN config whose max_notes != the stored corpus note length can
+    never match the real run — the warm-up must refuse (WARN + skip), not
+    burn a multi-minute compile on a useless program."""
+    monkeypatch.setenv("MELOGAN_COMPILE_CACHE", "0")
+    data = tmp_path / "data"
+    splits, processed = str(data / "splits"), str(data / "processed")
+    main(["synth-data", "--out", str(data), "--per-emotion", "6", "--seed", "42"])
+    main(["preprocess", "--manifest", str(data / "data_manifest.csv"), "--out", processed])
+    main(["make-splits", "--manifest", str(data / "data_manifest.csv"),
+          "--out", splits, "--seed", "42"])
+    main(["split-arrays", "--splits-dir", splits, "--processed-dir", processed])
+
+    gan = tmp_path / "gan.yaml"
+    gan.write_text("MAX_NOTES: 64\nNOISE_DIM: 16\nLATENT_DIM: 4\nGEN_HIDDEN: 32\n")
+    main(["precompile", "--workdir", str(tmp_path), "--splits-dir", splits,
+          "--stages", "gan", "--gan-config", str(gan)])
+    out = capsys.readouterr().out
+    assert "skipping GAN precompile" in out and "512" in out
+    assert "precompile done (0 programs)" in out
