@@ -16,6 +16,7 @@ chip and with data sharding across a mesh.
 """
 from __future__ import annotations
 
+import threading
 from typing import Dict, Optional
 
 import jax
@@ -101,6 +102,10 @@ class Sampler:
             )
         self.gen_variables = gen_variables
         self.fe_variables = fe_variables
+        # guards paired reads/writes of (gen_variables, fe_variables): a
+        # checkpoint hot-swap concurrent with sample_notes must never mix an
+        # old generator with a new feature encoder
+        self._var_lock = threading.Lock()
         self._base_features = jnp.asarray(
             np.stack([EMOTION_FEATURES[e] for e in EMOTIONS]), dtype=jnp.float32
         )
@@ -149,10 +154,21 @@ class Sampler:
             )
         idx = jnp.asarray([EMOTIONS.index(e) for e in emotions], dtype=jnp.int32)
         rng = jax.random.PRNGKey(seed)
-        notes = self._step(
-            self.gen_variables, self.fe_variables, rng, idx, batch=len(emotions)
-        )
+        with self._var_lock:  # pair the two reads (see swap_variables)
+            gen_vars, fe_vars = self.gen_variables, self.fe_variables
+        notes = self._step(gen_vars, fe_vars, rng, idx, batch=len(emotions))
         return np.asarray(notes)
+
+    def swap_variables(self, gen_variables, fe_variables) -> None:
+        """Atomically replace the generator + feature-encoder weights.
+
+        Checkpoint hot-reload for a running server: the weights are ordinary
+        arguments of the jitted step (same shapes/dtypes → same compiled
+        program), so a swap costs nothing — no re-trace, no recompile. The
+        lock only pairs the two attribute writes with sample_notes' reads."""
+        with self._var_lock:
+            self.gen_variables = gen_variables
+            self.fe_variables = fe_variables
 
     def generate_many(
         self,

@@ -15,6 +15,13 @@ dependency-free WSGI stack (Flask is not in this image):
                                headless deployments)
 - ``GET  /healthz``            liveness + model/backend status
 
+Beyond-reference production surface:
+
+- ``GET  /metrics``            Prometheus text exposition (request counters,
+                               latency histograms, pool gauges)
+- ``POST /reload``             checkpoint hot-swap into the running sampler
+                               (no restart/recompile; pool flushed)
+
 Generation math matches the reference serving path exactly: per-emotion
 feature base + N(0, 0.15²) jitter, zeros latent, emotion→bpm/scale maps
 (app.py:53-65, 109-110). The generator runs as one jitted XLA program; the
@@ -25,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import threading
+import time
 from typing import Dict, Optional
 from wsgiref.simple_server import WSGIServer, make_server
 from socketserver import ThreadingMixIn
@@ -88,10 +96,30 @@ def _device_info() -> Dict[str, object]:
 
 
 class AppState:
-    def __init__(self, cfg: GANConfig, sampler: Sampler, frame_source=None, pool=None):
+    def __init__(self, cfg: GANConfig, sampler: Sampler, frame_source=None, pool=None,
+                 ckpt_path: Optional[str] = None):
+        from melogan_tpu.serving.metrics import Registry
+
         self.cfg = cfg
         self.sampler = sampler
         self.pool = pool  # optional SamplePool: batched prefetched generation
+        self.ckpt_path = ckpt_path  # default target of POST /reload
+        self._reload_lock = threading.Lock()  # serializes checkpoint swaps
+        self.metrics = Registry()
+        if pool is not None:
+            # polled at /metrics render time, not on the request path
+            self.metrics.gauge_fn(
+                "melogan_pool_depth", lambda: pool.depth(),
+                help="Pre-generated samples pooled per emotion",
+            )
+            self.metrics.gauge_fn(
+                "melogan_pool_hits_total", lambda: pool.stats()["hits"],
+                help="Pool takes served without waiting on a refill",
+            )
+            self.metrics.gauge_fn(
+                "melogan_pool_misses_total", lambda: pool.stats()["misses"],
+                help="Pool takes that found their emotion empty",
+            )
         self.seed_counter = 0
         # camera state behind a lock (the reference's module-global
         # current_emotion race, camera.py:112 / app.py:87-90, fixed here)
@@ -405,9 +433,101 @@ def build_app(state: AppState):
             )
             return [body]
 
+        if method == "GET" and path == "/metrics":
+            body = state.metrics.render().encode()
+            start_response(
+                "200 OK",
+                [("Content-Type", "text/plain; version=0.0.4; charset=utf-8"),
+                 ("Content-Length", str(len(body)))],
+            )
+            return [body]
+
+        if method == "POST" and path == "/reload":
+            # checkpoint hot-swap: re-read the (possibly retrained) checkpoint
+            # and swap it into the running sampler — no restart, no recompile
+            # (weights are jit arguments; see Sampler.swap_variables). Pooled
+            # samples from the old weights are flushed. An explicit
+            # {"checkpoint": path} overrides the startup path — this server
+            # is an internal ops surface (no auth anywhere, like the
+            # reference app); bind accordingly.
+            payload = _read_json(environ)
+            if payload is None:
+                return _json_response(
+                    start_response, {"error": "request body too large"},
+                    status="413 Content Too Large",
+                )
+            path_arg = payload.get("checkpoint") or state.ckpt_path
+            if not path_arg or not os.path.exists(path_arg):
+                return _json_response(
+                    start_response,
+                    {"error": f"checkpoint not found: {path_arg!r}"},
+                    status="404 Not Found",
+                )
+            from melogan_tpu.train.gan_loop import load_gan_final
+
+            with state._reload_lock:
+                try:
+                    gen_vars, fe_vars = load_gan_final(path_arg)
+                    state.sampler.swap_variables(gen_vars, fe_vars)
+                except Exception as e:  # noqa: BLE001 — a bad file must not kill serving
+                    return _json_response(
+                        start_response,
+                        {"error": f"reload failed: {type(e).__name__}: {e}"},
+                        status="400 Bad Request",
+                    )
+                flushed = state.pool.flush() if state.pool is not None else 0
+                state.ckpt_path = path_arg
+            state.metrics.counter_inc(
+                "melogan_reloads_total", help="Successful checkpoint hot-swaps"
+            )
+            return _json_response(
+                start_response,
+                {"status": "ok", "checkpoint": path_arg, "flushed_pool_samples": flushed},
+            )
+
         return _json_response(start_response, {"error": "not found"}, status="404 Not Found")
 
-    return app
+    # request instrumentation: counters + latency histograms per KNOWN route
+    # (unknown paths collapse into "other" — client-controlled strings must
+    # not mint unbounded label values). /video_feed's handler only SETS UP
+    # the stream (the body generator runs for the connection lifetime), so
+    # its duration reads as setup time; it is counted but its latency is
+    # not meaningful and excluded.
+    _ROUTES = {
+        "/", "/healthz", "/get_text_emotion", "/get_camera_emotion",
+        "/video_feed", "/camera_frame", "/generate", "/metrics", "/reload",
+    }
+
+    def instrumented(environ, start_response):
+        path = environ.get("PATH_INFO", "/")
+        route = path if path in _ROUTES else "other"
+        status_box = {"code": "500"}
+
+        def recording_start_response(status, headers, exc_info=None):
+            status_box["code"] = status.split(" ", 1)[0]
+            return start_response(status, headers, exc_info)
+
+        t0 = time.perf_counter()
+        try:
+            result = app(environ, recording_start_response)
+        finally:
+            state.metrics.counter_inc(
+                "melogan_http_requests_total",
+                help="HTTP requests by route/method/status",
+                route=route,
+                method=environ.get("REQUEST_METHOD", "-"),
+                status=status_box["code"],
+            )
+        if route != "/video_feed":
+            state.metrics.observe(
+                "melogan_http_request_duration_seconds",
+                time.perf_counter() - t0,
+                help="Handler latency (body build included; streams excluded)",
+                route=route,
+            )
+        return result
+
+    return instrumented
 
 
 class ThreadingWSGIServer(ThreadingMixIn, WSGIServer):
@@ -485,7 +605,8 @@ def serve(
             # (persistent-cached across restarts); /healthz shows progress
             pool.warm_async()
             print(f"[INIT] warming refill batch sizes {pool.warm_sizes()} in background")
-    state = AppState(cfg, sampler, frame_source=frame_source, pool=pool)
+    state = AppState(cfg, sampler, frame_source=frame_source, pool=pool,
+                     ckpt_path=ckpt_path if os.path.exists(ckpt_path) else None)
     httpd = make_server(host, port, build_app(state), server_class=ThreadingWSGIServer)
     print(f"[INIT] serving on http://{host}:{port} (text backend: {backend_name()})")
     httpd.serve_forever()

@@ -278,6 +278,18 @@ class SamplePool:
         t.start()
         return t
 
+    def flush(self) -> int:
+        """Discard every pooled sample (returns how many were dropped) and
+        wake the producer to restock. Required after a checkpoint hot-swap:
+        pooled notes were generated by the OLD weights and must not be served
+        as output of the new ones."""
+        with self._lock:
+            dropped = sum(len(q) for q in self._pools.values())
+            for q in self._pools.values():
+                q.clear()
+        self._wakeup.set()
+        return dropped
+
     def depth(self) -> Dict[str, int]:
         with self._lock:
             return {e: len(q) for e, q in self._pools.items()}

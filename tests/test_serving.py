@@ -675,3 +675,130 @@ def test_healthz_reports_device_info(server):
     dev = json.loads(body)["device"]
     assert status == 200
     assert dev["platform"] == "cpu" and dev["count"] >= 1 and dev["kind"]
+
+
+# ---------------------------------------------------------------------------
+# /metrics: Prometheus text exposition (beyond-reference production surface)
+# ---------------------------------------------------------------------------
+
+
+def test_metrics_registry_render_format():
+    from melogan_tpu.serving.metrics import Registry
+
+    reg = Registry()
+    reg.counter_inc("melogan_http_requests_total", help="reqs", route="/generate",
+                    method="POST", status="200")
+    reg.counter_inc("melogan_http_requests_total", route="/generate",
+                    method="POST", status="200")
+    reg.observe("melogan_http_request_duration_seconds", 0.003, help="latency",
+                route="/generate")
+    reg.gauge_fn("melogan_pool_depth", lambda: {"happy": 3, "sad": 0}, help="depth")
+    text = reg.render()
+    assert "# TYPE melogan_http_requests_total counter" in text
+    assert ('melogan_http_requests_total{method="POST",route="/generate",'
+            'status="200"} 2') in text
+    assert "# TYPE melogan_http_request_duration_seconds histogram" in text
+    # 0.003 lands in the first bucket with le >= 0.003 and every later one
+    assert ('melogan_http_request_duration_seconds_bucket{route="/generate",'
+            'le="0.005"} 1') in text
+    assert 'melogan_http_request_duration_seconds_count{route="/generate"} 1' in text
+    assert 'melogan_pool_depth{key="happy"} 3' in text
+    assert "process_uptime_seconds" in text
+
+
+def test_metrics_gauge_failure_does_not_break_render():
+    from melogan_tpu.serving.metrics import Registry
+
+    reg = Registry()
+    reg.gauge_fn("melogan_broken", lambda: 1 / 0, help="boom")
+    reg.counter_inc("ok_total")
+    text = reg.render()
+    assert "ok_total 1" in text and "melogan_broken" not in text
+
+
+def test_metrics_endpoint_counts_requests(server):
+    base, _ = server
+    req(base, "/generate", {"emotion": "happy"})
+    req(base, "/nonexistent")
+    status, headers, body = req(base, "/metrics")
+    assert status == 200 and headers["Content-Type"].startswith("text/plain")
+    text = body.decode()
+    assert ('melogan_http_requests_total{method="POST",route="/generate",'
+            'status="200"}') in text
+    # unknown paths collapse into "other" — no unbounded label values
+    assert 'route="other"' in text and 'route="/nonexistent"' not in text
+    assert 'melogan_http_request_duration_seconds_bucket{route="/generate"' in text
+
+
+def test_metrics_endpoint_pool_gauges(pooled_server):
+    base, _ = pooled_server
+    req(base, "/generate", {"emotion": "calm"})
+    _, _, body = req(base, "/metrics")
+    text = body.decode()
+    assert 'melogan_pool_depth{key="calm"}' in text
+    assert "melogan_pool_hits_total" in text
+
+
+# ---------------------------------------------------------------------------
+# POST /reload: checkpoint hot-swap (no restart, no recompile)
+# ---------------------------------------------------------------------------
+
+
+def _gan_final_ckpt_from(sampler, path):
+    from melogan_tpu.utils.checkpoint import save_checkpoint
+
+    save_checkpoint(path, {
+        "G": {"params": sampler.gen_variables["params"],
+              "batch_stats": sampler.gen_variables.get("batch_stats", {})},
+        "E_num": {"params": sampler.fe_variables["params"]},
+    })
+
+
+def test_reload_hot_swaps_weights_and_flushes_pool(tmp_path):
+    from melogan_tpu.serving.pool import SamplePool
+
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    sampler = Sampler(cfg, seed=0)
+    donor = Sampler(cfg, seed=7)  # different weights, same shapes
+    ckpt = str(tmp_path / "gan_final.ckpt")
+    _gan_final_ckpt_from(donor, ckpt)
+
+    pool = SamplePool(sampler, target=4, refill_batch=8, background=False)
+    pool.prefill()
+    state = AppState(cfg, sampler, pool=pool, ckpt_path=None)
+    httpd = make_server("127.0.0.1", 0, build_app(state), server_class=ThreadingWSGIServer)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        before = sampler.sample_notes(["happy"], seed=123)
+        status, _, body = req(base, "/reload", {"checkpoint": ckpt})
+        assert status == 200
+        payload = json.loads(body)
+        assert payload["status"] == "ok" and payload["flushed_pool_samples"] >= 16
+        # stale pooled samples (old weights) are gone
+        assert sum(pool.depth().values()) == 0
+        # the running sampler now computes with the donor's weights — same
+        # compiled program (weights are jit args), new values
+        after = sampler.sample_notes(["happy"], seed=123)
+        want = donor.sample_notes(["happy"], seed=123)
+        assert np.allclose(after, want) and not np.allclose(after, before)
+        # generate still works end-to-end off the swapped weights
+        status, _, body = req(base, "/generate", {"emotion": "happy"})
+        assert status == 200 and body[:4] == b"MThd"
+    finally:
+        httpd.shutdown()
+
+
+def test_reload_missing_checkpoint_404(server):
+    base, _ = server
+    status, _, body = req(base, "/reload", {"checkpoint": "/nope/gan_final.ckpt"})
+    assert status == 404 and "not found" in json.loads(body)["error"]
+
+
+def test_reload_corrupt_checkpoint_400(server, tmp_path):
+    base, _ = server
+    bad = tmp_path / "bad.ckpt"
+    bad.write_bytes(b"this is not a checkpoint")
+    status, _, body = req(base, "/reload", {"checkpoint": str(bad)})
+    assert status == 400 and "reload failed" in json.loads(body)["error"]
