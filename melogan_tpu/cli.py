@@ -833,7 +833,8 @@ def cmd_serve(args):
     serve(host=args.host, port=args.port, workdir=args.workdir,
           config=cfg, checkpoint=args.checkpoint,
           fast_math=getattr(args, "fast_math", False),
-          dp=getattr(args, "dp", 0))
+          dp=getattr(args, "dp", 0),
+          watch_ckpt=getattr(args, "watch_ckpt", 0.0))
 
 
 def cmd_roll_to_midi(args):
@@ -1118,6 +1119,11 @@ def build_parser():
                    help="bf16 MXU passes: ~2x throughput, non-f32-deterministic bytes")
     s.add_argument("--dp", type=int, default=0,
                    help="shard pool-refill batches over N devices")
+    s.add_argument("--watch-ckpt", type=float, default=0.0, dest="watch_ckpt",
+                   metavar="SECS",
+                   help="auto hot-reload the checkpoint when its mtime "
+                        "changes, polled every SECS (0 = off; POST /reload "
+                        "swaps on demand either way)")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("roll-to-midi", help="raw (pitch,vel,dur,start) .npy → .mid")

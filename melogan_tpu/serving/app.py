@@ -121,6 +121,7 @@ class AppState:
                 help="Pool takes that found their emotion empty",
             )
         self.seed_counter = 0
+        self._inflight = 0  # requests whose body is not fully written yet
         # camera state behind a lock (the reference's module-global
         # current_emotion race, camera.py:112 / app.py:87-90, fixed here)
         self._lock = threading.Lock()
@@ -154,6 +155,38 @@ class AppState:
         with self._lock:
             self.seed_counter += 1
             return self.seed_counter
+
+    # -- in-flight accounting (graceful drain) ----------------------------
+
+    def request_started(self) -> None:
+        with self._lock:
+            self._inflight += 1
+
+    def request_finished(self) -> None:
+        with self._lock:
+            self._inflight -= 1
+
+    def inflight(self) -> int:
+        with self._lock:
+            return self._inflight
+
+    def reload_checkpoint(self, path: str) -> int:
+        """Hot-swap ``path`` into the running sampler; returns how many stale
+        pooled samples were flushed. Shared by POST /reload and the
+        --watch-ckpt mtime watcher. Raises on unreadable/malformed files
+        (the CURRENT weights keep serving — swap happens only after a
+        successful load)."""
+        from melogan_tpu.train.gan_loop import load_gan_final
+
+        with self._reload_lock:
+            gen_vars, fe_vars = load_gan_final(path)
+            self.sampler.swap_variables(gen_vars, fe_vars)
+            flushed = self.pool.flush() if self.pool is not None else 0
+            self.ckpt_path = path
+        self.metrics.counter_inc(
+            "melogan_reloads_total", help="Successful checkpoint hot-swaps"
+        )
+        return flushed
 
 
 def _json_response(start_response, payload, status="200 OK"):
@@ -463,23 +496,14 @@ def build_app(state: AppState):
                     {"error": f"checkpoint not found: {path_arg!r}"},
                     status="404 Not Found",
                 )
-            from melogan_tpu.train.gan_loop import load_gan_final
-
-            with state._reload_lock:
-                try:
-                    gen_vars, fe_vars = load_gan_final(path_arg)
-                    state.sampler.swap_variables(gen_vars, fe_vars)
-                except Exception as e:  # noqa: BLE001 — a bad file must not kill serving
-                    return _json_response(
-                        start_response,
-                        {"error": f"reload failed: {type(e).__name__}: {e}"},
-                        status="400 Bad Request",
-                    )
-                flushed = state.pool.flush() if state.pool is not None else 0
-                state.ckpt_path = path_arg
-            state.metrics.counter_inc(
-                "melogan_reloads_total", help="Successful checkpoint hot-swaps"
-            )
+            try:
+                flushed = state.reload_checkpoint(path_arg)
+            except Exception as e:  # noqa: BLE001 — a bad file must not kill serving
+                return _json_response(
+                    start_response,
+                    {"error": f"reload failed: {type(e).__name__}: {e}"},
+                    status="400 Bad Request",
+                )
             return _json_response(
                 start_response,
                 {"status": "ok", "checkpoint": path_arg, "flushed_pool_samples": flushed},
@@ -498,6 +522,27 @@ def build_app(state: AppState):
         "/video_feed", "/camera_frame", "/generate", "/metrics", "/reload",
     }
 
+    class _TrackedBody:
+        """Wraps the response iterable so in-flight accounting covers the
+        whole body write — the WSGI server iterates (and for /video_feed,
+        streams) AFTER the handler returns, and calls close() when done or
+        when the client disconnects. Graceful drain waits on this count."""
+
+        def __init__(self, body):
+            self._body = body
+            self._done = False
+
+        def __iter__(self):
+            return iter(self._body)
+
+        def close(self):
+            if not self._done:
+                self._done = True
+                state.request_finished()
+            closer = getattr(self._body, "close", None)
+            if closer is not None:
+                closer()
+
     def instrumented(environ, start_response):
         path = environ.get("PATH_INFO", "/")
         route = path if path in _ROUTES else "other"
@@ -507,9 +552,13 @@ def build_app(state: AppState):
             status_box["code"] = status.split(" ", 1)[0]
             return start_response(status, headers, exc_info)
 
+        state.request_started()
         t0 = time.perf_counter()
         try:
             result = app(environ, recording_start_response)
+        except BaseException:
+            state.request_finished()
+            raise
         finally:
             state.metrics.counter_inc(
                 "melogan_http_requests_total",
@@ -525,13 +574,68 @@ def build_app(state: AppState):
                 help="Handler latency (body build included; streams excluded)",
                 route=route,
             )
-        return result
+        return _TrackedBody(result)
 
     return instrumented
 
 
 class ThreadingWSGIServer(ThreadingMixIn, WSGIServer):
     daemon_threads = True
+    # drain policy is ours (bounded, via AppState.inflight) — server_close
+    # must never block indefinitely joining a long-lived MJPEG stream thread
+    block_on_close = False
+
+
+def watch_checkpoint(state: AppState, interval_secs: float) -> threading.Thread:
+    """Poll the served checkpoint's mtime and hot-swap it when it changes.
+
+    Retrain-in-place deployment: a training job atomically rewrites
+    gan_final.ckpt (utils/atomic.py — a partially written file is never
+    visible under the final name) and the server picks it up within
+    ``interval_secs``, no restart, no recompile, pool flushed. A load
+    failure (e.g. a non-atomic writer torn mid-file) keeps the current
+    weights serving; that mtime is recorded as seen, so the retry happens
+    when the file changes AGAIN (an atomic replace always lands a fresh
+    mtime) — one warning per bad file version, not a hot retry loop.
+
+    The returned thread carries a ``stop`` Event: set it to end the watch."""
+    stop = threading.Event()
+
+    # Baseline mtime is read HERE, before the thread starts: a file replaced
+    # between this call returning and the thread's first tick must register
+    # as a change, not become the baseline.
+    initial_mtime = None
+    try:
+        initial_mtime = os.path.getmtime(state.ckpt_path)
+    except OSError:
+        pass
+
+    def _watch():
+        last_mtime = initial_mtime
+        while not stop.wait(interval_secs):
+            path = state.ckpt_path
+            if not path:
+                continue
+            try:
+                mtime = os.path.getmtime(path)
+            except OSError:
+                continue  # vanished mid-replace; retry next tick
+            if last_mtime is not None and mtime == last_mtime:
+                continue
+            last_mtime = mtime
+            try:
+                flushed = state.reload_checkpoint(path)
+                print(f"[RELOAD] checkpoint changed on disk: hot-swapped {path} "
+                      f"(flushed {flushed} pooled samples)")
+            except Exception as e:  # noqa: BLE001 — keep serving old weights
+                print(f"[WARN] checkpoint watch: reload of {path} failed "
+                      f"({type(e).__name__}: {e}); keeping current weights "
+                      f"until the file changes again")
+
+    t = threading.Thread(target=_watch, name="ckpt-watch", daemon=True)
+    t.stop = stop  # type: ignore[attr-defined]
+    t.start()
+    return t
 
 
 def serve(
@@ -543,13 +647,16 @@ def serve(
     fast_math: bool = False,
     camera_source: Optional[str] = None,
     dp: int = 0,
+    watch_ckpt: float = 0.0,
 ):
     """``camera_source``: None (no /video_feed) or "synthetic" (built-in test
     pattern; also enabled by MELOGAN_CAMERA_SOURCE=synthetic). A real capture
     device would plug in as any iterable of RGB frames.
     ``dp``: data-parallel device count for the sample step — pool refill
     batches shard over a dp-device 'data' mesh (values match single-device
-    up to reduction order, deterministic run-to-run; see Sampler)."""
+    up to reduction order, deterministic run-to-run; see Sampler).
+    ``watch_ckpt``: poll interval in seconds for checkpoint auto-reload
+    (0 = off); see :func:`watch_checkpoint`."""
     # `config` may be an already-resolved GANConfig (the CLI resolves paths
     # workdir/repo-root-aware via _load_cfg, so `melogan precompile` and
     # `melogan serve` are guaranteed to build the SAME config — a mismatch
@@ -607,6 +714,45 @@ def serve(
             print(f"[INIT] warming refill batch sizes {pool.warm_sizes()} in background")
     state = AppState(cfg, sampler, frame_source=frame_source, pool=pool,
                      ckpt_path=ckpt_path if os.path.exists(ckpt_path) else None)
+    if watch_ckpt > 0 and state.ckpt_path:
+        watch_checkpoint(state, watch_ckpt)
+        print(f"[INIT] watching {state.ckpt_path} for changes every {watch_ckpt:g}s")
     httpd = make_server(host, port, build_app(state), server_class=ThreadingWSGIServer)
+
+    # graceful shutdown: SIGTERM/SIGINT stop the accept loop, then in-flight
+    # requests get a bounded drain window before the process exits — a
+    # rolling restart must not cut responses mid-body. shutdown() must run
+    # OFF the main thread: the handler interrupts serve_forever's own loop,
+    # which is what shutdown() waits on.
+    def _on_signal(signum, frame):
+        print(f"[SHUTDOWN] signal {signum}: stopping accept loop, draining "
+              f"in-flight requests (max {drain_secs:g}s)")
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    try:
+        drain_secs = float(os.environ.get("MELOGAN_DRAIN_SECS", "10"))
+    except ValueError:
+        drain_secs = 10.0
+    import signal as _signal
+
+    try:
+        _signal.signal(_signal.SIGTERM, _on_signal)
+        _signal.signal(_signal.SIGINT, _on_signal)
+    except ValueError:
+        pass  # not the main thread (embedded/test callers) — no signal hooks
+
     print(f"[INIT] serving on http://{host}:{port} (text backend: {backend_name()})")
     httpd.serve_forever()
+    deadline = time.monotonic() + drain_secs
+    while state.inflight() > 0 and time.monotonic() < deadline:
+        time.sleep(0.05)
+    remaining = state.inflight()
+    if remaining:
+        print(f"[SHUTDOWN] drain window elapsed with {remaining} request(s) "
+              "still streaming; closing anyway")
+    else:
+        print("[SHUTDOWN] all in-flight requests completed")
+    if pool is not None:
+        pool.close()
+    httpd.server_close()
+    print("[SHUTDOWN] bye")

@@ -802,3 +802,138 @@ def test_reload_corrupt_checkpoint_400(server, tmp_path):
     bad.write_bytes(b"this is not a checkpoint")
     status, _, body = req(base, "/reload", {"checkpoint": str(bad)})
     assert status == 400 and "reload failed" in json.loads(body)["error"]
+
+
+# ---------------------------------------------------------------------------
+# --watch-ckpt: auto hot-reload on checkpoint mtime change
+# ---------------------------------------------------------------------------
+
+
+def test_watch_checkpoint_swaps_on_mtime_change(tmp_path):
+    import os
+    import time
+
+    from melogan_tpu.serving.app import watch_checkpoint
+
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    sampler = Sampler(cfg, seed=0)
+    donor = Sampler(cfg, seed=5)
+    ckpt = str(tmp_path / "gan_final.ckpt")
+    _gan_final_ckpt_from(sampler, ckpt)  # initial file == current weights
+    state = AppState(cfg, sampler, ckpt_path=ckpt)
+    watcher = watch_checkpoint(state, interval_secs=0.05)
+    try:
+        want = donor.sample_notes(["angry"], seed=3)
+        _gan_final_ckpt_from(donor, ckpt)  # retrain-in-place
+        os.utime(ckpt, (time.time() + 2, time.time() + 2))  # force a new mtime
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            if np.allclose(sampler.sample_notes(["angry"], seed=3), want):
+                break
+            time.sleep(0.05)
+        assert np.allclose(sampler.sample_notes(["angry"], seed=3), want)
+    finally:
+        watcher.stop.set()
+
+
+def test_watch_checkpoint_keeps_serving_on_corrupt_file(tmp_path, capsys):
+    import os
+    import time
+
+    from melogan_tpu.serving.app import watch_checkpoint
+
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    sampler = Sampler(cfg, seed=0)
+    ckpt = str(tmp_path / "gan_final.ckpt")
+    _gan_final_ckpt_from(sampler, ckpt)
+    state = AppState(cfg, sampler, ckpt_path=ckpt)
+    before = sampler.sample_notes(["calm"], seed=11)
+    watcher = watch_checkpoint(state, interval_secs=0.05)
+    try:
+        with open(ckpt, "wb") as f:  # a torn/garbage write
+            f.write(b"garbage not a checkpoint")
+        os.utime(ckpt, (time.time() + 2, time.time() + 2))
+        seen = ""
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            seen += capsys.readouterr().out
+            if "keeping current weights" in seen:
+                break
+            time.sleep(0.05)
+        assert "keeping current weights" in seen
+        # the current weights kept serving throughout
+        assert np.allclose(sampler.sample_notes(["calm"], seed=11), before)
+    finally:
+        watcher.stop.set()
+
+
+# ---------------------------------------------------------------------------
+# Graceful shutdown: in-flight accounting + SIGTERM drain
+# ---------------------------------------------------------------------------
+
+
+def test_inflight_accounting_returns_to_zero(server):
+    base, state = server
+    assert state.inflight() == 0
+    for _ in range(3):
+        req(base, "/generate", {"emotion": "sad"})
+    # urllib reads the full body before returning, so the tracked body has
+    # been closed by the time the client call returns
+    deadline = 50
+    import time
+    for _ in range(deadline):
+        if state.inflight() == 0:
+            break
+        time.sleep(0.1)
+    assert state.inflight() == 0
+
+
+def test_sigterm_drains_and_exits_cleanly(tmp_path):
+    """Full lifecycle e2e: a real `serve()` process on CPU gets SIGTERM and
+    must stop accepting, drain, close the pool, and exit 0 with the shutdown
+    breadcrumbs — a rolling restart must never cut responses mid-body."""
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    script = """
+import sys
+sys.path.insert(0, {repo!r})
+import jax; jax.config.update("jax_platforms", "cpu")
+from melogan_tpu.config import GANConfig
+from melogan_tpu.serving.app import serve
+cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+serve(host="127.0.0.1", port={port}, config=cfg, workdir={wd!r})
+print("serve() returned", flush=True)
+"""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    import os as _os
+    env = dict(_os.environ, MELOGAN_SAMPLE_POOL="0", MELOGAN_DEVICE_WARN_SECS="0")
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script.format(repo=repo, port=port, wd=str(tmp_path))],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+    )
+    try:
+        deadline = time.time() + 120
+        up = False
+        while time.time() < deadline:
+            try:
+                status, _, _ = req(f"http://127.0.0.1:{port}", "/healthz")
+                up = status == 200
+                break
+            except Exception:
+                time.sleep(0.25)
+        assert up, "server never came up"
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out
+    assert "[SHUTDOWN] all in-flight requests completed" in out
+    assert "[SHUTDOWN] bye" in out and "serve() returned" in out
