@@ -105,6 +105,16 @@ class AppState:
         self.pool = pool  # optional SamplePool: batched prefetched generation
         self.ckpt_path = ckpt_path  # default target of POST /reload
         self._reload_lock = threading.Lock()  # serializes checkpoint swaps
+        # (path, mtime) of the checkpoint the sampler currently serves —
+        # the --watch-ckpt watcher's skip baseline, kept current by BOTH
+        # reload paths so an operator POST /reload of a new path does not
+        # trigger a redundant watcher reload (and pool flush) one tick later
+        self.loaded_version: Optional[tuple] = None
+        if ckpt_path:
+            try:
+                self.loaded_version = (ckpt_path, os.path.getmtime(ckpt_path))
+            except OSError:
+                pass
         self.metrics = Registry()
         if pool is not None:
             # polled at /metrics render time, not on the request path
@@ -115,10 +125,12 @@ class AppState:
             self.metrics.gauge_fn(
                 "melogan_pool_hits_total", lambda: pool.stats()["hits"],
                 help="Pool takes served without waiting on a refill",
+                typ="counter",  # monotonic; _total is counter-reserved
             )
             self.metrics.gauge_fn(
                 "melogan_pool_misses_total", lambda: pool.stats()["misses"],
                 help="Pool takes that found their emotion empty",
+                typ="counter",
             )
         self.seed_counter = 0
         self._inflight = 0  # requests whose body is not fully written yet
@@ -179,14 +191,35 @@ class AppState:
         from melogan_tpu.train.gan_loop import load_gan_final
 
         with self._reload_lock:
+            # mtime read BEFORE the load: if the file is replaced again
+            # mid-load, the recorded version is stale and the watcher's next
+            # tick sees the newer mtime and reloads — nothing is missed
+            try:
+                mtime = os.path.getmtime(path)
+            except OSError:
+                mtime = None
             gen_vars, fe_vars = load_gan_final(path)
             self.sampler.swap_variables(gen_vars, fe_vars)
             flushed = self.pool.flush() if self.pool is not None else 0
             self.ckpt_path = path
+            if mtime is not None:
+                self.loaded_version = (path, mtime)
         self.metrics.counter_inc(
             "melogan_reloads_total", help="Successful checkpoint hot-swaps"
         )
         return flushed
+
+
+_KNOWN_METHODS = {"GET", "POST", "HEAD", "PUT", "DELETE", "OPTIONS", "PATCH"}
+
+
+def _method_label(method: str) -> str:
+    """Metrics label for the request method: the known HTTP verbs pass
+    through, anything else collapses to "other" — REQUEST_METHOD is a
+    client-controlled string (wsgiref forwards arbitrary request-line
+    tokens), and label values must be neither unbounded nor able to carry
+    exposition-breaking characters."""
+    return method if method in _KNOWN_METHODS else "other"
 
 
 def _json_response(start_response, payload, status="200 OK"):
@@ -210,10 +243,13 @@ MAX_FRAME_BODY = 64 << 20
 _DRAIN_CAP = 8 << 20
 
 
-def _read_json(environ, limit: int = MAX_JSON_BODY) -> Optional[Dict]:
+def _read_json(environ, limit: int = MAX_JSON_BODY, strict: bool = False) -> Optional[Dict]:
     """Parse the JSON request body; ``None`` means the declared body exceeds
     ``limit`` (the route should answer 413). A negative/absent/unparsable
-    Content-Length reads nothing — this server never reads to socket EOF."""
+    Content-Length reads nothing — this server never reads to socket EOF.
+    Unparseable JSON falls back to ``{}`` (read-only routes then use their
+    defaults) unless ``strict``, which raises ValueError — mutating routes
+    like /reload must 400 rather than silently act on defaults."""
     try:
         length = int(environ.get("CONTENT_LENGTH") or 0)
     except (TypeError, ValueError):
@@ -231,8 +267,13 @@ def _read_json(environ, limit: int = MAX_JSON_BODY) -> Optional[Dict]:
         return None
     try:
         raw = environ["wsgi.input"].read(length) if length > 0 else b"{}"
+    except Exception:  # noqa: BLE001
+        return {}
+    try:
         return json.loads(raw or b"{}")
     except Exception:  # noqa: BLE001
+        if strict:
+            raise ValueError("request body is not valid JSON")
         return {}
 
 
@@ -483,7 +524,15 @@ def build_app(state: AppState):
             # {"checkpoint": path} overrides the startup path — this server
             # is an internal ops surface (no auth anywhere, like the
             # reference app); bind accordingly.
-            payload = _read_json(environ)
+            try:
+                payload = _read_json(environ, strict=True)
+            except ValueError:
+                # a mutating op must not silently fall back to the default
+                # checkpoint (and flush the pool) on a typo'd body
+                return _json_response(
+                    start_response, {"error": "request body is not valid JSON"},
+                    status="400 Bad Request",
+                )
             if payload is None:
                 return _json_response(
                     start_response, {"error": "request body too large"},
@@ -513,7 +562,9 @@ def build_app(state: AppState):
 
     # request instrumentation: counters + latency histograms per KNOWN route
     # (unknown paths collapse into "other" — client-controlled strings must
-    # not mint unbounded label values). /video_feed's handler only SETS UP
+    # not mint unbounded label values; wsgiref passes ANY request-line token
+    # through as REQUEST_METHOD, so methods are normalized the same way by
+    # _method_label). /video_feed's handler only SETS UP
     # the stream (the body generator runs for the connection lifetime), so
     # its duration reads as setup time; it is counted but its latency is
     # not meaningful and excluded.
@@ -564,7 +615,7 @@ def build_app(state: AppState):
                 "melogan_http_requests_total",
                 help="HTTP requests by route/method/status",
                 route=route,
-                method=environ.get("REQUEST_METHOD", "-"),
+                method=_method_label(environ.get("REQUEST_METHOD", "-")),
                 status=status_box["code"],
             )
         if route != "/video_feed":
@@ -594,24 +645,21 @@ def watch_checkpoint(state: AppState, interval_secs: float) -> threading.Thread:
     visible under the final name) and the server picks it up within
     ``interval_secs``, no restart, no recompile, pool flushed. A load
     failure (e.g. a non-atomic writer torn mid-file) keeps the current
-    weights serving; that mtime is recorded as seen, so the retry happens
-    when the file changes AGAIN (an atomic replace always lands a fresh
-    mtime) — one warning per bad file version, not a hot retry loop.
+    weights serving; that (path, mtime) is recorded as failed, so the retry
+    happens when the file changes AGAIN (an atomic replace always lands a
+    fresh mtime) — one warning per bad file version, not a hot retry loop.
+
+    The skip baseline is ``state.loaded_version`` — the (path, mtime) the
+    sampler actually serves, kept current by BOTH reload paths. That makes
+    the watcher correct across ``POST /reload`` of a *different* path: the
+    tick after an operator swap sees loaded_version already pointing at the
+    new file and does not redundantly reload-and-flush it.
 
     The returned thread carries a ``stop`` Event: set it to end the watch."""
     stop = threading.Event()
 
-    # Baseline mtime is read HERE, before the thread starts: a file replaced
-    # between this call returning and the thread's first tick must register
-    # as a change, not become the baseline.
-    initial_mtime = None
-    try:
-        initial_mtime = os.path.getmtime(state.ckpt_path)
-    except OSError:
-        pass
-
     def _watch():
-        last_mtime = initial_mtime
+        last_failed = None  # (path, mtime) of a version that failed to load
         while not stop.wait(interval_secs):
             path = state.ckpt_path
             if not path:
@@ -620,14 +668,15 @@ def watch_checkpoint(state: AppState, interval_secs: float) -> threading.Thread:
                 mtime = os.path.getmtime(path)
             except OSError:
                 continue  # vanished mid-replace; retry next tick
-            if last_mtime is not None and mtime == last_mtime:
+            version = (path, mtime)
+            if version == state.loaded_version or version == last_failed:
                 continue
-            last_mtime = mtime
             try:
                 flushed = state.reload_checkpoint(path)
                 print(f"[RELOAD] checkpoint changed on disk: hot-swapped {path} "
                       f"(flushed {flushed} pooled samples)")
             except Exception as e:  # noqa: BLE001 — keep serving old weights
+                last_failed = version
                 print(f"[WARN] checkpoint watch: reload of {path} failed "
                       f"({type(e).__name__}: {e}); keeping current weights "
                       f"until the file changes again")

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import threading
 import time
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 # Request-latency buckets (seconds). The serving profile spans ~0.3 ms pooled
 # hits to ~1 s cold-miss refills (docs/performance.md), so the grid is
@@ -46,7 +46,7 @@ class Registry:
         self._counters: Dict[Tuple[str, Tuple[Tuple[str, str], ...]], float] = {}
         self._hists: Dict[Tuple[str, Tuple[Tuple[str, str], ...]], "_Hist"] = {}
         self._help: Dict[str, Tuple[str, str]] = {}  # name -> (type, help)
-        self._gauges: Dict[str, Tuple[str, "callable"]] = {}  # name -> (help, fn)
+        self._gauges: Dict[str, Tuple[str, "callable", str]] = {}  # name -> (help, fn, type)
         self.started = time.time()
 
     # -- instruments ------------------------------------------------------
@@ -67,12 +67,15 @@ class Registry:
                 hist = self._hists[key] = _Hist(buckets)
             hist.observe(value)
 
-    def gauge_fn(self, name: str, fn, help: str = "") -> None:
+    def gauge_fn(self, name: str, fn, help: str = "", typ: str = "gauge") -> None:
         """Register a callable polled at render time (e.g. pool depth).
         The callable returns either a number or a {label_value: number} dict
-        (rendered with a ``key`` label)."""
+        (rendered with a ``key`` label). ``typ`` is the exposition TYPE:
+        monotonic callables (e.g. pool hit counts) should register as
+        ``counter`` — the ``_total`` suffix is counter-reserved and
+        OpenMetrics-strict scrapers reject gauge-typed ``*_total`` series."""
         with self._lock:
-            self._gauges[name] = (help, fn)
+            self._gauges[name] = (help, fn, typ)
 
     # -- exposition ---------------------------------------------------------
 
@@ -110,12 +113,12 @@ class Registry:
             lines.append(f"{name}_bucket{_labels(lab)} {count}")
             lines.append(f"{name}_sum{_labels(labels)} {repr(total)}")
             lines.append(f"{name}_count{_labels(labels)} {count}")
-        for name, (hlp, fn) in sorted(gauges.items()):
+        for name, (hlp, fn, typ) in sorted(gauges.items()):
             try:
                 value = fn()
             except Exception:  # noqa: BLE001 — a gauge callback must not 500 /metrics
                 continue
-            header(name, "gauge", hlp)
+            header(name, typ, hlp)
             if isinstance(value, dict):
                 for k, v in sorted(value.items()):
                     lines.append(f'{name}{{key="{k}"}} {_fmt(float(v))}')
@@ -148,15 +151,3 @@ class _Hist:
 
     def snapshot(self):
         return (self.buckets, list(self.counts), self.total, self.count)
-
-    def percentile(self, q: float) -> Optional[float]:
-        """Approximate percentile from bucket boundaries (upper bound)."""
-        if self.count == 0:
-            return None
-        rank = q * self.count
-        cum = 0
-        for b, c in zip(self.buckets, self.counts):
-            cum += c
-            if cum >= rank:
-                return b
-        return float("inf")

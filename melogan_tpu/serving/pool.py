@@ -69,6 +69,10 @@ class SamplePool:
         # device tunnel; 8192 showed multi-second p99.99 waits under load)
         self.max_refill = max(int(max_refill), self.refill_batch)
         self._drained = 0  # takes since the last refill
+        # bumped by flush(): a refill that sampled under an older generation
+        # (i.e. with pre-hot-swap weights) discards its batch instead of
+        # stocking stale samples after the flush
+        self._generation = 0
         self.emotions = list(emotions or EMOTIONS)
         self._pools: Dict[str, deque] = {e: deque() for e in self.emotions}
         self._lock = threading.Lock()  # protects pools + seed counter
@@ -132,11 +136,19 @@ class SamplePool:
                 # count so the NEXT dispatch still sizes to the real rate
                 return
             drained, self._drained = self._drained, 0
+            generation = self._generation
         size = self._refill_size(max(self.refill_batch, 2 * drained))
         # round-robin so the total is exactly the quantized size
         prompts = [emotions[i % len(emotions)] for i in range(size)]
         notes = self.sampler.sample_notes(prompts, seed=self._next_seed())
         with self._lock:
+            if self._generation != generation:
+                # flush() ran while we were sampling: this batch came from
+                # the pre-swap weights — drop it (and restore the drain count
+                # so the NEXT dispatch still sizes to the real rate); the
+                # pools stay low, so a fresh-weights refill follows at once
+                self._drained += drained
+                return
             for e, row in zip(prompts, notes):
                 self._pools[e].append(row)
             self._stocked.notify_all()
@@ -264,8 +276,12 @@ class SamplePool:
                         return
                     prompts = [self.emotions[i % len(self.emotions)] for i in range(size)]
                     with self._refill_lock:
+                        with self._lock:
+                            generation = self._generation
                         notes = self.sampler.sample_notes(prompts, seed=self._next_seed())
                         with self._lock:
+                            if self._generation != generation:
+                                continue  # flushed mid-warm: keep the compile, drop the stale samples
                             for e, row in zip(prompts, notes):
                                 if len(self._pools[e]) < cap:
                                     self._pools[e].append(row)
@@ -282,11 +298,14 @@ class SamplePool:
         """Discard every pooled sample (returns how many were dropped) and
         wake the producer to restock. Required after a checkpoint hot-swap:
         pooled notes were generated by the OLD weights and must not be served
-        as output of the new ones."""
+        as output of the new ones. Also bumps the pool generation so an
+        IN-FLIGHT refill/warm dispatch that sampled under the old weights
+        drops its batch instead of restocking stale samples post-flush."""
         with self._lock:
             dropped = sum(len(q) for q in self._pools.values())
             for q in self._pools.values():
                 q.clear()
+            self._generation += 1
         self._wakeup.set()
         return dropped
 

@@ -937,3 +937,95 @@ print("serve() returned", flush=True)
     assert proc.returncode == 0, out
     assert "[SHUTDOWN] all in-flight requests completed" in out
     assert "[SHUTDOWN] bye" in out and "serve() returned" in out
+
+
+# ---------------------------------------------------------------------------
+# Review fixes: stale-refill generation, strict /reload body, label hygiene,
+# watcher baseline after POST /reload
+# ---------------------------------------------------------------------------
+
+
+def test_flush_during_inflight_refill_drops_stale_batch():
+    """A refill that sampled under the OLD weights must not restock after a
+    hot-swap flush: samples from pre-swap weights would otherwise be served
+    as output of the new checkpoint."""
+    from melogan_tpu.serving.pool import SamplePool
+
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    sampler = Sampler(cfg, seed=0)
+    pool = SamplePool(sampler, target=4, refill_batch=8, background=False)
+
+    real = sampler.sample_notes
+
+    def sample_then_flush(prompts, seed):
+        notes = real(prompts, seed=seed)
+        pool.flush()  # checkpoint hot-swap lands while the dispatch is in flight
+        return notes
+
+    sampler.sample_notes = sample_then_flush
+    try:
+        pool._refill(list(pool.emotions))
+    finally:
+        sampler.sample_notes = real
+    assert all(v == 0 for v in pool.depth().values()), "stale batch was stocked"
+    # the drain count survives the drop, so the next dispatch sizes correctly
+    pool._refill(list(pool.emotions))  # fresh-generation refill stocks fine
+    assert all(v > 0 for v in pool.depth().values())
+
+
+def test_reload_malformed_json_is_400(server):
+    base, state = server
+    import urllib.request as u
+
+    r = u.Request(base + "/reload", data=b'{"checkpoint": /oops}',
+                  headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        resp = u.urlopen(r, timeout=30)
+        status, body = resp.status, resp.read()
+    except urllib.error.HTTPError as e:
+        status, body = e.code, e.read()
+    assert status == 400
+    assert "not valid JSON" in json.loads(body)["error"]
+
+
+def test_metrics_method_label_is_bounded(server):
+    base, _ = server
+    import http.client
+    from urllib.parse import urlparse
+
+    host = urlparse(base)
+    conn = http.client.HTTPConnection(host.hostname, host.port, timeout=30)
+    # wsgiref forwards arbitrary request-line tokens as REQUEST_METHOD;
+    # the metrics label must collapse them instead of minting new series
+    conn.request('WEIRDVERB123', "/healthz")
+    conn.getresponse().read()
+    conn.close()
+    _, _, body = req(base, "/metrics")
+    text = body.decode()
+    assert 'method="other"' in text
+    assert "WEIRDVERB123" not in text
+
+
+def test_watcher_skips_checkpoint_loaded_via_post_reload(tmp_path):
+    """POST /reload of a DIFFERENT path must update the watcher baseline —
+    the next tick must not redundantly reload-and-flush the new file."""
+    import time
+
+    from melogan_tpu.serving.app import watch_checkpoint
+
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    sampler = Sampler(cfg, seed=0)
+    a, b = str(tmp_path / "a.ckpt"), str(tmp_path / "b.ckpt")
+    _gan_final_ckpt_from(sampler, a)
+    _gan_final_ckpt_from(Sampler(cfg, seed=9), b)
+    state = AppState(cfg, sampler, ckpt_path=a)
+    watcher = watch_checkpoint(state, interval_secs=0.05)
+    try:
+        state.reload_checkpoint(b)  # what POST /reload calls
+        time.sleep(0.5)  # ~10 watcher ticks
+        counts = [v for (name, _), v in state.metrics._counters.items()
+                  if name == "melogan_reloads_total"]
+        assert counts == [1.0], f"watcher redundantly reloaded: {counts}"
+        assert state.ckpt_path == b and state.loaded_version[0] == b
+    finally:
+        watcher.stop.set()
