@@ -698,9 +698,10 @@ def serve(
     dp: int = 0,
     watch_ckpt: float = 0.0,
 ):
-    """``camera_source``: None (no /video_feed) or "synthetic" (built-in test
-    pattern; also enabled by MELOGAN_CAMERA_SOURCE=synthetic). A real capture
-    device would plug in as any iterable of RGB frames.
+    """``camera_source``: None (no /video_feed), "synthetic" (built-in test
+    pattern), or a path to a YUV4MPEG2 file — real footage, looped (also via
+    MELOGAN_CAMERA_SOURCE). A live capture device would plug in as any
+    iterable of RGB frames.
     ``dp``: data-parallel device count for the sample step — pool refill
     batches shard over a dp-device 'data' mesh (values match single-device
     up to reduction order, deterministic run-to-run; see Sampler).
@@ -748,6 +749,15 @@ def serve(
         from melogan_tpu.serving.video import SyntheticFrameSource
 
         frame_source = SyntheticFrameSource()
+    elif source:
+        # real footage: a YUV4MPEG2 file (`ffmpeg -i clip.mp4 clip.y4m`),
+        # looped so a short clip behaves like a webcam. Header is validated
+        # here — a bad path fails startup, not the first /video_feed viewer.
+        from melogan_tpu.imaging.y4m import Y4MFrameSource
+
+        frame_source = Y4MFrameSource(source, loop=True)
+        print(f"[INIT] camera source: {source} "
+              f"({frame_source.width}x{frame_source.height} y4m, looped)")
     pool = None
     if os.environ.get("MELOGAN_SAMPLE_POOL", "1") != "0":
         from melogan_tpu.serving.pool import SamplePool

@@ -135,3 +135,113 @@ def test_native_grayscale_via_dispatcher(native_jpeg, rng):
     gray = rng.integers(0, 256, (41, 31)).astype(np.uint8)
     dec = _decode(encode_jpeg(gray, 75))
     assert dec.shape == (41, 31, 3)
+
+
+# ---------------------------------------------------------------------------
+# YUV4MPEG2 codec: real-video frame source for /video_feed
+# ---------------------------------------------------------------------------
+
+
+def _rand_frames(n, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+
+
+def test_y4m_roundtrip_c444(tmp_path):
+    from melogan_tpu.imaging.y4m import read_y4m, write_y4m
+
+    frames = _rand_frames(3, 24, 32)
+    p = tmp_path / "clip.y4m"
+    with open(p, "wb") as f:
+        n = write_y4m(f, frames, rate=(25, 1), colorspace="444")
+    assert n == 3
+    with open(p, "rb") as f:
+        hdr, it = read_y4m(f)
+        out = list(it)
+    assert hdr["W"] == 32 and hdr["H"] == 24 and hdr["F"] == (25, 1)
+    assert len(out) == 3
+    for a, b in zip(frames, out):
+        # BT.601 limited-range quantization costs a couple of code values
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 3
+
+
+def test_y4m_roundtrip_c420_smooth_content(tmp_path):
+    from melogan_tpu.imaging.y4m import read_y4m, write_y4m
+
+    # smooth gradient: 2x2-mean chroma subsampling is near-lossless here
+    yy, xx = np.mgrid[0:32, 0:48]
+    frame = np.stack([xx * 5 % 256, yy * 7 % 256, (xx + yy) * 3 % 256],
+                     axis=-1).astype(np.uint8)
+    p = tmp_path / "c420.y4m"
+    with open(p, "wb") as f:
+        write_y4m(f, [frame], colorspace="420")
+    with open(p, "rb") as f:
+        hdr, it = read_y4m(f)
+        (out,) = list(it)
+    assert hdr["C"] == "420" and out.shape == frame.shape
+    assert np.abs(frame.astype(int) - out.astype(int)).mean() < 8.0
+
+
+def test_y4m_reader_handles_colorspace_variants(tmp_path):
+    """C420jpeg/C420mpeg2 differ only in chroma siting — same plane sizes."""
+    from melogan_tpu.imaging.y4m import read_y4m
+
+    import io
+
+    h, w = 4, 6
+    for cs in (b"C420jpeg", b"C420mpeg2", b"C420paldv", b"C422", b"Cmono"):
+        chroma = {b"C422": (w // 2) * h}.get(cs, (w // 2) * (h // 2))
+        if cs == b"Cmono":
+            chroma = 0
+        buf = (b"YUV4MPEG2 W6 H4 F30:1 " + cs + b"\nFRAME\n"
+               + bytes([128]) * (w * h) + bytes([128]) * (2 * chroma))
+        hdr, it = read_y4m(io.BytesIO(buf))
+        (frame,) = list(it)
+        assert frame.shape == (4, 6, 3)
+
+
+def test_y4m_malformed_fails_typed(tmp_path):
+    import io
+
+    from melogan_tpu.imaging.y4m import Y4MError, read_y4m, write_y4m
+
+    with pytest.raises(Y4MError):
+        read_y4m(io.BytesIO(b"NOTY4M W2 H2\n"))
+    with pytest.raises(Y4MError):
+        read_y4m(io.BytesIO(b"YUV4MPEG2 F30:1\n"))  # no geometry
+    with pytest.raises(Y4MError):
+        read_y4m(io.BytesIO(b"YUV4MPEG2 W2 H2 C999\n"))
+    # truncated mid-frame: typed error, not garbage frames
+    frames = _rand_frames(2, 8, 8)
+    buf = io.BytesIO()
+    write_y4m(buf, frames, colorspace="444")
+    data = buf.getvalue()[:-17]
+    hdr, it = read_y4m(io.BytesIO(data))
+    with pytest.raises(Y4MError):
+        list(it)
+    # headerless / empty
+    with pytest.raises(Y4MError):
+        read_y4m(io.BytesIO(b""))
+
+
+def test_y4m_frame_source_loops_and_reiterates(tmp_path):
+    from melogan_tpu.imaging.y4m import Y4MFrameSource, write_y4m
+
+    frames = _rand_frames(2, 8, 8, seed=3)
+    p = tmp_path / "loop.y4m"
+    with open(p, "wb") as f:
+        write_y4m(f, frames, colorspace="444")
+    src = Y4MFrameSource(str(p), loop=True)
+    assert (src.width, src.height) == (8, 8) and src.rate == (30, 1)
+    it = iter(src)
+    got = [next(it) for _ in range(5)]  # loops past EOF
+    assert np.array_equal(got[0], got[2]) and np.array_equal(got[1], got[3])
+    # independent concurrent iterations (one per /video_feed connection)
+    it2 = iter(src)
+    assert np.array_equal(next(it2), got[0])
+    # non-looping source terminates
+    finite = list(iter(Y4MFrameSource(str(p), loop=False)))
+    assert len(finite) == 2
+    # a bad path fails at construction (serve() fails fast, not first viewer)
+    with pytest.raises((OSError, ValueError)):
+        Y4MFrameSource(str(tmp_path / "missing.y4m"))

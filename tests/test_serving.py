@@ -1029,3 +1029,39 @@ def test_watcher_skips_checkpoint_loaded_via_post_reload(tmp_path):
         assert state.ckpt_path == b and state.loaded_version[0] == b
     finally:
         watcher.stop.set()
+
+
+def test_video_feed_from_y4m_file(tmp_path):
+    """Real-footage source: /video_feed streams annotated MJPEG from a .y4m
+    clip through the full detect→classify→annotate pipeline."""
+    from melogan_tpu.imaging.y4m import write_y4m
+    from melogan_tpu.serving.video import SyntheticFrameSource
+    from melogan_tpu.imaging.y4m import Y4MFrameSource
+
+    # author a 3-frame clip from the synthetic webcam pattern (face-like blob)
+    frames = []
+    for i, frame in enumerate(SyntheticFrameSource(n_frames=3)):
+        frames.append(frame)
+    clip = tmp_path / "cam.y4m"
+    with open(clip, "wb") as f:
+        write_y4m(f, frames, colorspace="420")
+
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    state = AppState(cfg, Sampler(cfg, seed=0),
+                     frame_source=Y4MFrameSource(str(clip), loop=False))
+    httpd = make_server("127.0.0.1", 0, build_app(state), server_class=ThreadingWSGIServer)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        resp = urllib.request.urlopen(f"http://127.0.0.1:{port}/video_feed", timeout=120)
+        assert resp.status == 200
+        raw = resp.read()  # non-looping clip -> stream terminates
+        parts = _read_mjpeg_parts(raw)
+        assert len(parts) == 3
+        for p in parts:
+            assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"
+        # the pipeline classified the clip and updated the shared state
+        assert state.camera_emotion in ("happy", "sad", "angry", "calm",
+                                        "surprised", "neutral", "fearful", "disgusted")
+    finally:
+        httpd.shutdown()
