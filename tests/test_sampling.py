@@ -93,3 +93,28 @@ def test_dp_sampling_non_divisible_batch_still_works():
     np.testing.assert_array_equal(
         single.sample_notes(emotions, seed=2), sharded.sample_notes(emotions, seed=2)
     )
+
+
+def test_hot_swap_on_dp_sharded_sampler(tmp_path):
+    """Checkpoint hot-reload must work while serving with --dp N: the swapped
+    numpy weight pytrees are ordinary jit args (auto-replicated over the
+    mesh), so post-swap values match a single-device sampler built from the
+    same weights — `melogan serve --dp N` + POST /reload contract."""
+    import jax
+
+    from melogan_tpu.parallel.mesh import make_mesh
+
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    sharded = Sampler(cfg, seed=0, mesh=make_mesh(n_devices=8))
+    donor = Sampler(cfg, seed=9)
+
+    emotions = ["happy", "sad", "angry", "calm"] * 4
+    before = sharded.sample_notes(emotions, seed=3)
+    # what AppState.reload_checkpoint hands over: host numpy pytrees
+    gen_np = jax.tree.map(np.asarray, donor.gen_variables)
+    fe_np = jax.tree.map(np.asarray, donor.fe_variables)
+    sharded.swap_variables(gen_np, fe_np)
+    after = sharded.sample_notes(emotions, seed=3)
+    want = donor.sample_notes(emotions, seed=3)
+    assert not np.allclose(before, after)
+    np.testing.assert_allclose(after, want, rtol=1e-3, atol=1e-9)
