@@ -1065,3 +1065,63 @@ def test_video_feed_from_y4m_file(tmp_path):
                                         "surprised", "neutral", "fearful", "disgusted")
     finally:
         httpd.shutdown()
+
+
+def test_generate_stays_green_across_hot_swaps(tmp_path):
+    """Sustained /generate load with checkpoint hot-swaps landing mid-stream:
+    every request must succeed (200) — a swap must never surface as a 5xx or
+    a torn sample — and post-swap output must come from the new weights."""
+    import time
+
+    from melogan_tpu.serving.pool import SamplePool
+
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    sampler = Sampler(cfg, seed=0)
+    ckpts = []
+    for i, seed in enumerate((0, 5, 9)):
+        p = str(tmp_path / f"v{i}.ckpt")
+        _gan_final_ckpt_from(Sampler(cfg, seed=seed), p)
+        ckpts.append(p)
+    pool = SamplePool(sampler, target=8, refill_batch=16)
+    state = AppState(cfg, sampler, pool=pool, ckpt_path=ckpts[0])
+    httpd = make_server("127.0.0.1", 0, build_app(state), server_class=ThreadingWSGIServer)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    results = {"codes": [], "errors": []}
+    stop = threading.Event()
+
+    def load():
+        while not stop.is_set():
+            try:
+                status, _, body = req(base, "/generate", {"emotion": "happy"})
+                results["codes"].append(status)
+                if status == 200:
+                    assert body[:4] == b"MThd"  # a whole, valid SMF
+            except Exception as e:  # noqa: BLE001
+                results["errors"].append(repr(e))
+
+    workers = [threading.Thread(target=load, daemon=True) for _ in range(4)]
+    for w in workers:
+        w.start()
+    try:
+        for p in (ckpts[1], ckpts[2], ckpts[1]):
+            time.sleep(0.4)
+            status, _, body = req(base, "/reload", {"checkpoint": p})
+            assert status == 200, body
+        time.sleep(0.4)
+    finally:
+        stop.set()
+        for w in workers:
+            w.join(timeout=30)
+        httpd.shutdown()
+        pool.close()
+    assert not results["errors"], results["errors"]
+    assert results["codes"] and set(results["codes"]) <= {200, 503}, set(results["codes"])
+    # 503 only on a pool deadline, which a healthy CPU sampler shouldn't hit
+    assert results["codes"].count(503) == 0, f"{results['codes'].count(503)} deadline misses"
+    # the served weights really are the last swap target
+    want = Sampler(cfg, seed=5).sample_notes(["happy"], seed=77)
+    np.testing.assert_allclose(sampler.sample_notes(["happy"], seed=77), want,
+                               rtol=1e-5, atol=1e-7)
