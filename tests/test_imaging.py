@@ -245,3 +245,23 @@ def test_y4m_frame_source_loops_and_reiterates(tmp_path):
     # a bad path fails at construction (serve() fails fast, not first viewer)
     with pytest.raises((OSError, ValueError)):
         Y4MFrameSource(str(tmp_path / "missing.y4m"))
+
+
+def test_y4m_random_bytes_fuzz():
+    """Arbitrary bytes either parse (possibly zero frames) or fail typed —
+    never an uncaught TypeError/struct garbage (house parser-fuzz rule)."""
+    import io
+
+    from melogan_tpu.imaging.y4m import Y4MError, read_y4m
+
+    rng = np.random.default_rng(0xF422)
+    for i in range(300):
+        n = int(rng.integers(0, 400))
+        blob = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        prefix = b"" if i % 3 == 0 else b"YUV4MPEG2 "
+        try:
+            _, frames = read_y4m(io.BytesIO(prefix + blob))
+            for frame in frames:
+                assert frame.dtype == np.uint8 and frame.ndim == 3
+        except Y4MError:
+            pass
