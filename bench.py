@@ -52,10 +52,14 @@ def _bench_sampling(sampler, batch: int, iters: int, warmup: int = 2, repeats: i
 
 def _bench_train(iters: int = 20, warmup: int = 2, pallas: str = "off",
                  epochs_per_dispatch: int = 0, precision=None, repeats: int = 1,
-                 groups: int = 5):
+                 groups: int = 5, mesh=None):
     """Returns (list of ``repeats`` batch-steps/sec measurements, ANALYTIC
     FLOPs per reference batch-step — conventional fwd/bwd=3× factors, ±15%;
-    XLA cost_analysis is unusable here, see utils/flops.py)."""
+    XLA cost_analysis is unusable here, see utils/flops.py).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis — the fused
+    program then runs SPMD data-parallel, exactly as ``melogan train-gan
+    --dp N`` does (corpus replicated, microbatches sharded; gan_loop.py)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -69,7 +73,7 @@ def _bench_train(iters: int = 20, warmup: int = 2, pallas: str = "off",
     cfg = GANConfig()  # reference shapes: batch 32, 512×4 notes
     models = gan_step.build_models(cfg, EDConfig())
     state = gan_step.init_state(cfg, models, seed=0)
-    steps = gan_step.make_train_steps(cfg, models)
+    steps = gan_step.make_train_steps(cfg, models, mesh=mesh)
 
     rng = np.random.default_rng(0)
     # headline granularity = the real loop's: gan_loop dispatches ONE fused
@@ -89,6 +93,10 @@ def _bench_train(iters: int = 20, warmup: int = 2, pallas: str = "off",
         jnp.asarray(rng.normal(size=(n, cfg.latent_dim)), jnp.float32),
         jnp.asarray(rng.normal(size=(n, cfg.numeric_input_dim)), jnp.float32),
     )
+    if mesh is not None:
+        from melogan_tpu.parallel.mesh import put_replicated
+
+        data = put_replicated(data, mesh)
     from melogan_tpu.train.harness import jit_with_precision
 
     if e == 1:
@@ -266,6 +274,25 @@ def run(cpu_baseline: bool = False):
     except Exception as e:  # noqa: BLE001
         print(f"[bench] bf16 train variant failed: {e}", file=sys.stderr)
 
+    # Multi-chip data-parallel variants: auto-activate when the runtime
+    # exposes >1 device (this image tunnels ONE v5e chip, so these stay None
+    # today — the bench is already multi-chip-ready if the driver's hardware
+    # grows). Same SPMD programs as `melogan sample/serve/train-gan --dp N`,
+    # validated on the virtual 8-CPU mesh (tests/test_bench.py) and at full
+    # reference shapes by dryrun_multichip.
+    n_devices = len(jax.devices())
+    dp_samples = dp_train = None
+    if n_devices > 1:
+        try:
+            from melogan_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+            dp_sampler = Sampler(GANConfig(), seed=0, mesh=mesh)
+            dp_samples = _bench_sampling(dp_sampler, batch=65536, iters=5)[0]
+            dp_train = _bench_train(iters=15, mesh=mesh)[0][0]
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] dp variants failed: {e}", file=sys.stderr)
+
     # CPU baseline in a subprocess (fresh backend)
     cpu = {"samples_per_sec": None, "train_steps_per_sec": None}
     try:
@@ -341,6 +368,13 @@ def run(cpu_baseline: bool = False):
         "cpu_samples_per_sec": round(cpu["samples_per_sec"], 2) if cpu.get("samples_per_sec") else None,
         "cpu_samples_spread_pct": cpu.get("samples_spread_pct"),
         "cpu_train_spread_pct": cpu.get("train_spread_pct"),
+        # multi-chip dp (None on single-chip hardware; see the dp section)
+        "n_devices": n_devices,
+        "dp_samples_per_sec": round(dp_samples, 2) if dp_samples else None,
+        "dp_train_steps_per_sec": round(dp_train, 3) if dp_train else None,
+        "dp_sampling_scaling": (
+            round(dp_samples / samples_per_sec, 2) if dp_samples else None
+        ),
         # roofline / MFU
         "chip": device_kind,
         "chip_peak_bf16_tflops": peak,

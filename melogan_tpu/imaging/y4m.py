@@ -91,6 +91,8 @@ def _parse_header(line: bytes) -> dict:
                 hdr["F"] = (int(num), int(den))
             except ValueError as e:
                 raise Y4MError(f"bad frame-rate tag {val!r}") from e
+            if hdr["F"][0] <= 0 or hdr["F"][1] <= 0:
+                raise Y4MError(f"non-positive frame rate {val!r}")
         elif key == "C":
             hdr["C"] = val
     if not hdr["W"] or not hdr["H"] or hdr["W"] <= 0 or hdr["H"] <= 0:

@@ -222,6 +222,12 @@ def test_y4m_malformed_fails_typed(tmp_path):
     # headerless / empty
     with pytest.raises(Y4MError):
         read_y4m(io.BytesIO(b""))
+    # non-positive frame rate (F is advertised metadata; a zero denominator
+    # must fail at parse, not when a consumer divides by it)
+    with pytest.raises(Y4MError):
+        read_y4m(io.BytesIO(b"YUV4MPEG2 W2 H2 F30:0 C444\n"))
+    with pytest.raises(Y4MError):
+        read_y4m(io.BytesIO(b"YUV4MPEG2 W2 H2 F-1:1 C444\n"))
 
 
 def test_y4m_frame_source_loops_and_reiterates(tmp_path):
