@@ -562,17 +562,53 @@ def cmd_pipeline(args):
     import time
     from types import SimpleNamespace
 
-    timings = []
+    from melogan_tpu.utils.atomic import atomic_write
 
-    def stage(name, fn, *a):
-        t0 = time.perf_counter()
-        out = fn(*a)
-        timings.append((name, time.perf_counter() - t0))
-        return out
+    timings = []
 
     work = args.workdir
     data_root = os.path.join(work, "data")
     resume = getattr(args, "resume", False)
+
+    # Completed-stage markers: each finished stage records its invocation
+    # signature under .pipeline_done/; --resume skips a stage whose marker
+    # matches instead of re-running it (a train stage that COMPLETED would
+    # otherwise retrain from scratch whenever its run was shorter than
+    # save_freq — no periodic checkpoint to resume from). A marker is only
+    # trusted while every upstream stage was also skipped: as soon as one
+    # stage actually runs, everything downstream re-runs too.
+    done_dir = os.path.join(work, ".pipeline_done")
+    sig = {
+        "epochs": getattr(args, "epochs", None),
+        "bf16": getattr(args, "bf16", False),
+        "dp": getattr(args, "dp", 0),
+        "synthetic": bool(args.synthetic),
+        "per_emotion": getattr(args, "per_emotion", None),
+        "configs": [args.ae_config, args.ed_config, args.gan_config],
+    }
+    upstream_ran = False
+
+    def stage(name, fn, *a, skippable=True, artifacts=()):
+        nonlocal upstream_ran
+        marker = os.path.join(done_dir, f"{name}.json")
+        if (resume and skippable and not upstream_ran and os.path.exists(marker)
+                and all(os.path.exists(p) for p in artifacts)):
+            try:
+                saved = json.load(open(marker))
+            except (OSError, ValueError):
+                saved = None
+            if saved and saved.get("sig") == sig:
+                print(f"[INFO] --resume: skipping {name} "
+                      "(completed in a previous run)")
+                timings.append((name, 0.0))
+                return None
+        upstream_ran = True
+        t0 = time.perf_counter()
+        out = fn(*a)
+        timings.append((name, time.perf_counter() - t0))
+        os.makedirs(done_dir, exist_ok=True)
+        atomic_write(marker, lambda f: json.dump({"stage": name, "sig": sig}, f))
+        return out
 
     def done_if(name, *artifacts):
         # --resume: a data stage whose outputs already exist is skipped (the
@@ -589,25 +625,29 @@ def cmd_pipeline(args):
         manifest = os.path.join(data_root, "data_manifest.csv")
         if not done_if("synth-data", manifest):
             stage("synth-data", cmd_synth_data,
-                  SimpleNamespace(out=data_root, per_emotion=args.per_emotion, seed=42))
+                  SimpleNamespace(out=data_root, per_emotion=args.per_emotion, seed=42),
+                  skippable=False)
     else:
         manifest = args.manifest
     if not done_if("preprocess", processed,
                    os.path.join(data_root, "scaler.npz")):
         stage("preprocess", cmd_preprocess,
-              SimpleNamespace(manifest=manifest, out=processed, scaler=None))
+              SimpleNamespace(manifest=manifest, out=processed, scaler=None),
+              skippable=False)
     if not done_if("make-splits",
                    *(os.path.join(splits_dir, f"{s}_split.csv")
                      for s in ("train", "val", "test"))):
         stage("make-splits", cmd_make_splits,
-              SimpleNamespace(manifest=manifest, out=splits_dir, seed=42))
+              SimpleNamespace(manifest=manifest, out=splits_dir, seed=42),
+              skippable=False)
     if not done_if("split-arrays",
                    *(os.path.join(splits_dir, s, f"{a}.npy")
                      for s in ("train", "val", "test")
                      for a in ("notes", "emotion", "numeric_features"))):
         stage("split-arrays", cmd_split_arrays,
               SimpleNamespace(splits=["train", "val", "test"], splits_dir=splits_dir,
-                              processed_dir=processed))
+                              processed_dir=processed),
+              skippable=False)
     base = SimpleNamespace(
         workdir=work, splits_dir=splits_dir, processed_dir=processed,
         config=args.ae_config, epochs=args.epochs, checkpoint=None,
@@ -657,10 +697,11 @@ def cmd_pipeline(args):
     stage("sample", cmd_sample, SimpleNamespace(
         workdir=work, config=args.gan_config, checkpoint=None, emotion="all",
         samples=2, seed=42, out=gen_dir,
-    ))
+    ), artifacts=(gen_dir,))
     # golden-band quality gate over the fresh samples (VERDICT r1 item 6)
     if not getattr(args, "skip_quality_gate", False):
-        stage("quality-gate", cmd_quality_gate, SimpleNamespace(dir=gen_dir, strict=True))
+        stage("quality-gate", cmd_quality_gate,
+              SimpleNamespace(dir=gen_dir, strict=True), skippable=False)
     total = sum(t for _, t in timings)
     print("[INFO] pipeline stage timings: "
           + " | ".join(f"{n} {t:.1f}s" for n, t in timings)

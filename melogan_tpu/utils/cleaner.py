@@ -19,6 +19,9 @@ DEFAULT_TARGETS = (
     "generated_tests",
     "data/splits/*/encoder_feats.npy",
     "data/splits/*/auto_filtered_*.csv",
+    # pipeline --resume completion markers: stale markers after an artifact
+    # clean would claim stages are done whose outputs were just deleted
+    ".pipeline_done",
 )
 
 

@@ -274,15 +274,37 @@ def test_pipeline_resume_skips_done_stages(tmp_path, capsys, monkeypatch):
     main(argv)
     capsys.readouterr()
 
+    # resume after a COMPLETED run: data stages skip on existing outputs,
+    # train/encode/sample stages skip on their completion markers (a finished
+    # short run has no periodic checkpoint, so without markers the train
+    # stages would silently retrain from scratch)
     main(argv + ["--resume"])
     out = capsys.readouterr().out
     for s in ("synth-data", "preprocess", "make-splits", "split-arrays"):
         assert f"--resume: skipping {s}" in out, out
-    assert "resumed from" in out  # train stages picked up their checkpoints
+    for s in ("train-ae", "encode", "train-ed", "train-gan", "sample"):
+        assert f"--resume: skipping {s} (completed in a previous run)" in out, out
     assert "pipeline complete" in out
     meta = json.loads((tmp_path / "pipeline_timings.json").read_text())
-    assert meta["resumed"] is True and meta["total_seconds"] > 0
+    assert meta["resumed"] is True
     assert [s["name"] for s in meta["stages"]][:2] == ["synth-data", "preprocess"]
+
+    # resume after an INTERRUPTION inside train-gan (its marker is missing):
+    # upstream completed stages still skip, the interrupted stage resumes
+    # from its periodic checkpoint, and downstream stages re-run
+    (tmp_path / ".pipeline_done" / "train-gan.json").unlink()
+    main(argv + ["--resume"])
+    out = capsys.readouterr().out
+    assert "--resume: skipping train-ed (completed in a previous run)" in out
+    assert "resumed from" in out  # train-gan picked up its checkpoint
+    assert "--resume: skipping sample" not in out  # downstream of a run stage
+    assert "pipeline complete" in out
+
+    # a changed invocation (different --epochs) invalidates every marker
+    argv3 = [a if a != "2" else "3" for a in argv]  # --epochs 2 → 3
+    main(argv3 + ["--resume"])
+    out = capsys.readouterr().out
+    assert "skipping train-ae (completed in a previous run)" not in out, out
 
 
 def test_doctor_cli_is_bounded_and_reports(tmp_path, capsys, monkeypatch):
