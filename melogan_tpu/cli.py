@@ -578,25 +578,36 @@ def cmd_pipeline(args):
     # trusted while every upstream stage was also skipped: as soon as one
     # stage actually runs, everything downstream re-runs too.
     done_dir = os.path.join(work, ".pipeline_done")
+    # data_sig: the invocation knobs that determine WHAT data the data stages
+    # produce. A --resume with a changed --per-emotion (or a different
+    # manifest) must regenerate the corpus, not silently retrain on stale
+    # data — so done_if gates on it, and it is part of the train-stage sig.
+    data_sig = {
+        "synthetic": bool(args.synthetic),
+        "per_emotion": getattr(args, "per_emotion", None),
+        "manifest": None if args.synthetic else args.manifest,
+    }
     sig = {
         "epochs": getattr(args, "epochs", None),
         "bf16": getattr(args, "bf16", False),
         "dp": getattr(args, "dp", 0),
-        "synthetic": bool(args.synthetic),
-        "per_emotion": getattr(args, "per_emotion", None),
         "configs": [args.ae_config, args.ed_config, args.gan_config],
+        **data_sig,
     }
     upstream_ran = False
+
+    def _read_marker(name):
+        try:
+            return json.load(open(os.path.join(done_dir, f"{name}.json")))
+        except (OSError, ValueError):
+            return None
 
     def stage(name, fn, *a, skippable=True, artifacts=()):
         nonlocal upstream_ran
         marker = os.path.join(done_dir, f"{name}.json")
         if (resume and skippable and not upstream_ran and os.path.exists(marker)
                 and all(os.path.exists(p) for p in artifacts)):
-            try:
-                saved = json.load(open(marker))
-            except (OSError, ValueError):
-                saved = None
+            saved = _read_marker(name)
             if saved and saved.get("sig") == sig:
                 print(f"[INFO] --resume: skipping {name} "
                       "(completed in a previous run)")
@@ -607,13 +618,22 @@ def cmd_pipeline(args):
         out = fn(*a)
         timings.append((name, time.perf_counter() - t0))
         os.makedirs(done_dir, exist_ok=True)
-        atomic_write(marker, lambda f: json.dump({"stage": name, "sig": sig}, f))
+        atomic_write(marker, lambda f: json.dump(
+            {"stage": name, "sig": sig, "data_sig": data_sig}, f))
         return out
 
     def done_if(name, *artifacts):
         # --resume: a data stage whose outputs already exist is skipped (the
-        # train stages resume from their own checkpoints instead)
+        # train stages resume from their own checkpoints instead) — but only
+        # if its marker's data_sig matches this invocation (a marker-less
+        # workdir, e.g. data staged by individual subcommands, keeps the
+        # existence-based skip: there is no record to contradict it)
         if resume and artifacts and all(os.path.exists(p) for p in artifacts):
+            saved = _read_marker(name)
+            if saved is not None and saved.get("data_sig") != data_sig:
+                print(f"[INFO] --resume: re-running {name} "
+                      "(data parameters changed since the previous run)")
+                return False
             print(f"[INFO] --resume: skipping {name} (outputs exist)")
             timings.append((name, 0.0))
             return True
@@ -623,27 +643,48 @@ def cmd_pipeline(args):
     splits_dir = os.path.join(data_root, "splits")
     if args.synthetic:
         manifest = os.path.join(data_root, "data_manifest.csv")
-        if not done_if("synth-data", manifest):
-            stage("synth-data", cmd_synth_data,
-                  SimpleNamespace(out=data_root, per_emotion=args.per_emotion, seed=42),
-                  skippable=False)
     else:
         manifest = args.manifest
-    if not done_if("preprocess", processed,
-                   os.path.join(data_root, "scaler.npz")):
+
+    # Per-stage output artifacts. A --resume skip requires these to still
+    # exist: a matching marker whose checkpoint was since deleted must
+    # re-run, or cmd_sample would silently fall back to random weights.
+    from melogan_tpu.config import AEConfig, EDConfig, GANConfig
+
+    arts = {
+        "synth-data": (manifest,) if args.synthetic else (),
+        "preprocess": (processed, os.path.join(data_root, "scaler.npz")),
+        "make-splits": tuple(os.path.join(splits_dir, f"{s}_split.csv")
+                             for s in ("train", "val", "test")),
+        "split-arrays": tuple(os.path.join(splits_dir, s, f"{a}.npy")
+                              for s in ("train", "val", "test")
+                              for a in ("notes", "emotion", "numeric_features")),
+        "train-ae": (os.path.join(
+            work, _load_cfg(AEConfig, args.ae_config, work).checkpoint_dir,
+            "ae_best.ckpt"),),
+        "encode": tuple(os.path.join(splits_dir, s, "encoder_feats.npy")
+                        for s in ("train", "val", "test")),
+        "train-ed": (os.path.join(
+            work, _load_cfg(EDConfig, args.ed_config, work).checkpoint_dir,
+            "ed_best.ckpt"),),
+        "train-gan": (os.path.join(
+            work, _load_cfg(GANConfig, args.gan_config, work).checkpoint_dir,
+            "gan_final.ckpt"),),
+    }
+
+    if args.synthetic and not done_if("synth-data", *arts["synth-data"]):
+        stage("synth-data", cmd_synth_data,
+              SimpleNamespace(out=data_root, per_emotion=args.per_emotion, seed=42),
+              skippable=False)
+    if not done_if("preprocess", *arts["preprocess"]):
         stage("preprocess", cmd_preprocess,
               SimpleNamespace(manifest=manifest, out=processed, scaler=None),
               skippable=False)
-    if not done_if("make-splits",
-                   *(os.path.join(splits_dir, f"{s}_split.csv")
-                     for s in ("train", "val", "test"))):
+    if not done_if("make-splits", *arts["make-splits"]):
         stage("make-splits", cmd_make_splits,
               SimpleNamespace(manifest=manifest, out=splits_dir, seed=42),
               skippable=False)
-    if not done_if("split-arrays",
-                   *(os.path.join(splits_dir, s, f"{a}.npy")
-                     for s in ("train", "val", "test")
-                     for a in ("notes", "emotion", "numeric_features"))):
+    if not done_if("split-arrays", *arts["split-arrays"]):
         stage("split-arrays", cmd_split_arrays,
               SimpleNamespace(splits=["train", "val", "test"], splits_dir=splits_dir,
                               processed_dir=processed),
@@ -655,6 +696,24 @@ def cmd_pipeline(args):
         resume=resume,
     )
 
+    # Predict which train stages --resume will skip, mirroring stage()'s
+    # decision exactly: a stage skips iff no upstream stage ran (the data
+    # stages above have already run or skipped, so `upstream_ran` is the
+    # observed truth), its marker's sig matches, and its artifacts exist.
+    # Used below to avoid warming XLA programs for stages that will never
+    # run — resuming a completed pipeline must not block minutes on remote
+    # compiles (and must not occupy the single-client TPU) for nothing.
+    def _would_skip(name):
+        saved = _read_marker(name)
+        return (resume and bool(saved) and saved.get("sig") == sig
+                and all(os.path.exists(p) for p in arts[name]))
+
+    will_skip = {}
+    chain_ok = not upstream_ran
+    for nm in ("train-ae", "encode", "train-ed", "train-gan"):
+        chain_ok = chain_ok and _would_skip(nm)
+        will_skip[nm] = chain_ok
+
     # overlap the ED/GAN fused-program XLA compiles with the AE stage: on a
     # cold cache the remote compiler dominates pipeline wall (~760 s of 830 s
     # measured round 3) and compiles parallelize across threads. precompile()
@@ -662,21 +721,26 @@ def cmd_pipeline(args):
     # stage's own jit becomes a persistent-cache hit. Best-effort: a failed
     # warm-up only means the stage compiles itself as before.
     precompiles = {}
-    if os.environ.get("MELOGAN_PIPELINE_PRECOMPILE", "1") != "0":
-        precompiles = _launch_precompiles(args, work, splits_dir, ("ed", "gan"))
+    warm = tuple(s for s in ("ed", "gan") if not will_skip.get(f"train-{s}"))
+    if warm and os.environ.get("MELOGAN_PIPELINE_PRECOMPILE", "1") != "0":
+        precompiles = _launch_precompiles(args, work, splits_dir, warm)
 
     try:
-        stage("train-ae", cmd_train_ae, base)
+        stage("train-ae", cmd_train_ae, base, artifacts=arts["train-ae"])
         stage("encode", cmd_encode,
-              SimpleNamespace(**{**vars(base), "splits": ["train", "val", "test"]}))
+              SimpleNamespace(**{**vars(base), "splits": ["train", "val", "test"]}),
+              artifacts=arts["encode"])
         if "train-ed" in precompiles:
             precompiles["train-ed"].join()
-        stage("train-ed", cmd_train_ed, SimpleNamespace(**{**vars(base), "config": args.ed_config}))
+        stage("train-ed", cmd_train_ed,
+              SimpleNamespace(**{**vars(base), "config": args.ed_config}),
+              artifacts=arts["train-ed"])
         if "train-gan" in precompiles:
             precompiles["train-gan"].join()
         stage("train-gan", cmd_train_gan,
               SimpleNamespace(**{**vars(base), "config": args.gan_config,
-                                 "ed_config": args.ed_config, "ed_ckpt": None}))
+                                 "ed_config": args.ed_config, "ed_ckpt": None}),
+              artifacts=arts["train-gan"])
     except BaseException:
         # a stage failed while background precompiles may still be mid-XLA-
         # compile: interpreter teardown under an active compile aborts the

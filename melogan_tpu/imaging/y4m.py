@@ -100,22 +100,32 @@ def _parse_header(line: bytes) -> dict:
     return hdr
 
 
+# exact-match sets: prefix matching would silently accept high-bit-depth /
+# alpha variants (C420p10, C422p12, C444alpha — 2 bytes/sample or 4 planes)
+# as 8-bit 3-plane and decode garbage; unknown tags must fail fast at
+# construction time, not as a misleading 'bad frame marker' mid-stream
+_CS_420 = {"420", "420jpeg", "420mpeg2", "420paldv"}
+_CS_422 = {"422"}
+_CS_444 = {"444"}
+_CS_MONO = {"mono"}
+
+
 def _plane_geometry(cs: str, w: int, h: int):
     """(chroma_w, chroma_h) or None for mono; raises on unsupported."""
-    base = cs.split("j")[0].split("m")[0].split("p")[0]  # 420jpeg/420mpeg2/420paldv
-    if cs.startswith("420"):
+    if cs in _CS_420:
         if w % 2 or h % 2:
             raise Y4MError(f"C420 needs even dimensions, got {w}x{h}")
         return (w // 2, h // 2)
-    if cs.startswith("422"):
+    if cs in _CS_422:
         if w % 2:
             raise Y4MError(f"C422 needs even width, got {w}")
         return (w // 2, h)
-    if cs.startswith("444"):
+    if cs in _CS_444:
         return (w, h)
-    if cs.startswith("mono"):
+    if cs in _CS_MONO:
         return None
-    raise Y4MError(f"unsupported colorspace C{base!r}")
+    raise Y4MError(f"unsupported colorspace C{cs!r} "
+                   f"(8-bit {sorted(_CS_420 | _CS_422 | _CS_444 | _CS_MONO)} only)")
 
 
 def _read_exact(f: BinaryIO, n: int, what: str) -> bytes:

@@ -95,9 +95,12 @@ def _device_info() -> Dict[str, object]:
     }
 
 
+_UNSET = object()
+
+
 class AppState:
     def __init__(self, cfg: GANConfig, sampler: Sampler, frame_source=None, pool=None,
-                 ckpt_path: Optional[str] = None):
+                 ckpt_path: Optional[str] = None, loaded_version=_UNSET):
         from melogan_tpu.serving.metrics import Registry
 
         self.cfg = cfg
@@ -108,13 +111,22 @@ class AppState:
         # (path, mtime) of the checkpoint the sampler currently serves —
         # the --watch-ckpt watcher's skip baseline, kept current by BOTH
         # reload paths so an operator POST /reload of a new path does not
-        # trigger a redundant watcher reload (and pool flush) one tick later
-        self.loaded_version: Optional[tuple] = None
-        if ckpt_path:
-            try:
-                self.loaded_version = (ckpt_path, os.path.getmtime(ckpt_path))
-            except OSError:
-                pass
+        # trigger a redundant watcher reload (and pool flush) one tick later.
+        # Callers that load weights THEMSELVES (serve()) must pass the
+        # version they captured adjacent to the load — the constructor-time
+        # getmtime fallback below is only correct when construction happens
+        # right after the load (a checkpoint rewritten during a long warm-up
+        # window would otherwise be recorded as served without having been
+        # read, and the watcher would skip it forever).
+        if loaded_version is not _UNSET:
+            self.loaded_version: Optional[tuple] = loaded_version
+        else:
+            self.loaded_version = None
+            if ckpt_path:
+                try:
+                    self.loaded_version = (ckpt_path, os.path.getmtime(ckpt_path))
+                except OSError:
+                    pass
         self.metrics = Registry()
         if pool is not None:
             # polled at /metrics render time, not on the request path
@@ -202,8 +214,11 @@ class AppState:
             self.sampler.swap_variables(gen_vars, fe_vars)
             flushed = self.pool.flush() if self.pool is not None else 0
             self.ckpt_path = path
-            if mtime is not None:
-                self.loaded_version = (path, mtime)
+            # recorded even when the mtime read raced (mtime None): the
+            # sampler DOES serve this checkpoint now (healthz provenance),
+            # and (path, None) never equals a real (path, mtime), so the
+            # watcher simply re-reads it once and records the proper version
+            self.loaded_version = (path, mtime)
         self.metrics.counter_inc(
             "melogan_reloads_total", help="Successful checkpoint hot-swaps"
         )
@@ -268,6 +283,10 @@ def _read_json(environ, limit: int = MAX_JSON_BODY, strict: bool = False) -> Opt
     try:
         raw = environ["wsgi.input"].read(length) if length > 0 else b"{}"
     except Exception:  # noqa: BLE001
+        # a failed body read (reset/timeout mid-body) must not let a strict
+        # (mutating) route act on defaults — same contract as unparseable JSON
+        if strict:
+            raise ValueError("request body could not be read")
         return {}
     try:
         return json.loads(raw or b"{}")
@@ -390,7 +409,13 @@ def build_app(state: AppState):
                     "text_backend_note": backend_info()["note"],
                     "camera_backend": "xception" if state.camera else None,
                     "video_feed": state.frame_source is not None,
-                    "generator": "loaded",
+                    # weight provenance: a serve started before its training
+                    # job (or pointed at a missing checkpoint) answers with
+                    # random weights until --watch-ckpt / POST /reload swaps
+                    # the real ones in — an operator must be able to see that
+                    "generator": ("checkpoint" if state.loaded_version
+                                  else "random-weights"),
+                    "checkpoint": state.ckpt_path,
                     "sample_pool": state.pool.stats() if state.pool else None,
                     # which backend actually serves compute — an operator
                     # diagnosing latency (or a post-outage degraded-CPU
@@ -716,14 +741,24 @@ def serve(
     else:
         cfg = GANConfig.from_yaml(config) if os.path.exists(config) else GANConfig()
     gen_vars = fe_vars = None
+    loaded_version = None
     ckpt_path = checkpoint or os.path.join(workdir, cfg.checkpoint_dir, "gan_final.ckpt")
     if os.path.exists(ckpt_path):
         from melogan_tpu.train.gan_loop import load_gan_final
 
+        # version captured ADJACENT to the load (mtime read before, same
+        # convention as reload_checkpoint): warm-up below can take minutes,
+        # and a checkpoint rewritten during that window must look NEW to the
+        # --watch-ckpt watcher, not already-served
+        try:
+            loaded_version = (ckpt_path, os.path.getmtime(ckpt_path))
+        except OSError:
+            pass
         gen_vars, fe_vars = load_gan_final(ckpt_path)
         print(f"[INIT] loaded GAN checkpoint from {ckpt_path}")
     else:
-        print(f"[WARN] GAN checkpoint not found at {ckpt_path}; serving random weights")
+        print(f"[WARN] GAN checkpoint not found at {ckpt_path}; serving random weights"
+              + (" until it appears" if watch_ckpt > 0 else ""))
 
     # first device touch below can hang forever on a wedged TPU tunnel —
     # surface that instead of sitting silent (MELOGAN_DEVICE_WARN_SECS=0 off;
@@ -771,9 +806,14 @@ def serve(
             # (persistent-cached across restarts); /healthz shows progress
             pool.warm_async()
             print(f"[INIT] warming refill batch sizes {pool.warm_sizes()} in background")
+    # ckpt_path stays set even when the file does not exist yet: POST /reload
+    # without a body answers 404 until it appears, and the --watch-ckpt
+    # watcher (whose loop already tolerates a missing file) hot-loads it the
+    # moment training writes it — a serve started BEFORE its training job
+    # must not silently serve random weights forever
     state = AppState(cfg, sampler, frame_source=frame_source, pool=pool,
-                     ckpt_path=ckpt_path if os.path.exists(ckpt_path) else None)
-    if watch_ckpt > 0 and state.ckpt_path:
+                     ckpt_path=ckpt_path, loaded_version=loaded_version)
+    if watch_ckpt > 0:
         watch_checkpoint(state, watch_ckpt)
         print(f"[INIT] watching {state.ckpt_path} for changes every {watch_ckpt:g}s")
     httpd = make_server(host, port, build_app(state), server_class=ThreadingWSGIServer)

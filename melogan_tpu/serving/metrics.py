@@ -114,16 +114,22 @@ class Registry:
             lines.append(f"{name}_sum{_labels(labels)} {repr(total)}")
             lines.append(f"{name}_count{_labels(labels)} {count}")
         for name, (hlp, fn, typ) in sorted(gauges.items()):
+            # the WHOLE call-and-format is guarded: a gauge callback must not
+            # 500 /metrics, and neither must its return value (nan/inf or a
+            # non-numeric would raise in float()/_fmt — e.g. a ratio gauge
+            # with a zero denominator). Samples are staged so a half-failed
+            # dict gauge never emits a HELP/TYPE header with no sample.
             try:
                 value = fn()
-            except Exception:  # noqa: BLE001 — a gauge callback must not 500 /metrics
+                if isinstance(value, dict):
+                    samples = [f'{name}{{key="{k}"}} {_fmt(float(v))}'
+                               for k, v in sorted(value.items())]
+                else:
+                    samples = [f"{name} {_fmt(float(value))}"]
+            except Exception:  # noqa: BLE001
                 continue
             header(name, typ, hlp)
-            if isinstance(value, dict):
-                for k, v in sorted(value.items()):
-                    lines.append(f'{name}{{key="{k}"}} {_fmt(float(v))}')
-            else:
-                lines.append(f"{name} {_fmt(float(value))}")
+            lines.extend(samples)
         header("process_uptime_seconds", "gauge", "Seconds since server start")
         lines.append(f"process_uptime_seconds {repr(time.time() - self.started)}")
         return "\n".join(lines) + "\n"

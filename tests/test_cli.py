@@ -306,6 +306,43 @@ def test_pipeline_resume_skips_done_stages(tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "skipping train-ae (completed in a previous run)" not in out, out
 
+    # resuming a FULLY completed pipeline must not launch (or join) any
+    # background precompile: the train stages are predicted to skip, so
+    # warming their XLA programs would block the resume on minutes of
+    # remote compiles for stages that never run
+    from melogan_tpu import cli
+
+    def _boom(*a, **k):
+        raise AssertionError("precompile launched for a fully-skipped resume")
+
+    monkeypatch.setattr(cli, "_launch_precompiles", _boom)
+    monkeypatch.setenv("MELOGAN_PIPELINE_PRECOMPILE", "1")
+    main(argv3 + ["--resume"])
+    out = capsys.readouterr().out
+    assert "skipping train-gan (completed in a previous run)" in out, out
+    monkeypatch.setenv("MELOGAN_PIPELINE_PRECOMPILE", "0")
+
+    # a marker whose checkpoint was DELETED must re-run its stage: skipping
+    # on the marker alone would hand cmd_sample a missing checkpoint and
+    # silently emit random-weight artifacts
+    gan_ckpt = tmp_path / "experiments" / "gan" / "checkpoints" / "gan_final.ckpt"
+    assert gan_ckpt.exists()
+    gan_ckpt.unlink()
+    main(argv3 + ["--resume"])
+    out = capsys.readouterr().out
+    assert "skipping train-ed (completed in a previous run)" in out, out
+    assert "skipping train-gan (completed in a previous run)" not in out, out
+    assert gan_ckpt.exists()  # the stage re-ran and rewrote it
+
+    # a changed --per-emotion must REGENERATE the data (and retrain), not
+    # silently retrain on the stale corpus: done_if gates on the marker's
+    # data_sig, not bare output existence
+    argv4 = [a if a != "6" else "7" for a in argv3]  # --per-emotion 6 → 7
+    main(argv4 + ["--resume"])
+    out = capsys.readouterr().out
+    assert "re-running synth-data (data parameters changed" in out, out
+    assert "skipping train-ae" not in out, out
+
 
 def test_doctor_cli_is_bounded_and_reports(tmp_path, capsys, monkeypatch):
     """`melogan doctor` completes within its probe bounds regardless of

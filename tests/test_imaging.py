@@ -230,6 +230,21 @@ def test_y4m_malformed_fails_typed(tmp_path):
         read_y4m(io.BytesIO(b"YUV4MPEG2 W2 H2 F-1:1 C444\n"))
 
 
+def test_y4m_rejects_high_bit_depth_and_alpha_colorspaces():
+    """C420p10/C422p12/C444alpha carry 2-byte samples or a 4th plane —
+    prefix-matching them as 8-bit would decode garbage frames and then die
+    mid-stream on a misleading 'bad frame marker'; they must fail fast as
+    unsupported at header parse (regression: C420p10 used to pass as C420)."""
+    import io
+
+    from melogan_tpu.imaging.y4m import Y4MError, read_y4m
+
+    for cs in (b"C420p10", b"C420p12", b"C420p16", b"C422p10", b"C444p10",
+               b"C444alpha", b"C420junk"):
+        with pytest.raises(Y4MError, match="unsupported colorspace"):
+            read_y4m(io.BytesIO(b"YUV4MPEG2 W4 H4 F25:1 " + cs + b"\n"))
+
+
 def test_y4m_frame_source_loops_and_reiterates(tmp_path):
     from melogan_tpu.imaging.y4m import Y4MFrameSource, write_y4m
 

@@ -677,6 +677,21 @@ def test_healthz_reports_device_info(server):
     assert dev["platform"] == "cpu" and dev["count"] >= 1 and dev["kind"]
 
 
+def test_healthz_reports_weight_provenance(server, tmp_path):
+    """An operator must see whether the generator serves checkpoint weights
+    or random init (a serve started before its training job): healthz carries
+    generator provenance, flipped by a successful reload."""
+    base, state = server
+    payload = json.loads(req(base, "/healthz")[2])
+    assert payload["generator"] == "random-weights"  # fixture has no ckpt
+    ckpt = str(tmp_path / "gan_final.ckpt")
+    _gan_final_ckpt_from(state.sampler, ckpt)
+    assert req(base, "/reload", {"checkpoint": ckpt})[0] == 200
+    payload = json.loads(req(base, "/healthz")[2])
+    assert payload["generator"] == "checkpoint"
+    assert payload["checkpoint"] == ckpt
+
+
 # ---------------------------------------------------------------------------
 # /metrics: Prometheus text exposition (beyond-reference production surface)
 # ---------------------------------------------------------------------------
@@ -714,6 +729,25 @@ def test_metrics_gauge_failure_does_not_break_render():
     reg.counter_inc("ok_total")
     text = reg.render()
     assert "ok_total 1" in text and "melogan_broken" not in text
+
+
+def test_metrics_gauge_bad_value_does_not_break_render():
+    """The guard covers the RETURN VALUE too: nan/inf or a non-numeric from
+    a gauge callback must be dropped, not 500 every /metrics scrape via
+    _fmt/float — and a half-bad dict gauge must not leave an orphan
+    HELP/TYPE header with no sample."""
+    from melogan_tpu.serving.metrics import Registry
+
+    reg = Registry()
+    reg.gauge_fn("melogan_nan", lambda: float("nan"), help="zero-denominator ratio")
+    reg.gauge_fn("melogan_inf", lambda: float("inf"), help="overflow")
+    reg.gauge_fn("melogan_notnum", lambda: "oops", help="wrong type")
+    reg.gauge_fn("melogan_dict_bad", lambda: {"a": 1.0, "b": object()}, help="bad dict")
+    reg.counter_inc("ok_total")
+    text = reg.render()
+    assert "ok_total 1" in text
+    for name in ("melogan_nan", "melogan_inf", "melogan_notnum", "melogan_dict_bad"):
+        assert name not in text, text
 
 
 def test_metrics_endpoint_counts_requests(server):
@@ -804,6 +838,41 @@ def test_reload_corrupt_checkpoint_400(server, tmp_path):
     assert status == 400 and "reload failed" in json.loads(body)["error"]
 
 
+def test_reload_400s_when_body_read_fails(tmp_path):
+    """A connection reset/timeout mid-body on POST /reload must answer 400 —
+    NOT fall back to {} and silently reload the default checkpoint (flushing
+    the pool) on a half-dead connection (strict _read_json covers read
+    failures, not only unparseable JSON)."""
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    sampler = Sampler(cfg, seed=0)
+    ckpt = str(tmp_path / "gan_final.ckpt")
+    _gan_final_ckpt_from(sampler, ckpt)
+    state = AppState(cfg, sampler, ckpt_path=ckpt)
+    app = build_app(state)
+
+    class _BrokenBody:
+        def read(self, n=-1):
+            raise ConnectionResetError("client went away mid-body")
+
+    seen = {}
+
+    def start_response(status, headers, exc_info=None):
+        seen["status"] = status
+
+    environ = {"REQUEST_METHOD": "POST", "PATH_INFO": "/reload",
+               "CONTENT_LENGTH": "40", "wsgi.input": _BrokenBody()}
+    body_iter = app(environ, start_response)
+    try:
+        body = b"".join(body_iter)
+    finally:
+        close = getattr(body_iter, "close", None)
+        if close:
+            close()
+    assert seen["status"].startswith("400"), (seen, body)
+    # no reload happened: the watcher baseline and metrics stay untouched
+    assert "melogan_reloads_total" not in state.metrics.render()
+
+
 # ---------------------------------------------------------------------------
 # --watch-ckpt: auto hot-reload on checkpoint mtime change
 # ---------------------------------------------------------------------------
@@ -863,6 +932,69 @@ def test_watch_checkpoint_keeps_serving_on_corrupt_file(tmp_path, capsys):
         assert "keeping current weights" in seen
         # the current weights kept serving throughout
         assert np.allclose(sampler.sample_notes(["calm"], seed=11), before)
+    finally:
+        watcher.stop.set()
+
+
+def test_watch_checkpoint_picks_up_checkpoint_that_appears_later(tmp_path):
+    """serve --watch-ckpt started BEFORE training wrote the checkpoint: the
+    watcher hot-loads the file the moment it appears (regression: serve()
+    used to silently skip starting the watcher when the path did not exist
+    at startup, serving random weights for the whole process lifetime)."""
+    import time
+
+    from melogan_tpu.serving.app import watch_checkpoint
+
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    sampler = Sampler(cfg, seed=0)
+    donor = Sampler(cfg, seed=5)
+    ckpt = str(tmp_path / "gan_final.ckpt")  # does not exist yet
+    state = AppState(cfg, sampler, ckpt_path=ckpt)
+    assert state.loaded_version is None
+    watcher = watch_checkpoint(state, interval_secs=0.05)
+    try:
+        want = donor.sample_notes(["happy"], seed=3)
+        _gan_final_ckpt_from(donor, ckpt)  # training completes
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            if np.allclose(sampler.sample_notes(["happy"], seed=3), want):
+                break
+            time.sleep(0.05)
+        assert np.allclose(sampler.sample_notes(["happy"], seed=3), want)
+    finally:
+        watcher.stop.set()
+
+
+def test_watch_checkpoint_sees_rewrite_during_warmup(tmp_path):
+    """The watcher's skip baseline is the version captured WHEN the weights
+    were read (serve() passes it explicitly), so a checkpoint atomically
+    rewritten during the minutes-long warm-up window still looks new on the
+    first tick — the constructor-time fallback would have recorded the NEW
+    file's mtime against the OLD weights and skipped it forever."""
+    import os
+    import time
+
+    from melogan_tpu.serving.app import watch_checkpoint
+
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    sampler = Sampler(cfg, seed=0)
+    donor = Sampler(cfg, seed=5)
+    ckpt = str(tmp_path / "gan_final.ckpt")
+    _gan_final_ckpt_from(sampler, ckpt)
+    loaded_version = (ckpt, os.path.getmtime(ckpt))  # captured at load time
+    # a retrain job rewrites the checkpoint while serve() is still warming up
+    _gan_final_ckpt_from(donor, ckpt)
+    os.utime(ckpt, (time.time() + 2, time.time() + 2))
+    state = AppState(cfg, sampler, ckpt_path=ckpt, loaded_version=loaded_version)
+    watcher = watch_checkpoint(state, interval_secs=0.05)
+    try:
+        want = donor.sample_notes(["sad"], seed=9)
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            if np.allclose(sampler.sample_notes(["sad"], seed=9), want):
+                break
+            time.sleep(0.05)
+        assert np.allclose(sampler.sample_notes(["sad"], seed=9), want)
     finally:
         watcher.stop.set()
 
