@@ -13,6 +13,9 @@ binary:
   melogan train-ed          Stage 2: emotion discriminator
   melogan eval-ed           ED evaluation (the script the reference lost)
   melogan train-gan         Stage 3: WGAN-GP
+  melogan sweep             Stage 3 population: K seeds as ONE vmapped
+                            program, quality-gate-ranked (TPU-native;
+                            no reference equivalent)
   melogan sample            emotion-conditioned .mid generation (test_gan)
   melogan pipeline          all stages end-to-end (full_script.sh)
   melogan diagnose          data-sanity diagnostics
@@ -251,6 +254,51 @@ def cmd_train_gan(args):
         precision="bf16" if getattr(args, "bf16", False) else None,
     )
     print(json.dumps(metrics))
+
+
+def cmd_sweep(args):
+    """Population sweep: K WGAN-GP seeds trained concurrently as one vmapped
+    XLA program, ranked by the golden-band quality gate (train/sweep.py —
+    no reference equivalent; the torch scripts train one model per process)."""
+    from melogan_tpu.config import EDConfig, GANConfig
+    from melogan_tpu.train.sweep import sweep_gan
+    from melogan_tpu.utils.checkpoint import load_checkpoint
+
+    cfg = _load_cfg(GANConfig, args.config, args.workdir)
+    ed_cfg = _load_cfg(EDConfig, args.ed_config, args.workdir)
+    if args.epochs:
+        cfg.epochs = args.epochs
+    train_data = _load_split(args, "train")
+
+    latents = None
+    feats_path = os.path.join(args.splits_dir, "train", "encoder_feats.npy")
+    if os.path.exists(feats_path):
+        latents = np.load(feats_path)
+
+    ed_variables = None
+    ed_ckpt = args.ed_ckpt or os.path.join(args.workdir, ed_cfg.checkpoint_dir, "ed_best.ckpt")
+    if os.path.exists(ed_ckpt):
+        ckpt = load_checkpoint(ed_ckpt)
+        ed_variables = {"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats", {})}
+        print(f"[INFO] loaded frozen ED from {ed_ckpt}")
+    else:
+        print(f"[WARN] ED checkpoint not found at {ed_ckpt}. ED will be random!")
+
+    seeds = args.seeds or [cfg.seed + i for i in range(args.population)]
+    report = sweep_gan(
+        cfg, ed_cfg, train_data, seeds=seeds, latents=latents,
+        ed_variables=ed_variables, workdir=args.workdir,
+        samples_per_emotion=args.samples_per_emotion,
+        promote_best=args.promote_best,
+        mesh=_mesh_from_args(args),
+        precision="bf16" if getattr(args, "bf16", False) else None,
+    )
+    print(json.dumps({"best_seed": report["best_seed"],
+                      "best_checkpoint": report["best_checkpoint"],
+                      "gate": [{ "seed": r["seed"],
+                                 "passed": r["gate_passed"],
+                                 "total": r["gate_total"]}
+                               for r in report["results"]]}))
 
 
 def cmd_sample(args):
@@ -1097,6 +1145,32 @@ def build_parser():
     s.add_argument("--bf16", action="store_true",
                    help="mixed-precision MXU training (bf16 matmul passes)")
     s.set_defaults(fn=cmd_train_gan)
+
+    s = sub.add_parser(
+        "sweep",
+        help="population training: K GAN seeds as one vmapped program, "
+             "quality-gate-ranked (train/sweep.py)")
+    s.add_argument("--config", default="configs/gan.yaml")
+    s.add_argument("--ed-config", default="configs/ed.yaml", dest="ed_config")
+    s.add_argument("--ed-ckpt", default=None, dest="ed_ckpt")
+    s.add_argument("--workdir", default=".")
+    s.add_argument("--splits-dir", default="data/splits")
+    s.add_argument("--processed-dir", default="data/processed")
+    s.add_argument("--epochs", type=int, default=None)
+    s.add_argument("--seeds", type=int, nargs="+", default=None,
+                   help="explicit member seeds (default: cfg.seed .. +K-1)")
+    s.add_argument("--population", type=int, default=4,
+                   help="member count when --seeds is not given")
+    s.add_argument("--samples-per-emotion", type=int, default=2,
+                   help="gate samples generated per emotion per member")
+    s.add_argument("--promote-best", action="store_true",
+                   help="copy the winning member to the stage's gan_final.ckpt")
+    s.add_argument("--dp", type=int, default=0,
+                   help="shard the POPULATION over N devices (members are "
+                        "independent: zero collectives, linear scaling)")
+    s.add_argument("--bf16", action="store_true",
+                   help="mixed-precision MXU training (bf16 matmul passes)")
+    s.set_defaults(fn=cmd_sweep)
 
     s = sub.add_parser("sample", help="emotion-conditioned MIDI generation")
     s.add_argument("--emotion", default="all", choices=["all", "happy", "sad", "angry", "calm"])

@@ -1,0 +1,298 @@
+"""Population training: K independent WGAN-GP runs as ONE vmapped program.
+
+A TPU-native capability with no reference equivalent (the torch scripts
+train exactly one model per process — /root/reference/src/gan/train_gan.py):
+``jax.vmap`` lifts the fused multi-epoch WGAN-GP run step
+(``gan_step.indexed_run_step``) over a population axis, so K seeds train
+concurrently in a single jitted dispatch per checkpoint chunk — one compile
+(the population program traces once; seeds differ only in values), one
+tunnel round trip, and K× the arithmetic intensity. At the reference's
+batch size (32) the per-seed matmuls underfill the 128×128 MXU; batching
+the population multiplies occupancy on the same device.
+
+Each population member gets its own parameter init (``init_state(seed)``),
+its own device RNG stream (noise/α/dropout), and its own epoch shuffles
+(``np.random.default_rng(seed)`` — the same data-order convention as
+``gan_loop.train``), so member ``s`` reproduces a solo ``train`` run with
+``cfg.seed = s`` (tested: tests/test_sweep.py).
+
+Selection runs the golden-band quality gate over freshly generated samples
+per member — the winner is the checkpoint that best satisfies the
+reference's own artifact statistics (diagnostics/quality.py), not a proxy
+loss: WGAN critic losses are not comparable across independent critics.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from melogan_tpu.config import EDConfig, GANConfig
+from melogan_tpu.data.datasets import SplitData, epoch_group_indices
+from melogan_tpu.train import gan_step
+from melogan_tpu.utils.checkpoint import save_checkpoint
+
+
+def _stack_states(states: Sequence[gan_step.GANTrainState]) -> gan_step.GANTrainState:
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+def _member(batched: gan_step.GANTrainState, k: int) -> gan_step.GANTrainState:
+    return jax.tree_util.tree_map(lambda x: np.asarray(x[k]), batched)
+
+
+def sweep_gan(
+    cfg: GANConfig,
+    ed_cfg: EDConfig,
+    train_data: SplitData,
+    seeds: Sequence[int],
+    latents: Optional[np.ndarray] = None,
+    ed_variables: Optional[Dict] = None,
+    workdir: Optional[str] = None,
+    epochs: Optional[int] = None,
+    verbose: bool = True,
+    precision=None,
+    samples_per_emotion: int = 2,
+    promote_best: bool = False,
+    mesh=None,
+) -> Dict:
+    """Train ``len(seeds)`` WGAN-GP runs concurrently; gate and rank them.
+
+    ``mesh``: optional Mesh with a 'data' axis — the POPULATION axis is then
+    sharded over it (members are independent, so this is embarrassingly
+    parallel: each device trains K/N members with ZERO collectives; the
+    corpus is replicated). Requires len(seeds) divisible by the axis size.
+
+    Artifacts (under ``workdir``): ``experiments/gan/sweep/seed<S>/``
+    holds each member's ``gan_final.ckpt`` (``load_gan_final``-compatible)
+    plus its gate samples; ``experiments/gan/sweep/sweep_report.json`` has
+    per-member curves, gate results, and the winner. ``promote_best`` also
+    copies the winner to the stage's regular ``gan_final.ckpt`` so the
+    pipeline's downstream (sample / serve / quality-gate) picks it up.
+    ``precision='bf16'`` runs the population with single-pass MXU matmuls.
+    """
+    from melogan_tpu.train.harness import jit_with_precision
+
+    seeds = [int(s) for s in seeds]
+    if len(set(seeds)) != len(seeds):
+        raise ValueError(f"duplicate seeds in {seeds}")
+    if mesh is not None and len(seeds) % mesh.shape["data"] != 0:
+        raise ValueError(
+            f"population ({len(seeds)}) must be divisible by the 'data' "
+            f"axis size ({mesh.shape['data']}) to shard members over devices"
+        )
+    n_epochs = epochs or cfg.epochs
+
+    models = gan_step.build_models(cfg, ed_cfg)
+    states = [
+        gan_step.init_state(cfg, models, seed=s, ed_variables=ed_variables)
+        for s in seeds
+    ]
+    batched = _stack_states(states)
+    # population sharding: leading (member) axis over 'data'; every leaf of
+    # the state has it, so each device carries K/N members end to end and
+    # GSPMD partitions the vmapped program with no cross-member reductions
+    # to communicate — per-step collective traffic is exactly zero
+    _pop_put = lambda x: x  # noqa: E731
+    if mesh is not None:
+        from melogan_tpu.parallel.mesh import batch_sharding
+
+        _pop_put = lambda x: jax.device_put(  # noqa: E731
+            x, batch_sharding(mesh, np.ndim(x)))
+        batched = jax.tree_util.tree_map(_pop_put, batched)
+    steps = gan_step.make_train_steps(cfg, models)
+
+    # population step: vmap the fused multi-epoch run over (state, indices).
+    # The corpus and the live mask are shared (in_axes=None); each member
+    # carries its own shuffles. tail-less corpora trace the no-tail variant.
+    def _run(st, data, gidx, tidx, live):
+        if tidx is None:
+            return jax.vmap(
+                lambda s, g: steps.run(s, data, g, None, live), in_axes=(0, 0)
+            )(st, gidx)
+        return jax.vmap(
+            lambda s, g, t: steps.run(s, data, g, t, live), in_axes=(0, 0, 0)
+        )(st, gidx, tidx)
+
+    run_fn = jit_with_precision(_run, precision)
+
+    notes = train_data.notes_gan()
+    emotion_idx = train_data.emotion_idx.astype(np.int32)
+    numeric = train_data.numeric.astype(np.float32)
+    if latents is None or latents.shape[0] != notes.shape[0]:
+        if latents is not None and verbose:
+            print("[WARN] latent feats length mismatch; using zero latents")
+        latents = np.zeros((notes.shape[0], cfg.latent_dim), np.float32)
+    data_dev = (
+        jnp.asarray(notes),
+        jnp.asarray(emotion_idx),
+        jnp.asarray(latents),
+        jnp.asarray(numeric),
+    )
+    if mesh is not None:
+        from melogan_tpu.parallel.mesh import put_replicated
+
+        data_dev = put_replicated(data_dev, mesh)
+
+    n = notes.shape[0]
+    n_batches = n // cfg.batch_size
+    if n_batches // cfg.critic_iters == 0:
+        raise ValueError(
+            f"corpus too small for a sweep: {n} rows yield {n_batches} batches "
+            f"< critic_iters ({cfg.critic_iters}); use gan_loop.train"
+        )
+
+    # per-member epoch-shuffle streams (solo-train convention: seed = cfg.seed)
+    rngs = [np.random.default_rng(s) for s in seeds]
+    history: List[List[Dict[str, float]]] = [[] for _ in seeds]
+    epoch = 1
+    while epoch <= n_epochs:
+        chunk_end = min(n_epochs, ((epoch - 1) // cfg.save_freq + 1) * cfg.save_freq)
+        chunk = list(range(epoch, chunk_end + 1))
+        e_dim = cfg.save_freq if n_epochs > cfg.save_freq else len(chunk)
+        t0 = time.perf_counter()
+        g_all, t_all = [], []
+        for rng in rngs:
+            g_stack, t_stack = [], []
+            for _ in chunk:
+                gi, ti = epoch_group_indices(n, cfg.batch_size, cfg.critic_iters, rng)
+                g_stack.append(gi)
+                t_stack.append(ti)
+            if len(chunk) < e_dim:  # pad the short final chunk (live-masked)
+                pad = e_dim - len(chunk)
+                g_stack += [g_stack[-1]] * pad
+                t_stack += [t_stack[-1]] * pad
+            g_all.append(np.stack(g_stack))
+            if t_stack[0] is not None:
+                t_all.append(np.stack(t_stack))
+        live_mask = jnp.asarray(np.arange(e_dim) < len(chunk))
+        gidx = _pop_put(np.stack(g_all).astype(np.int32))  # (K, E, G, ci, B)
+        tidx = _pop_put(np.stack(t_all).astype(np.int32)) if t_all else None
+        batched, m = run_fn(batched, data_dev, gidx, tidx, live_mask)
+
+        n_groups = gidx.shape[2]
+        n_steps = n_groups * cfg.critic_iters + (tidx.shape[2] if tidx is not None else 0)
+        dt = (time.perf_counter() - t0) / len(chunk)
+        for k in range(len(seeds)):
+            for j, ep in enumerate(chunk):
+                history[k].append({
+                    "epoch": ep,
+                    "Loss/Critic": float(m["loss_d_sum"][k, j]) / n_steps,
+                    "Loss/Generator_Adv": float(m["loss_g_adv"][k, j]) / n_groups,
+                    "Loss/Generator_Emo": float(m["loss_g_emo"][k, j]) / n_groups,
+                })
+        if verbose:
+            last = [history[k][-1] for k in range(len(seeds))]
+            print(
+                f"[SWEEP epochs {chunk[0]}-{chunk[-1]}/{n_epochs}] "
+                + " | ".join(
+                    f"s{seeds[k]}: D {last[k]['Loss/Critic']:.3f} "
+                    f"G_emo {last[k]['Loss/Generator_Emo']:.3f}"
+                    for k in range(len(seeds))
+                )
+                + f" | {dt:.2f}s/epoch (population of {len(seeds)})"
+            )
+        epoch = chunk_end + 1
+
+    return _select_and_save(
+        cfg, batched, seeds, history, workdir=workdir,
+        samples_per_emotion=samples_per_emotion, promote_best=promote_best,
+        verbose=verbose,
+    )
+
+
+def _select_and_save(
+    cfg: GANConfig,
+    batched: gan_step.GANTrainState,
+    seeds: Sequence[int],
+    history: List[List[Dict[str, float]]],
+    workdir: Optional[str],
+    samples_per_emotion: int,
+    promote_best: bool,
+    verbose: bool,
+) -> Dict:
+    """Gate each member's fresh samples against the golden bands; rank by
+    (files passed, fewest violations); save per-member finals + report."""
+    from melogan_tpu.constants import BPM_JITTER
+    from melogan_tpu.diagnostics.quality import gate_directory
+    from melogan_tpu.sampling import EMOTION_BPM, EMOTIONS, Sampler
+
+    base = os.path.join(workdir or ".", cfg.checkpoint_dir)
+    sweep_dir = os.path.join(os.path.dirname(base.rstrip("/")), "sweep")
+    os.makedirs(sweep_dir, exist_ok=True)
+
+    sampler = None  # built once; weights swapped per member (no recompile)
+    results = []
+    for k, seed in enumerate(seeds):
+        member = _member(batched, k)
+        gen_vars = {"params": member.gen_params, "batch_stats": member.gen_stats}
+        fe_vars = {"params": member.fe_params}
+        seed_dir = os.path.join(sweep_dir, f"seed{seed}")
+        os.makedirs(seed_dir, exist_ok=True)
+        ckpt_path = os.path.join(seed_dir, "gan_final.ckpt")
+        save_checkpoint(ckpt_path, {"G": gen_vars, "E_num": fe_vars})
+
+        if sampler is None:
+            sampler = Sampler(cfg, gen_variables=gen_vars, fe_variables=fe_vars)
+        else:
+            sampler.swap_variables(gen_vars, fe_vars)
+        rng = np.random.default_rng(seed)
+        prompts, paths, bpms = [], [], []
+        for emotion in EMOTIONS:
+            for i in range(1, samples_per_emotion + 1):
+                prompts.append(emotion)
+                paths.append(os.path.join(seed_dir, f"gate_{emotion}_{i}.mid"))
+                bpms.append(float(EMOTION_BPM[emotion]
+                                  * (1.0 + rng.uniform(-BPM_JITTER, BPM_JITTER))))
+        sampler.generate_many(prompts, paths, seed=int(rng.integers(0, 2**31)),
+                              bpms=bpms)
+        gate = gate_directory(seed_dir)
+        passed = sum(1 for f in gate["files"].values() if not f["violations"])
+        violations = sum(len(f["violations"]) for f in gate["files"].values())
+        results.append({
+            "seed": seed,
+            "checkpoint": ckpt_path,
+            "gate_passed": passed,
+            "gate_total": len(gate["files"]),
+            "gate_violations": violations,
+            "final": history[k][-1] if history[k] else None,
+            "curve": history[k],
+        })
+        if verbose:
+            print(f"[SWEEP seed {seed}] gate {passed}/{len(gate['files'])} "
+                  f"({violations} violations) -> {ckpt_path}")
+
+    order = sorted(range(len(results)),
+                   key=lambda i: (-results[i]["gate_passed"],
+                                  results[i]["gate_violations"],
+                                  i))
+    best = results[order[0]]
+    report = {"seeds": seeds, "results": results, "best_seed": best["seed"],
+              "best_checkpoint": best["checkpoint"], "promoted": False}
+    if promote_best:
+        final_path = os.path.join(base, "gan_final.ckpt")
+        os.makedirs(base, exist_ok=True)
+        with open(best["checkpoint"], "rb") as src:
+            payload = src.read()
+        from melogan_tpu.utils.atomic import atomic_write
+
+        atomic_write(final_path, lambda f: f.write(payload), mode="wb")
+        report["promoted"] = True
+        report["promoted_to"] = final_path
+        if verbose:
+            print(f"[SWEEP] promoted seed {best['seed']} -> {final_path}")
+
+    report_path = os.path.join(sweep_dir, "sweep_report.json")
+    from melogan_tpu.utils.atomic import atomic_write
+
+    atomic_write(report_path, lambda f: json.dump(report, f, indent=2))
+    if verbose:
+        print(f"[SWEEP] best seed {best['seed']} "
+              f"(gate {best['gate_passed']}/{best['gate_total']}); "
+              f"report -> {report_path}")
+    return report

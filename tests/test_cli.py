@@ -15,7 +15,7 @@ def test_parser_has_all_subcommands():
     subs = p._subparsers._group_actions[0].choices
     expected = {
         "synth-data", "preprocess", "make-splits", "split-arrays",
-        "train-ae", "encode", "train-ed", "eval-ed", "train-gan",
+        "train-ae", "encode", "train-ed", "eval-ed", "train-gan", "sweep",
         "sample", "pipeline", "precompile", "diagnose", "analyze-midi", "tsne",
         "serve", "bench", "roll-to-midi", "clean",
     }
