@@ -13,9 +13,10 @@ binary:
   melogan train-ed          Stage 2: emotion discriminator
   melogan eval-ed           ED evaluation (the script the reference lost)
   melogan train-gan         Stage 3: WGAN-GP
-  melogan sweep             Stage 3 population: K seeds as ONE vmapped
-                            program, quality-gate-ranked (TPU-native;
-                            no reference equivalent)
+  melogan sweep             Stage 3 population: K seeds — or a --hyper
+                            grid of configs — as ONE vmapped program,
+                            quality-gate-ranked (TPU-native; no
+                            reference equivalent)
   melogan sample            emotion-conditioned .mid generation (test_gan)
   melogan pipeline          all stages end-to-end (full_script.sh)
   melogan diagnose          data-sanity diagnostics
@@ -256,6 +257,27 @@ def cmd_train_gan(args):
     print(json.dumps(metrics))
 
 
+def parse_hyper_grid(spec):
+    """``--hyper`` JSON → a per-member override list for sweep_gan.
+
+    Accepts row form (a list of override dicts) or column form (a dict of
+    equal-length lists: '{"lr_g": [1e-4, 2e-4]}'); key validity is checked
+    downstream by gan_step.HyperParams.from_config."""
+    if not spec:
+        return None
+    grid = json.loads(spec)
+    if isinstance(grid, dict):
+        lens = {len(v) for v in grid.values()}
+        if len(lens) != 1:
+            raise SystemExit("--hyper column lists must share one length")
+        n = lens.pop()
+        grid = [{k: v[i] for k, v in grid.items()} for i in range(n)]
+    if not isinstance(grid, list) or not all(isinstance(h, dict) for h in grid):
+        raise SystemExit("--hyper must be a JSON list of override dicts "
+                         "or a dict of equal-length lists")
+    return grid
+
+
 def cmd_sweep(args):
     """Population sweep: K WGAN-GP seeds trained concurrently as one vmapped
     XLA program, ranked by the golden-band quality gate (train/sweep.py —
@@ -284,7 +306,16 @@ def cmd_sweep(args):
     else:
         print(f"[WARN] ED checkpoint not found at {ed_ckpt}. ED will be random!")
 
-    seeds = args.seeds or [cfg.seed + i for i in range(args.population)]
+    hyper_grid = parse_hyper_grid(getattr(args, "hyper", None))
+
+    if args.seeds:
+        seeds = args.seeds
+    elif hyper_grid is not None:
+        # a hyper search defaults to a SHARED seed: members differ only in
+        # their hyperparameters, so the comparison is init/noise-controlled
+        seeds = [cfg.seed] * len(hyper_grid)
+    else:
+        seeds = [cfg.seed + i for i in range(args.population)]
     report = sweep_gan(
         cfg, ed_cfg, train_data, seeds=seeds, latents=latents,
         ed_variables=ed_variables, workdir=args.workdir,
@@ -292,6 +323,7 @@ def cmd_sweep(args):
         promote_best=args.promote_best,
         mesh=_mesh_from_args(args),
         precision="bf16" if getattr(args, "bf16", False) else None,
+        hyper_grid=hyper_grid,
     )
     print(json.dumps({"best_seed": report["best_seed"],
                       "best_checkpoint": report["best_checkpoint"],
@@ -1158,9 +1190,16 @@ def build_parser():
     s.add_argument("--processed-dir", default="data/processed")
     s.add_argument("--epochs", type=int, default=None)
     s.add_argument("--seeds", type=int, nargs="+", default=None,
-                   help="explicit member seeds (default: cfg.seed .. +K-1)")
+                   help="explicit member seeds (default: cfg.seed .. +K-1; "
+                        "with --hyper: cfg.seed shared by every member)")
     s.add_argument("--population", type=int, default=4,
                    help="member count when --seeds is not given")
+    s.add_argument("--hyper", default=None,
+                   help="JSON hyperparameter grid: a list of per-member "
+                        "override dicts (keys: lr_g, lr_d, lambda_gp, "
+                        "lambda_emotion) or a dict of equal-length lists, "
+                        "e.g. '{\"lr_g\": [1e-4, 2e-4, 4e-4]}' — all members "
+                        "train in ONE vmapped program")
     s.add_argument("--samples-per-emotion", type=int, default=2,
                    help="gate samples generated per emotion per member")
     s.add_argument("--promote-best", action="store_true",

@@ -74,6 +74,41 @@ def make_optimizers(cfg: GANConfig) -> Tuple[optax.GradientTransformation, optax
     return opt_g, opt_d
 
 
+class HyperParams(NamedTuple):
+    """Per-run hyperparameters as scalars that may be TRACERS.
+
+    Passing a ``HyperParams`` into :func:`make_train_steps` makes the fused
+    programs read these four knobs from runtime values instead of baking the
+    config floats into the compiled executable — which is what lets
+    ``jax.vmap`` train a POPULATION of hyperparameter configurations as one
+    XLA program (train/sweep.py): each member carries its own (lr_g, lr_d,
+    λ_gp, λ_emo) scalar, the trace is shared.
+
+    Numerics are bit-identical to the baked path: ``optax.adam(lr)`` ends in
+    ``scale(-lr)`` — one IEEE multiply per leaf — and the hyper path computes
+    ``lr * (-x)`` via ``adam(1.0)``, which is the same value exactly (both
+    are ``-(lr*x)``; negation is exact). Adam's moment state is lr-free, so
+    opt-state trees are interchangeable between the two paths (checkpoints
+    resume across them). Tested: tests/test_sweep.py.
+    """
+
+    lr_g: Any
+    lr_d: Any
+    lambda_gp: Any
+    lambda_emotion: Any
+
+    @classmethod
+    def from_config(cls, cfg: GANConfig, **overrides) -> "HyperParams":
+        """Config defaults, with any of the four fields overridden."""
+        bad = set(overrides) - set(cls._fields)
+        if bad:
+            raise ValueError(f"unknown hyperparams {sorted(bad)}; "
+                             f"valid: {list(cls._fields)}")
+        vals = {f: getattr(cfg, f) for f in cls._fields}
+        vals.update({k: v for k, v in overrides.items() if v is not None})
+        return cls(**vals)
+
+
 def init_state(
     cfg: GANConfig,
     models: GANModels,
@@ -151,7 +186,10 @@ class TrainStepFns(NamedTuple):
     run: Any  # (state, device data, (E,G,K,B) idx, (E,T,B) idx) → E epochs
 
 
-def make_train_steps(cfg: GANConfig, models: GANModels, mesh=None) -> TrainStepFns:
+def make_train_steps(
+    cfg: GANConfig, models: GANModels, mesh=None,
+    hyper: Optional[HyperParams] = None,
+) -> TrainStepFns:
     """Build the fused train-step pure functions (see TrainStepFns).
 
     group(state, batches) with each batch field stacked to
@@ -167,10 +205,28 @@ def make_train_steps(cfg: GANConfig, models: GANModels, mesh=None) -> TrainStepF
     gradient/batch-stat all-reduces on ICI. Params/opt state stay replicated
     (they're tiny); trajectories match the single-device program up to
     reduction order (tested in tests/test_parallel.py).
+
+    With ``hyper`` (a :class:`HyperParams`, fields may be tracers) the four
+    knobs become runtime values: the optimizers run at lr 1.0 and the update
+    is scaled by ``hyper.lr_*`` (bit-identical — see HyperParams), and the
+    loss weights multiply by ``hyper.lambda_*``. This is how train/sweep.py
+    vmaps a hyperparameter population through ONE compiled program.
     """
     gen, critic, fe, ed = models
-    opt_g, opt_d = make_optimizers(cfg)
-    lambda_gp, lambda_emo = cfg.lambda_gp, cfg.lambda_emotion
+    if hyper is None:
+        opt_g, opt_d = make_optimizers(cfg)
+        lr_scale_g = lr_scale_d = None
+        lambda_gp, lambda_emo = cfg.lambda_gp, cfg.lambda_emotion
+    else:
+        opt_g = optax.adam(1.0, b1=cfg.beta1, b2=cfg.beta2)
+        opt_d = optax.adam(1.0, b1=cfg.beta1, b2=cfg.beta2)
+        lr_scale_g, lr_scale_d = hyper.lr_g, hyper.lr_d
+        lambda_gp, lambda_emo = hyper.lambda_gp, hyper.lambda_emotion
+
+    def _scale(updates, lr):
+        if lr is None:
+            return updates
+        return jax.tree_util.tree_map(lambda u: u * lr, updates)
     from melogan_tpu.parallel.mesh import microbatch_constrainer
 
     shard_mb = microbatch_constrainer(mesh)
@@ -218,7 +274,7 @@ def make_train_steps(cfg: GANConfig, models: GANModels, mesh=None) -> TrainStepF
 
         (loss_d, gp), grads = jax.value_and_grad(loss_fn, has_aux=True)(critic_params)
         updates, opt_d_state = opt_d.update(grads, opt_d_state, critic_params)
-        critic_params = optax.apply_updates(critic_params, updates)
+        critic_params = optax.apply_updates(critic_params, _scale(updates, lr_scale_d))
         carry = (critic_params, opt_d_state, gen_params, gen_stats, fe_params, rng)
         return carry, (loss_d, gp)
 
@@ -247,7 +303,7 @@ def make_train_steps(cfg: GANConfig, models: GANModels, mesh=None) -> TrainStepF
         joint = (state.gen_params, state.fe_params)
         (_, (new_stats, adv, emo)), grads = jax.value_and_grad(loss_fn, has_aux=True)(joint)
         updates, opt_g_state = opt_g.update(grads, state.opt_g, joint)
-        gen_params, fe_params = optax.apply_updates(joint, updates)
+        gen_params, fe_params = optax.apply_updates(joint, _scale(updates, lr_scale_g))
         return gen_params, fe_params, opt_g_state, new_stats, adv, emo, rng
 
     # -- fused group step --------------------------------------------------

@@ -3,12 +3,20 @@
 A TPU-native capability with no reference equivalent (the torch scripts
 train exactly one model per process — /root/reference/src/gan/train_gan.py):
 ``jax.vmap`` lifts the fused multi-epoch WGAN-GP run step
-(``gan_step.indexed_run_step``) over a population axis, so K seeds train
-concurrently in a single jitted dispatch per checkpoint chunk — one compile
-(the population program traces once; seeds differ only in values), one
-tunnel round trip, and K× the arithmetic intensity. At the reference's
-batch size (32) the per-seed matmuls underfill the 128×128 MXU; batching
-the population multiplies occupancy on the same device.
+(``gan_step.indexed_run_step``) over a population axis, so K members train
+concurrently in a single jitted dispatch per checkpoint chunk — ONE compile
+for the whole population (the program traces once; members differ only in
+values) and one tunnel round trip per chunk. Measured on a v5e at full
+reference shapes (scripts/sweep_ab.py, f32 HIGHEST): the fused solo program
+already nearly saturates the chip, so aggregate throughput grows 1.22× at
+K=8 (800.6 → 972.8 reference steps/s) — the population's real win is
+training K configurations for ~1/K-th of the compiles and dispatches, plus
+that 22%, not K× compute.
+
+Members may also differ in HYPERPARAMETERS (``hyper_grid``): lr_g/lr_d/λ_gp/
+λ_emo become traced scalars (``gan_step.HyperParams``) so one compiled
+program trains a whole search grid — a capability the torch reference would
+need K processes and K GPUs for.
 
 Each population member gets its own parameter init (``init_state(seed)``),
 its own device RNG stream (noise/α/dropout), and its own epoch shuffles
@@ -60,8 +68,18 @@ def sweep_gan(
     samples_per_emotion: int = 2,
     promote_best: bool = False,
     mesh=None,
+    hyper_grid: Optional[Sequence[Dict[str, float]]] = None,
 ) -> Dict:
     """Train ``len(seeds)`` WGAN-GP runs concurrently; gate and rank them.
+
+    ``hyper_grid``: optional per-member hyperparameter overrides — one dict
+    per seed with any of ``lr_g, lr_d, lambda_gp, lambda_emotion`` — turning
+    the seed population into a HYPERPARAMETER SEARCH in the same single
+    vmapped program: the four knobs become traced scalars
+    (``gan_step.HyperParams``), so all members share one compile and one
+    dispatch per chunk while training different configurations. A member
+    whose overrides are empty is bit-identical to the plain-population (and
+    solo-train) trajectory with the same seed (tests/test_sweep.py).
 
     ``mesh``: optional Mesh with a 'data' axis — the POPULATION axis is then
     sharded over it (members are independent, so this is embarrassingly
@@ -79,8 +97,18 @@ def sweep_gan(
     from melogan_tpu.train.harness import jit_with_precision
 
     seeds = [int(s) for s in seeds]
-    if len(set(seeds)) != len(seeds):
+    if len(set(seeds)) != len(seeds) and hyper_grid is None:
         raise ValueError(f"duplicate seeds in {seeds}")
+    hypers = None
+    if hyper_grid is not None:
+        if len(hyper_grid) != len(seeds):
+            raise ValueError(
+                f"hyper_grid has {len(hyper_grid)} entries for "
+                f"{len(seeds)} seeds; they must pair 1:1"
+            )
+        # resolve against the config now so the report carries full values
+        # (and unknown keys fail before any compile)
+        hypers = [gan_step.HyperParams.from_config(cfg, **h) for h in hyper_grid]
     if mesh is not None and len(seeds) % mesh.shape["data"] != 0:
         raise ValueError(
             f"population ({len(seeds)}) must be divisible by the 'data' "
@@ -107,17 +135,47 @@ def sweep_gan(
         batched = jax.tree_util.tree_map(_pop_put, batched)
     steps = gan_step.make_train_steps(cfg, models)
 
-    # population step: vmap the fused multi-epoch run over (state, indices).
-    # The corpus and the live mask are shared (in_axes=None); each member
-    # carries its own shuffles. tail-less corpora trace the no-tail variant.
-    def _run(st, data, gidx, tidx, live):
+    # per-member hyperparameters as stacked (K,) f32 scalars — vmap maps
+    # them alongside the state, so each member's traced lr/λ values feed the
+    # SAME compiled program (gan_step.HyperParams)
+    hp_arrays = None
+    if hypers is not None:
+        hp_arrays = gan_step.HyperParams(*(
+            _pop_put(jnp.asarray([float(getattr(h, f)) for h in hypers],
+                                 jnp.float32))
+            for f in gan_step.HyperParams._fields
+        ))
+
+    # population step: vmap the fused multi-epoch run over (state, [hyper,]
+    # indices). The corpus and the live mask are shared (closed over); each
+    # member carries its own shuffles. tail-less corpora trace the no-tail
+    # variant.
+    def _member_run(s, h, data, g, t, live):
+        member_steps = (
+            steps if h is None else gan_step.make_train_steps(cfg, models, hyper=h)
+        )
+        return member_steps.run(s, data, g, t, live)
+
+    def _run(st, hp, data, gidx, tidx, live):
         if tidx is None:
+            if hp is None:
+                return jax.vmap(
+                    lambda s, g: _member_run(s, None, data, g, None, live),
+                    in_axes=(0, 0),
+                )(st, gidx)
             return jax.vmap(
-                lambda s, g: steps.run(s, data, g, None, live), in_axes=(0, 0)
-            )(st, gidx)
+                lambda s, h, g: _member_run(s, h, data, g, None, live),
+                in_axes=(0, 0, 0),
+            )(st, hp, gidx)
+        if hp is None:
+            return jax.vmap(
+                lambda s, g, t: _member_run(s, None, data, g, t, live),
+                in_axes=(0, 0, 0),
+            )(st, gidx, tidx)
         return jax.vmap(
-            lambda s, g, t: steps.run(s, data, g, t, live), in_axes=(0, 0, 0)
-        )(st, gidx, tidx)
+            lambda s, h, g, t: _member_run(s, h, data, g, t, live),
+            in_axes=(0, 0, 0, 0),
+        )(st, hp, gidx, tidx)
 
     run_fn = jit_with_precision(_run, precision)
 
@@ -173,7 +231,7 @@ def sweep_gan(
         live_mask = jnp.asarray(np.arange(e_dim) < len(chunk))
         gidx = _pop_put(np.stack(g_all).astype(np.int32))  # (K, E, G, ci, B)
         tidx = _pop_put(np.stack(t_all).astype(np.int32)) if t_all else None
-        batched, m = run_fn(batched, data_dev, gidx, tidx, live_mask)
+        batched, m = run_fn(batched, hp_arrays, data_dev, gidx, tidx, live_mask)
 
         n_groups = gidx.shape[2]
         n_steps = n_groups * cfg.critic_iters + (tidx.shape[2] if tidx is not None else 0)
@@ -202,7 +260,7 @@ def sweep_gan(
     return _select_and_save(
         cfg, batched, seeds, history, workdir=workdir,
         samples_per_emotion=samples_per_emotion, promote_best=promote_best,
-        verbose=verbose,
+        verbose=verbose, hypers=hypers,
     )
 
 
@@ -215,6 +273,7 @@ def _select_and_save(
     samples_per_emotion: int,
     promote_best: bool,
     verbose: bool,
+    hypers: Optional[Sequence[gan_step.HyperParams]] = None,
 ) -> Dict:
     """Gate each member's fresh samples against the golden bands; rank by
     (files passed, fewest violations); save per-member finals + report."""
@@ -232,7 +291,9 @@ def _select_and_save(
         member = _member(batched, k)
         gen_vars = {"params": member.gen_params, "batch_stats": member.gen_stats}
         fe_vars = {"params": member.fe_params}
-        seed_dir = os.path.join(sweep_dir, f"seed{seed}")
+        # hyper populations may reuse a seed across members; disambiguate dirs
+        label = f"seed{seed}" if hypers is None else f"m{k}_seed{seed}"
+        seed_dir = os.path.join(sweep_dir, label)
         os.makedirs(seed_dir, exist_ok=True)
         ckpt_path = os.path.join(seed_dir, "gan_final.ckpt")
         save_checkpoint(ckpt_path, {"G": gen_vars, "E_num": fe_vars})
@@ -257,6 +318,7 @@ def _select_and_save(
         results.append({
             "seed": seed,
             "checkpoint": ckpt_path,
+            "hyper": (dict(hypers[k]._asdict()) if hypers is not None else None),
             "gate_passed": passed,
             "gate_total": len(gate["files"]),
             "gate_violations": violations,

@@ -7,8 +7,13 @@ config/gan_config.yaml:43) a single member underfills the MXU; the
 population multiplies arithmetic intensity without touching semantics
 (member trajectories match solo runs — tests/test_sweep.py).
 
-Run on the TPU (default platform): python scripts/sweep_ab.py [K ...]
+Run on the TPU (default platform): python scripts/sweep_ab.py [--bf16] [K ...]
 Prints one JSON line per configuration plus a summary.
+
+Measured (v5e, 2026-08-19, f32 HIGHEST): K=1 800.6 agg steps/s, K=2 881.0,
+K=4 953.3, K=8 972.8 — the fused solo program already nearly saturates the
+chip at these shapes, so the population buys 1.22x aggregate throughput at
+K=8 (plus ONE compile instead of K), not Kx. See docs/performance.md.
 """
 import json
 import os
@@ -41,7 +46,9 @@ def _epoch_idx(cfg, rng, e):
 
 
 def main():
-    ks = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
+    argv = sys.argv[1:]
+    precision = "bf16" if "--bf16" in argv else None
+    ks = [int(a) for a in argv if a != "--bf16"] or [1, 2, 4, 8]
     cfg = GANConfig()  # full reference shapes: 512×4 notes, batch 32, 5:1
     ed_cfg = EDConfig()
     models = gan_step.build_models(cfg, ed_cfg)
@@ -58,21 +65,24 @@ def main():
     n_groups = (N_TRAIN // cfg.batch_size) // cfg.critic_iters
     steps_per_epoch = N_TRAIN // cfg.batch_size
 
+    from melogan_tpu.train.harness import jit_with_precision
+
     results = {}
     for k in ks:
         states = [gan_step.init_state(cfg, models, seed=s) for s in range(k)]
         if k == 1:
             st = states[0]
-            fn = jax.jit(steps.run)
+            fn = jit_with_precision(steps.run, precision)
             g, t = _epoch_idx(cfg, np.random.default_rng(1), EPOCHS_PER_CHUNK)
             args = (g, t)
         else:
             st = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
-            fn = jax.jit(
+            fn = jit_with_precision(
                 lambda s, gg, tt: jax.vmap(
                     lambda si, gi, ti: steps.run(si, data, gi, ti, live),
                     in_axes=(0, 0, 0),
-                )(s, gg, tt)
+                )(s, gg, tt),
+                precision,
             )
             pairs = [_epoch_idx(cfg, np.random.default_rng(1 + i), EPOCHS_PER_CHUNK)
                      for i in range(k)]
@@ -102,6 +112,7 @@ def main():
         member_epochs = EPOCHS_PER_CHUNK * k
         row = {
             "k": k,
+            "precision": precision or "f32",
             "compile_s": round(compile_s, 1),
             "chunk_wall_s": round(wall, 4),
             "member_epochs_per_s": round(member_epochs / wall, 2),

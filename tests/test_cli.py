@@ -381,3 +381,20 @@ def test_precompile_refuses_corpus_length_mismatch(tmp_path, capsys, monkeypatch
     out = capsys.readouterr().out
     assert "skipping GAN precompile" in out and "512" in out
     assert "precompile done (0 programs)" in out
+
+
+def test_parse_hyper_grid_forms():
+    """--hyper accepts row form and column form; malformed specs exit typed."""
+    from melogan_tpu.cli import parse_hyper_grid
+
+    assert parse_hyper_grid(None) is None
+    assert parse_hyper_grid("") is None
+    rows = parse_hyper_grid('[{"lr_g": 1e-4}, {"lr_g": 2e-4, "lambda_gp": 5}]')
+    assert rows == [{"lr_g": 1e-4}, {"lr_g": 2e-4, "lambda_gp": 5}]
+    cols = parse_hyper_grid('{"lr_g": [1e-4, 2e-4], "lambda_emotion": [1, 2]}')
+    assert cols == [{"lr_g": 1e-4, "lambda_emotion": 1},
+                    {"lr_g": 2e-4, "lambda_emotion": 2}]
+    with pytest.raises(SystemExit, match="share one length"):
+        parse_hyper_grid('{"lr_g": [1e-4], "lr_d": [1, 2]}')
+    with pytest.raises(SystemExit, match="list of override dicts"):
+        parse_hyper_grid('[1, 2]')

@@ -142,3 +142,99 @@ def test_sweep_rejects_duplicate_seeds_and_tiny_corpus(train_data, rng):
     tiny = synth_split(rng, 8, 64)  # 2 batches < critic_iters(5)
     with pytest.raises(ValueError, match="too small"):
         sweep_gan(GANConfig(**_KW), ed_cfg, tiny, seeds=[1, 2])
+
+
+def test_hyper_steps_bit_identical_at_defaults(train_data):
+    """The hyper path (adam(1.0) + update×lr, traced λs) must be BIT-identical
+    to the baked path at config values: optax.adam(lr) ends in one multiply
+    per leaf (scale(-lr)·x) and lr·(−x) is the same IEEE value exactly, so a
+    hyper member with no overrides IS the solo trajectory."""
+    import jax
+    import jax.numpy as jnp
+
+    from melogan_tpu.train import gan_step
+
+    cfg = GANConfig(**dict(_KW, epochs=1))
+    ed_cfg = EDConfig(max_notes=64, notes_blocks=2, notes_hidden=32, mlp_hidden=(16,))
+    models = gan_step.build_models(cfg, ed_cfg)
+    state = gan_step.init_state(cfg, models, seed=3)
+
+    notes = train_data.notes_gan()
+    data = (
+        jnp.asarray(notes),
+        jnp.asarray(train_data.emotion_idx.astype(np.int32)),
+        jnp.zeros((notes.shape[0], cfg.latent_dim), jnp.float32),
+        jnp.asarray(train_data.numeric.astype(np.float32)),
+    )
+    n = data[0].shape[0]
+    g = (n // cfg.batch_size) // cfg.critic_iters
+    idx = np.random.default_rng(0).permutation(
+        g * cfg.critic_iters * cfg.batch_size
+    ).reshape(1, g, cfg.critic_iters, cfg.batch_size).astype(np.int32)
+    live = jnp.ones((1,), bool)
+
+    plain = gan_step.make_train_steps(cfg, models)
+    hyper = gan_step.make_train_steps(
+        cfg, models, hyper=gan_step.HyperParams.from_config(cfg))
+    out_p, m_p = jax.jit(plain.run)(state, data, jnp.asarray(idx), None, live)
+    out_h, m_h = jax.jit(hyper.run)(state, data, jnp.asarray(idx), None, live)
+
+    for a, b in zip(jax.tree_util.tree_leaves(out_p), jax.tree_util.tree_leaves(out_h)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for k in m_p:
+        np.testing.assert_array_equal(np.asarray(m_p[k]), np.asarray(m_h[k]))
+
+    # ...and traced lr/λ values actually act: a different lr_d moves the critic
+    hot = gan_step.make_train_steps(
+        cfg, models,
+        hyper=gan_step.HyperParams.from_config(cfg, lr_d=cfg.lr_d * 10))
+    out_x, _ = jax.jit(hot.run)(state, data, jnp.asarray(idx), None, live)
+    a0 = jax.tree_util.tree_leaves(out_h.critic_params)[0]
+    b0 = jax.tree_util.tree_leaves(out_x.critic_params)[0]
+    assert not np.allclose(np.asarray(a0), np.asarray(b0))
+
+
+def test_hyper_grid_members_match_solo_modified_configs(train_data, tmp_path):
+    """A hyper-grid sweep is a REAL hyperparameter search: member k's
+    trajectory must equal a solo gan_loop.train run whose config carries
+    those values (same seed, same shuffles), for both the default member and
+    an overridden one. Report rows must carry the resolved hyperparams and
+    member dirs must not collide despite the shared seed."""
+    kw = dict(_KW, epochs=1)
+    ed_cfg = EDConfig(max_notes=64, notes_blocks=2, notes_hidden=32, mlp_hidden=(16,))
+    over = {"lr_g": 8e-4, "lr_d": 3e-4, "lambda_emotion": 2.5}
+
+    report = sweep_gan(
+        GANConfig(seed=7, **kw), ed_cfg, train_data, seeds=[7, 7],
+        hyper_grid=[{}, over],
+        workdir=str(tmp_path / "sweep"), verbose=False, samples_per_emotion=1,
+    )
+
+    for k, solo_kw in enumerate([{}, over]):
+        solo_cfg = GANConfig(seed=7, **kw, **solo_kw)
+        _, solo_hist = gan_loop.train(
+            solo_cfg, ed_cfg, train_data,
+            workdir=str(tmp_path / f"solo{k}"), verbose=False,
+        )
+        m = report["results"][k]["curve"][0]
+        for key in ("Loss/Critic", "Loss/Generator_Adv", "Loss/Generator_Emo"):
+            np.testing.assert_allclose(m[key], solo_hist[key], rtol=1e-4,
+                                       atol=1e-7, err_msg=f"member {k} {key}")
+
+    r0, r1 = report["results"]
+    assert r0["hyper"]["lr_g"] != r1["hyper"]["lr_g"]
+    assert r1["hyper"]["lambda_emotion"] == 2.5
+    assert r0["checkpoint"] != r1["checkpoint"]
+    assert os.path.exists(r0["checkpoint"]) and os.path.exists(r1["checkpoint"])
+    # different hyperparams genuinely diverge
+    assert abs(r0["curve"][0]["Loss/Critic"] - r1["curve"][0]["Loss/Critic"]) > 1e-6
+
+
+def test_hyper_grid_validation(train_data):
+    ed_cfg = EDConfig(max_notes=64, notes_blocks=2, notes_hidden=32, mlp_hidden=(16,))
+    with pytest.raises(ValueError, match="1:1"):
+        sweep_gan(GANConfig(**_KW), ed_cfg, train_data, seeds=[1, 2],
+                  hyper_grid=[{}])
+    with pytest.raises(ValueError, match="unknown hyperparams"):
+        sweep_gan(GANConfig(**_KW), ed_cfg, train_data, seeds=[1],
+                  hyper_grid=[{"learning_rate": 1e-4}])
