@@ -324,6 +324,8 @@ def cmd_sweep(args):
         mesh=_mesh_from_args(args),
         precision="bf16" if getattr(args, "bf16", False) else None,
         hyper_grid=hyper_grid,
+        halving=getattr(args, "halving", False),
+        rung_epochs=getattr(args, "rung_epochs", None),
     )
     print(json.dumps({"best_seed": report["best_seed"],
                       "best_checkpoint": report["best_checkpoint"],
@@ -1202,6 +1204,13 @@ def build_parser():
                         "train in ONE vmapped program")
     s.add_argument("--samples-per-emotion", type=int, default=2,
                    help="gate samples generated per emotion per member")
+    s.add_argument("--halving", action="store_true",
+                   help="successive-halving search: per rung, train the "
+                        "population --rung-epochs, rank by the quality gate, "
+                        "keep the top half (state + shuffle streams carry "
+                        "over); the winner trains on to --epochs total")
+    s.add_argument("--rung-epochs", type=int, default=None, dest="rung_epochs",
+                   help="epochs per halving rung (default: SAVE_FREQ)")
     s.add_argument("--promote-best", action="store_true",
                    help="copy the winning member to the stage's gan_final.ckpt")
     s.add_argument("--dp", type=int, default=0,

@@ -54,6 +54,89 @@ def _member(batched: gan_step.GANTrainState, k: int) -> gan_step.GANTrainState:
     return jax.tree_util.tree_map(lambda x: np.asarray(x[k]), batched)
 
 
+def _take_members(tree, idx: Sequence[int]):
+    """Select population members by index along the leading axis (on device:
+    halving survivors keep their trained state without a host round trip)."""
+    sel = jnp.asarray(list(idx), jnp.int32)
+    return jax.tree_util.tree_map(lambda x: jnp.take(x, sel, axis=0), tree)
+
+
+def _train_population(
+    run_fn,
+    batched: gan_step.GANTrainState,
+    hp_arrays,
+    data_dev,
+    cfg: GANConfig,
+    rngs: List[np.random.Generator],
+    seeds: Sequence[int],
+    n_epochs: int,
+    history: List[List[Dict[str, float]]],
+    _pop_put,
+    n_rows: int,
+    verbose: bool,
+    epoch_offset: int = 0,
+    total_epochs: Optional[int] = None,
+) -> gan_step.GANTrainState:
+    """Run ``n_epochs`` of the vmapped population program in save_freq-sized
+    fused chunks, appending one row per (member, epoch) to ``history``.
+
+    The per-member shuffle generators in ``rngs`` advance exactly as a solo
+    ``gan_loop.train`` run would, so trajectories are chunking-independent —
+    halving rungs call this repeatedly with the SAME generator objects and the
+    surviving members' curves stay bit-identical to uninterrupted runs."""
+    total = total_epochs if total_epochs is not None else epoch_offset + n_epochs
+    epoch = 1
+    while epoch <= n_epochs:
+        chunk_end = min(n_epochs, ((epoch - 1) // cfg.save_freq + 1) * cfg.save_freq)
+        chunk = list(range(epoch, chunk_end + 1))
+        e_dim = cfg.save_freq if n_epochs > cfg.save_freq else len(chunk)
+        t0 = time.perf_counter()
+        g_all, t_all = [], []
+        for rng in rngs:
+            g_stack, t_stack = [], []
+            for _ in chunk:
+                gi, ti = epoch_group_indices(n_rows, cfg.batch_size, cfg.critic_iters, rng)
+                g_stack.append(gi)
+                t_stack.append(ti)
+            if len(chunk) < e_dim:  # pad the short final chunk (live-masked)
+                pad = e_dim - len(chunk)
+                g_stack += [g_stack[-1]] * pad
+                t_stack += [t_stack[-1]] * pad
+            g_all.append(np.stack(g_stack))
+            if t_stack[0] is not None:
+                t_all.append(np.stack(t_stack))
+        live_mask = jnp.asarray(np.arange(e_dim) < len(chunk))
+        gidx = _pop_put(np.stack(g_all).astype(np.int32))  # (K, E, G, ci, B)
+        tidx = _pop_put(np.stack(t_all).astype(np.int32)) if t_all else None
+        batched, m = run_fn(batched, hp_arrays, data_dev, gidx, tidx, live_mask)
+
+        n_groups = gidx.shape[2]
+        n_steps = n_groups * cfg.critic_iters + (tidx.shape[2] if tidx is not None else 0)
+        dt = (time.perf_counter() - t0) / len(chunk)
+        for k in range(len(seeds)):
+            for j, ep in enumerate(chunk):
+                history[k].append({
+                    "epoch": ep + epoch_offset,
+                    "Loss/Critic": float(m["loss_d_sum"][k, j]) / n_steps,
+                    "Loss/Generator_Adv": float(m["loss_g_adv"][k, j]) / n_groups,
+                    "Loss/Generator_Emo": float(m["loss_g_emo"][k, j]) / n_groups,
+                })
+        if verbose:
+            last = [history[k][-1] for k in range(len(seeds))]
+            print(
+                f"[SWEEP epochs {chunk[0] + epoch_offset}-"
+                f"{chunk[-1] + epoch_offset}/{total}] "
+                + " | ".join(
+                    f"s{seeds[k]}: D {last[k]['Loss/Critic']:.3f} "
+                    f"G_emo {last[k]['Loss/Generator_Emo']:.3f}"
+                    for k in range(len(seeds))
+                )
+                + f" | {dt:.2f}s/epoch (population of {len(seeds)})"
+            )
+        epoch = chunk_end + 1
+    return batched
+
+
 def sweep_gan(
     cfg: GANConfig,
     ed_cfg: EDConfig,
@@ -69,8 +152,19 @@ def sweep_gan(
     promote_best: bool = False,
     mesh=None,
     hyper_grid: Optional[Sequence[Dict[str, float]]] = None,
+    halving: bool = False,
+    rung_epochs: Optional[int] = None,
 ) -> Dict:
     """Train ``len(seeds)`` WGAN-GP runs concurrently; gate and rank them.
+
+    ``halving``: successive-halving search. Train the whole population for
+    ``rung_epochs`` (default ``cfg.save_freq``) as one vmapped program, rank
+    members by the golden-band gate on fresh samples, keep the top half
+    (survivors keep their trained state ON DEVICE and their epoch-shuffle
+    streams, so their curves are identical to uninterrupted runs), and repeat
+    until one member remains; the winner then trains on to ``epochs`` total.
+    Each rung's population size is a new leading dim — one XLA compile per
+    rung (sizes K, K/2, …, 1), against K solo compiles for the torch way.
 
     ``hyper_grid``: optional per-member hyperparameter overrides — one dict
     per seed with any of ``lr_g, lr_d, lambda_gp, lambda_emotion`` — turning
@@ -114,6 +208,15 @@ def sweep_gan(
             f"population ({len(seeds)}) must be divisible by the 'data' "
             f"axis size ({mesh.shape['data']}) to shard members over devices"
         )
+    if halving:
+        if len(seeds) < 2:
+            raise ValueError("halving needs a population of at least 2")
+        if mesh is not None:
+            raise ValueError(
+                "halving does not compose with population sharding: rung "
+                "sizes K/2, K/4, … 1 cannot stay divisible by the mesh axis; "
+                "run without --dp"
+            )
     n_epochs = epochs or cfg.epochs
 
     models = gan_step.build_models(cfg, ed_cfg)
@@ -208,60 +311,129 @@ def sweep_gan(
     # per-member epoch-shuffle streams (solo-train convention: seed = cfg.seed)
     rngs = [np.random.default_rng(s) for s in seeds]
     history: List[List[Dict[str, float]]] = [[] for _ in seeds]
-    epoch = 1
-    while epoch <= n_epochs:
-        chunk_end = min(n_epochs, ((epoch - 1) // cfg.save_freq + 1) * cfg.save_freq)
-        chunk = list(range(epoch, chunk_end + 1))
-        e_dim = cfg.save_freq if n_epochs > cfg.save_freq else len(chunk)
-        t0 = time.perf_counter()
-        g_all, t_all = [], []
-        for rng in rngs:
-            g_stack, t_stack = [], []
-            for _ in chunk:
-                gi, ti = epoch_group_indices(n, cfg.batch_size, cfg.critic_iters, rng)
-                g_stack.append(gi)
-                t_stack.append(ti)
-            if len(chunk) < e_dim:  # pad the short final chunk (live-masked)
-                pad = e_dim - len(chunk)
-                g_stack += [g_stack[-1]] * pad
-                t_stack += [t_stack[-1]] * pad
-            g_all.append(np.stack(g_stack))
-            if t_stack[0] is not None:
-                t_all.append(np.stack(t_stack))
-        live_mask = jnp.asarray(np.arange(e_dim) < len(chunk))
-        gidx = _pop_put(np.stack(g_all).astype(np.int32))  # (K, E, G, ci, B)
-        tidx = _pop_put(np.stack(t_all).astype(np.int32)) if t_all else None
-        batched, m = run_fn(batched, hp_arrays, data_dev, gidx, tidx, live_mask)
 
-        n_groups = gidx.shape[2]
-        n_steps = n_groups * cfg.critic_iters + (tidx.shape[2] if tidx is not None else 0)
-        dt = (time.perf_counter() - t0) / len(chunk)
-        for k in range(len(seeds)):
-            for j, ep in enumerate(chunk):
-                history[k].append({
-                    "epoch": ep,
-                    "Loss/Critic": float(m["loss_d_sum"][k, j]) / n_steps,
-                    "Loss/Generator_Adv": float(m["loss_g_adv"][k, j]) / n_groups,
-                    "Loss/Generator_Emo": float(m["loss_g_emo"][k, j]) / n_groups,
-                })
-        if verbose:
-            last = [history[k][-1] for k in range(len(seeds))]
-            print(
-                f"[SWEEP epochs {chunk[0]}-{chunk[-1]}/{n_epochs}] "
-                + " | ".join(
-                    f"s{seeds[k]}: D {last[k]['Loss/Critic']:.3f} "
-                    f"G_emo {last[k]['Loss/Generator_Emo']:.3f}"
-                    for k in range(len(seeds))
-                )
-                + f" | {dt:.2f}s/epoch (population of {len(seeds)})"
+    rung_report = None
+    if halving:
+        base = os.path.join(workdir or ".", cfg.checkpoint_dir)
+        sweep_dir = os.path.join(os.path.dirname(base.rstrip("/")), "sweep")
+        r_epochs = rung_epochs or cfg.save_freq
+        ids = list(range(len(seeds)))  # stable member ids across rungs
+        sampler = None
+        rung_report = []
+        done = 0
+        rung = 0
+        while len(seeds) > 1:
+            batched = _train_population(
+                run_fn, batched, hp_arrays, data_dev, cfg, rngs, seeds,
+                r_epochs, history, _pop_put, n, verbose, epoch_offset=done,
             )
-        epoch = chunk_end + 1
+            done += r_epochs
+            rows = []
+            for k in range(len(seeds)):
+                out_dir = os.path.join(sweep_dir, f"rung{rung}",
+                                       f"m{ids[k]}_seed{seeds[k]}")
+                passed, total, violations, _, _, sampler = _gate_member(
+                    cfg, _member(batched, k), seeds[k], out_dir,
+                    samples_per_emotion, sampler)
+                rows.append({"member": ids[k], "seed": seeds[k],
+                             "hyper": (dict(hypers[k]._asdict())
+                                       if hypers is not None else None),
+                             "gate_passed": passed, "gate_total": total,
+                             "gate_violations": violations, "survived": False})
+            order = sorted(range(len(seeds)),
+                           key=lambda i: (-rows[i]["gate_passed"],
+                                          rows[i]["gate_violations"], i))
+            keep = sorted(order[: max(1, len(seeds) // 2)])
+            for i in keep:
+                rows[i]["survived"] = True
+            rung_report.append({"rung": rung, "epochs": [done - r_epochs + 1, done],
+                                "members": rows})
+            if verbose:
+                kept = ", ".join(f"m{ids[i]}(s{seeds[i]})" for i in keep)
+                print(f"[SWEEP rung {rung}] population {len(seeds)} -> "
+                      f"{len(keep)}; survivors: {kept}")
+            batched = _take_members(batched, keep)
+            if hp_arrays is not None:
+                hp_arrays = _take_members(hp_arrays, keep)
+            seeds = [seeds[i] for i in keep]
+            rngs = [rngs[i] for i in keep]
+            history = [history[i] for i in keep]
+            ids = [ids[i] for i in keep]
+            if hypers is not None:
+                hypers = [hypers[i] for i in keep]
+            rung = 1 + rung
+        if done < n_epochs:  # winner trains out the remaining budget
+            batched = _train_population(
+                run_fn, batched, hp_arrays, data_dev, cfg, rngs, seeds,
+                n_epochs - done, history, _pop_put, n, verbose,
+                epoch_offset=done,
+            )
+    else:
+        batched = _train_population(
+            run_fn, batched, hp_arrays, data_dev, cfg, rngs, seeds, n_epochs,
+            history, _pop_put, n, verbose,
+        )
 
-    return _select_and_save(
+    report = _select_and_save(
         cfg, batched, seeds, history, workdir=workdir,
         samples_per_emotion=samples_per_emotion, promote_best=promote_best,
         verbose=verbose, hypers=hypers,
     )
+    if rung_report is not None:
+        report["rungs"] = rung_report
+        _rewrite_report(cfg, workdir, report)
+    return report
+
+
+def _rewrite_report(cfg: GANConfig, workdir: Optional[str], report: Dict) -> None:
+    """Re-write sweep_report.json after post-selection fields are added."""
+    from melogan_tpu.utils.atomic import atomic_write
+
+    base = os.path.join(workdir or ".", cfg.checkpoint_dir)
+    sweep_dir = os.path.join(os.path.dirname(base.rstrip("/")), "sweep")
+    atomic_write(os.path.join(sweep_dir, "sweep_report.json"),
+                 lambda f: json.dump(report, f, indent=2))
+
+
+def _gate_member(
+    cfg: GANConfig,
+    member: gan_step.GANTrainState,
+    seed: int,
+    out_dir: str,
+    samples_per_emotion: int,
+    sampler,
+):
+    """Generate ``samples_per_emotion`` fresh .mid per emotion from one
+    population member and score them against the golden bands.
+
+    Returns ``(passed, total, violations, gen_vars, fe_vars, sampler)`` — the
+    sampler is built lazily on first use and its weights swapped thereafter
+    (jit args: no recompile per member)."""
+    from melogan_tpu.constants import BPM_JITTER
+    from melogan_tpu.diagnostics.quality import gate_directory
+    from melogan_tpu.sampling import EMOTION_BPM, EMOTIONS, Sampler
+
+    gen_vars = {"params": member.gen_params, "batch_stats": member.gen_stats}
+    fe_vars = {"params": member.fe_params}
+    os.makedirs(out_dir, exist_ok=True)
+    if sampler is None:
+        sampler = Sampler(cfg, gen_variables=gen_vars, fe_variables=fe_vars)
+    else:
+        sampler.swap_variables(gen_vars, fe_vars)
+    rng = np.random.default_rng(seed)
+    prompts, paths, bpms = [], [], []
+    for emotion in EMOTIONS:
+        for i in range(1, samples_per_emotion + 1):
+            prompts.append(emotion)
+            paths.append(os.path.join(out_dir, f"gate_{emotion}_{i}.mid"))
+            bpms.append(float(EMOTION_BPM[emotion]
+                              * (1.0 + rng.uniform(-BPM_JITTER, BPM_JITTER))))
+    sampler.generate_many(prompts, paths, seed=int(rng.integers(0, 2**31)),
+                          bpms=bpms)
+    gate = gate_directory(out_dir)
+    passed = sum(1 for f in gate["files"].values() if not f["violations"])
+    violations = sum(len(f["violations"]) for f in gate["files"].values())
+    return passed, len(gate["files"]), violations, gen_vars, fe_vars, sampler
 
 
 def _select_and_save(
@@ -277,10 +449,6 @@ def _select_and_save(
 ) -> Dict:
     """Gate each member's fresh samples against the golden bands; rank by
     (files passed, fewest violations); save per-member finals + report."""
-    from melogan_tpu.constants import BPM_JITTER
-    from melogan_tpu.diagnostics.quality import gate_directory
-    from melogan_tpu.sampling import EMOTION_BPM, EMOTIONS, Sampler
-
     base = os.path.join(workdir or ".", cfg.checkpoint_dir)
     sweep_dir = os.path.join(os.path.dirname(base.rstrip("/")), "sweep")
     os.makedirs(sweep_dir, exist_ok=True)
@@ -289,44 +457,25 @@ def _select_and_save(
     results = []
     for k, seed in enumerate(seeds):
         member = _member(batched, k)
-        gen_vars = {"params": member.gen_params, "batch_stats": member.gen_stats}
-        fe_vars = {"params": member.fe_params}
         # hyper populations may reuse a seed across members; disambiguate dirs
         label = f"seed{seed}" if hypers is None else f"m{k}_seed{seed}"
         seed_dir = os.path.join(sweep_dir, label)
-        os.makedirs(seed_dir, exist_ok=True)
+        passed, gate_total, violations, gen_vars, fe_vars, sampler = _gate_member(
+            cfg, member, seed, seed_dir, samples_per_emotion, sampler)
         ckpt_path = os.path.join(seed_dir, "gan_final.ckpt")
         save_checkpoint(ckpt_path, {"G": gen_vars, "E_num": fe_vars})
-
-        if sampler is None:
-            sampler = Sampler(cfg, gen_variables=gen_vars, fe_variables=fe_vars)
-        else:
-            sampler.swap_variables(gen_vars, fe_vars)
-        rng = np.random.default_rng(seed)
-        prompts, paths, bpms = [], [], []
-        for emotion in EMOTIONS:
-            for i in range(1, samples_per_emotion + 1):
-                prompts.append(emotion)
-                paths.append(os.path.join(seed_dir, f"gate_{emotion}_{i}.mid"))
-                bpms.append(float(EMOTION_BPM[emotion]
-                                  * (1.0 + rng.uniform(-BPM_JITTER, BPM_JITTER))))
-        sampler.generate_many(prompts, paths, seed=int(rng.integers(0, 2**31)),
-                              bpms=bpms)
-        gate = gate_directory(seed_dir)
-        passed = sum(1 for f in gate["files"].values() if not f["violations"])
-        violations = sum(len(f["violations"]) for f in gate["files"].values())
         results.append({
             "seed": seed,
             "checkpoint": ckpt_path,
             "hyper": (dict(hypers[k]._asdict()) if hypers is not None else None),
             "gate_passed": passed,
-            "gate_total": len(gate["files"]),
+            "gate_total": gate_total,
             "gate_violations": violations,
             "final": history[k][-1] if history[k] else None,
             "curve": history[k],
         })
         if verbose:
-            print(f"[SWEEP seed {seed}] gate {passed}/{len(gate['files'])} "
+            print(f"[SWEEP seed {seed}] gate {passed}/{gate_total} "
                   f"({violations} violations) -> {ckpt_path}")
 
     order = sorted(range(len(results)),

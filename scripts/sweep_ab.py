@@ -7,8 +7,12 @@ config/gan_config.yaml:43) a single member underfills the MXU; the
 population multiplies arithmetic intensity without touching semantics
 (member trajectories match solo runs — tests/test_sweep.py).
 
-Run on the TPU (default platform): python scripts/sweep_ab.py [--bf16] [K ...]
-Prints one JSON line per configuration plus a summary.
+Run on the TPU (default platform): python scripts/sweep_ab.py [--bf16]
+[--hyper] [K ...].  --hyper builds the population with traced per-member
+hyperparameters (gan_step.HyperParams — the `sweep --hyper` path) instead of
+config constants baked into the executable, to measure whether runtime
+lr/λ scalars cost anything. Prints one JSON line per configuration plus a
+summary.
 
 Measured (v5e, 2026-08-19, f32 HIGHEST): K=1 800.6 agg steps/s, K=2 881.0,
 K=4 953.3, K=8 972.8 — the fused solo program already nearly saturates the
@@ -48,10 +52,17 @@ def _epoch_idx(cfg, rng, e):
 def main():
     argv = sys.argv[1:]
     precision = "bf16" if "--bf16" in argv else None
-    ks = [int(a) for a in argv if a != "--bf16"] or [1, 2, 4, 8]
+    hyper = "--hyper" in argv
+    ks = [int(a) for a in argv if not a.startswith("--")] or [1, 2, 4, 8]
     cfg = GANConfig()  # full reference shapes: 512×4 notes, batch 32, 5:1
     ed_cfg = EDConfig()
     models = gan_step.build_models(cfg, ed_cfg)
+    if hyper:
+        # the traced-hyperparameter program (sweep --hyper): lr/λ are runtime
+        # scalars, numerically identical at config values (tests/test_sweep.py)
+        def _hyper_run(si, hi, data, gi, ti, live):
+            return gan_step.make_train_steps(cfg, models, hyper=hi).run(
+                si, data, gi, ti, live)
     steps = gan_step.make_train_steps(cfg, models)
     rng = np.random.default_rng(0)
     notes = rng.normal(size=(N_TRAIN, cfg.max_notes, 4)).astype(np.float32)
@@ -70,30 +81,53 @@ def main():
     results = {}
     for k in ks:
         states = [gan_step.init_state(cfg, models, seed=s) for s in range(k)]
-        if k == 1:
+        hp = None
+        if hyper:
+            hp = gan_step.HyperParams(*(
+                jnp.full((k,), float(getattr(cfg, f)), jnp.float32)
+                for f in gan_step.HyperParams._fields))
+        if k == 1 and not hyper:
             st = states[0]
             fn = jit_with_precision(steps.run, precision)
             g, t = _epoch_idx(cfg, np.random.default_rng(1), EPOCHS_PER_CHUNK)
             args = (g, t)
-        else:
-            st = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+        elif k == 1:
+            st = states[0]
             fn = jit_with_precision(
-                lambda s, gg, tt: jax.vmap(
-                    lambda si, gi, ti: steps.run(si, data, gi, ti, live),
-                    in_axes=(0, 0, 0),
-                )(s, gg, tt),
+                lambda s, h, gg, tt: _hyper_run(s, h, data, gg, tt, live),
                 precision,
             )
+            g, t = _epoch_idx(cfg, np.random.default_rng(1), EPOCHS_PER_CHUNK)
+            args = (jax.tree_util.tree_map(lambda x: x[0], hp), g, t)
+        else:
+            st = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+            if hyper:
+                fn = jit_with_precision(
+                    lambda s, h, gg, tt: jax.vmap(
+                        lambda si, hi, gi, ti: _hyper_run(si, hi, data, gi, ti, live),
+                        in_axes=(0, 0, 0, 0),
+                    )(s, h, gg, tt),
+                    precision,
+                )
+            else:
+                fn = jit_with_precision(
+                    lambda s, gg, tt: jax.vmap(
+                        lambda si, gi, ti: steps.run(si, data, gi, ti, live),
+                        in_axes=(0, 0, 0),
+                    )(s, gg, tt),
+                    precision,
+                )
             pairs = [_epoch_idx(cfg, np.random.default_rng(1 + i), EPOCHS_PER_CHUNK)
                      for i in range(k)]
-            args = (jnp.stack([p[0] for p in pairs]),
-                    jnp.stack([p[1] for p in pairs]))
+            idx_args = (jnp.stack([p[0] for p in pairs]),
+                        jnp.stack([p[1] for p in pairs]))
+            args = ((hp,) + idx_args) if hyper else idx_args
 
         def call(st):
-            if k == 1:
+            if k == 1 and not hyper:
                 out, m = fn(st, data, args[0], args[1], live)
             else:
-                out, m = fn(st, args[0], args[1])
+                out, m = fn(st, *args)
             # force a device->host transfer of a metric: block_until_ready
             # alone has under-reported through this environment's remote
             # device tunnel; a materialized value cannot lie
@@ -113,6 +147,7 @@ def main():
         row = {
             "k": k,
             "precision": precision or "f32",
+            "hyper": hyper,
             "compile_s": round(compile_s, 1),
             "chunk_wall_s": round(wall, 4),
             "member_epochs_per_s": round(member_epochs / wall, 2),

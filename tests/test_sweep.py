@@ -238,3 +238,53 @@ def test_hyper_grid_validation(train_data):
     with pytest.raises(ValueError, match="unknown hyperparams"):
         sweep_gan(GANConfig(**_KW), ed_cfg, train_data, seeds=[1],
                   hyper_grid=[{"learning_rate": 1e-4}])
+
+
+def test_halving_winner_matches_uninterrupted_solo_run(train_data, tmp_path):
+    """Successive halving: rungs halve the population by gate rank, survivors
+    carry their trained state and shuffle streams, and the winner's FULL curve
+    (across all rungs + the budget tail) must equal a solo gan_loop.train run
+    with the winner's config and seed — halving must not perturb training."""
+    kw = dict(_KW, epochs=3, save_freq=1)
+    ed_cfg = EDConfig(max_notes=64, notes_blocks=2, notes_hidden=32, mlp_hidden=(16,))
+    grid = [{"lr_g": 1e-4}, {"lr_g": 2e-4}, {"lr_g": 4e-4}, {"lr_g": 8e-4}]
+
+    report = sweep_gan(
+        GANConfig(seed=7, **kw), ed_cfg, train_data, seeds=[7] * 4,
+        hyper_grid=grid, halving=True, rung_epochs=1,
+        workdir=str(tmp_path / "sweep"), verbose=False, samples_per_emotion=1,
+    )
+
+    # structure: 4 -> 2 -> 1 over two rungs, then the winner trains to 3 epochs
+    assert [len(r["members"]) for r in report["rungs"]] == [4, 2]
+    assert [sum(m["survived"] for m in r["members"]) for r in report["rungs"]] == [2, 1]
+    assert len(report["results"]) == 1
+    winner = report["results"][0]
+    assert [row["epoch"] for row in winner["curve"]] == [1, 2, 3]
+
+    # the survivor chain is consistent: rung-1 members are rung-0 survivors
+    r0_survivors = {m["member"] for m in report["rungs"][0]["members"] if m["survived"]}
+    assert {m["member"] for m in report["rungs"][1]["members"]} == r0_survivors
+
+    # winner trajectory == solo run with the winner's hyperparameters
+    solo_cfg = GANConfig(seed=7, **kw, lr_g=winner["hyper"]["lr_g"])
+    _, solo_hist = gan_loop.train(
+        solo_cfg, ed_cfg, train_data, workdir=str(tmp_path / "solo"),
+        verbose=False,
+    )
+    # gan_loop.train returns the final epoch's metrics dict; compare epoch 3
+    last = winner["curve"][-1]
+    for key in ("Loss/Critic", "Loss/Generator_Adv", "Loss/Generator_Emo"):
+        np.testing.assert_allclose(last[key], solo_hist[key], rtol=1e-4,
+                                   atol=1e-7, err_msg=key)
+
+    # report persisted with the rungs included
+    on_disk = json.load(open(os.path.join(
+        str(tmp_path / "sweep"), "experiments/gan/sweep/sweep_report.json")))
+    assert "rungs" in on_disk and len(on_disk["rungs"]) == 2
+
+
+def test_halving_validation(train_data):
+    ed_cfg = EDConfig(max_notes=64, notes_blocks=2, notes_hidden=32, mlp_hidden=(16,))
+    with pytest.raises(ValueError, match="at least 2"):
+        sweep_gan(GANConfig(**_KW), ed_cfg, train_data, seeds=[1], halving=True)
