@@ -232,6 +232,8 @@ def cmd_train_gan(args):
     ed_cfg = _load_cfg(EDConfig, args.ed_config, args.workdir)
     if args.epochs:
         cfg.epochs = args.epochs
+    if getattr(args, "ema", None) is not None:
+        cfg.ema_decay = args.ema
     train_data = _load_split(args, "train")
 
     latents = None
@@ -253,6 +255,8 @@ def cmd_train_gan(args):
         workdir=args.workdir, resume=getattr(args, "resume", False),
         mesh=_mesh_from_args(args, cfg.batch_size),
         precision="bf16" if getattr(args, "bf16", False) else None,
+        track_best=getattr(args, "track_best", False),
+        gate_samples_per_emotion=getattr(args, "gate_samples", 2),
     )
     print(json.dumps(metrics))
 
@@ -290,6 +294,8 @@ def cmd_sweep(args):
     ed_cfg = _load_cfg(EDConfig, args.ed_config, args.workdir)
     if args.epochs:
         cfg.epochs = args.epochs
+    if getattr(args, "ema", None) is not None:
+        cfg.ema_decay = args.ema
     train_data = _load_split(args, "train")
 
     latents = None
@@ -326,6 +332,7 @@ def cmd_sweep(args):
         hyper_grid=hyper_grid,
         halving=getattr(args, "halving", False),
         rung_epochs=getattr(args, "rung_epochs", None),
+        resume=getattr(args, "resume", False),
     )
     print(json.dumps({"best_seed": report["best_seed"],
                       "best_checkpoint": report["best_checkpoint"],
@@ -344,8 +351,9 @@ def cmd_sample(args):
     gen_vars = fe_vars = None
     ckpt_path = args.checkpoint or os.path.join(args.workdir, cfg.checkpoint_dir, "gan_final.ckpt")
     if os.path.exists(ckpt_path):
-        gen_vars, fe_vars = load_gan_final(ckpt_path)
-        print(f"[INFO] loaded generator from {ckpt_path}")
+        gen_vars, fe_vars = load_gan_final(ckpt_path, ema=getattr(args, "ema", False))
+        print(f"[INFO] loaded generator from {ckpt_path}"
+              + (" (EMA weights)" if getattr(args, "ema", False) else ""))
     else:
         print(f"[WARN] checkpoint not found at {ckpt_path}; sampling with random weights")
 
@@ -673,6 +681,8 @@ def cmd_pipeline(args):
         "epochs": getattr(args, "epochs", None),
         "bf16": getattr(args, "bf16", False),
         "dp": getattr(args, "dp", 0),
+        "gan_ema": getattr(args, "gan_ema", None),
+        "gan_track_best": getattr(args, "gan_track_best", False),
         "configs": [args.ae_config, args.ed_config, args.gan_config],
         **data_sig,
     }
@@ -753,6 +763,11 @@ def cmd_pipeline(args):
             work, _load_cfg(GANConfig, args.gan_config, work).checkpoint_dir,
             "gan_final.ckpt"),),
     }
+    gan_best_path = os.path.join(
+        work, _load_cfg(GANConfig, args.gan_config, work).checkpoint_dir,
+        "gan_best.ckpt")
+    if getattr(args, "gan_track_best", False):
+        arts["train-gan"] = arts["train-gan"] + (gan_best_path,)
 
     if args.synthetic and not done_if("synth-data", *arts["synth-data"]):
         stage("synth-data", cmd_synth_data,
@@ -821,7 +836,9 @@ def cmd_pipeline(args):
             precompiles["train-gan"].join()
         stage("train-gan", cmd_train_gan,
               SimpleNamespace(**{**vars(base), "config": args.gan_config,
-                                 "ed_config": args.ed_config, "ed_ckpt": None}),
+                                 "ed_config": args.ed_config, "ed_ckpt": None,
+                                 "ema": getattr(args, "gan_ema", None),
+                                 "track_best": getattr(args, "gan_track_best", False)}),
               artifacts=arts["train-gan"])
     except BaseException:
         # a stage failed while background precompiles may still be mid-XLA-
@@ -840,9 +857,14 @@ def cmd_pipeline(args):
                       "exiting anyway (teardown may abort noisily)")
         raise
     gen_dir = os.path.join(work, "generated_tests")
+    # downstream serves what training selected: the gate-tracked best when
+    # --gan-track-best produced one, its EMA weights when --gan-ema trained
+    sample_ckpt = (gan_best_path if getattr(args, "gan_track_best", False)
+                   and os.path.exists(gan_best_path) else None)
     stage("sample", cmd_sample, SimpleNamespace(
-        workdir=work, config=args.gan_config, checkpoint=None, emotion="all",
-        samples=2, seed=42, out=gen_dir,
+        workdir=work, config=args.gan_config, checkpoint=sample_ckpt,
+        emotion="all", samples=2, seed=42, out=gen_dir,
+        ema=getattr(args, "gan_ema", None) is not None,
     ), artifacts=(gen_dir,))
     # golden-band quality gate over the fresh samples (VERDICT r1 item 6)
     if not getattr(args, "skip_quality_gate", False):
@@ -1021,7 +1043,8 @@ def cmd_serve(args):
           config=cfg, checkpoint=args.checkpoint,
           fast_math=getattr(args, "fast_math", False),
           dp=getattr(args, "dp", 0),
-          watch_ckpt=getattr(args, "watch_ckpt", 0.0))
+          watch_ckpt=getattr(args, "watch_ckpt", 0.0),
+          use_ema=getattr(args, "ema", False))
 
 
 def cmd_roll_to_midi(args):
@@ -1174,6 +1197,16 @@ def build_parser():
     s.add_argument("--epochs", type=int, default=None)
     s.add_argument("--resume", action="store_true",
                    help="restart from the newest periodic checkpoint")
+    s.add_argument("--ema", type=float, default=None, metavar="DECAY",
+                   help="track a generator weight EMA on device (e.g. 0.999); "
+                        "checkpoints gain G_ema, served via sample/serve --ema")
+    s.add_argument("--track-best", action="store_true", dest="track_best",
+                   help="score fresh samples against the golden-band quality "
+                        "gate at every checkpoint cadence and keep the best "
+                        "weights as gan_best.ckpt (the GAN model-selection "
+                        "step the reference never had)")
+    s.add_argument("--gate-samples", type=int, default=2, dest="gate_samples",
+                   help="gate samples per emotion for --track-best")
     s.add_argument("--dp", type=int, default=0,
                    help="data-parallel device count (0 = single device)")
     s.add_argument("--bf16", action="store_true",
@@ -1213,6 +1246,13 @@ def build_parser():
                    help="epochs per halving rung (default: SAVE_FREQ)")
     s.add_argument("--promote-best", action="store_true",
                    help="copy the winning member to the stage's gan_final.ckpt")
+    s.add_argument("--resume", action="store_true",
+                   help="continue an interrupted sweep from sweep_state.ckpt "
+                        "(trajectory-identical to straight-through; the "
+                        "invocation must match the interrupted run)")
+    s.add_argument("--ema", type=float, default=None, metavar="DECAY",
+                   help="track per-member generator EMAs; the gate then "
+                        "ranks EMA weights and finals carry G_ema")
     s.add_argument("--dp", type=int, default=0,
                    help="shard the POPULATION over N devices (members are "
                         "independent: zero collectives, linear scaling)")
@@ -1228,6 +1268,8 @@ def build_parser():
     s.add_argument("--checkpoint", default=None)
     s.add_argument("--workdir", default=".")
     s.add_argument("--out", default="generated_tests")
+    s.add_argument("--ema", action="store_true",
+                   help="sample from the EMA generator weights (G_ema)")
     s.add_argument("--dp", type=int, default=0,
                    help="shard the sample batch over N devices")
     s.set_defaults(fn=cmd_sample)
@@ -1243,6 +1285,13 @@ def build_parser():
     s.add_argument("--gan-config", default="configs/gan.yaml", dest="gan_config")
     s.add_argument("--skip-quality-gate", action="store_true", dest="skip_quality_gate",
                    help="skip the final golden-band quality gate")
+    s.add_argument("--gan-ema", type=float, default=None, dest="gan_ema",
+                   metavar="DECAY",
+                   help="train the GAN stage with a generator weight EMA; "
+                        "the sample stage then samples the EMA weights")
+    s.add_argument("--gan-track-best", action="store_true", dest="gan_track_best",
+                   help="gate-score GAN checkpoints during training and "
+                        "sample from gan_best.ckpt instead of gan_final")
     s.add_argument("--resume", action="store_true",
                    help="continue an interrupted run: skip data stages whose "
                         "outputs exist, resume each train stage from its "
@@ -1351,6 +1400,9 @@ def build_parser():
                    help="auto hot-reload the checkpoint when its mtime "
                         "changes, polled every SECS (0 = off; POST /reload "
                         "swaps on demand either way)")
+    s.add_argument("--ema", action="store_true",
+                   help="serve the EMA generator weights (G_ema) from every "
+                        "loaded checkpoint, incl. hot-swaps")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("roll-to-midi", help="raw (pitch,vel,dur,start) .npy → .mid")

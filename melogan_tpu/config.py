@@ -306,6 +306,9 @@ class GANConfig:
     lambda_gp: float = 10.0
     critic_iters: int = 5
     lambda_emotion: float = 5.0
+    # generator weight EMA (0.0 = off; no reference equivalent — standard
+    # GAN practice, tracked on device inside the fused train programs)
+    ema_decay: float = 0.0
     # numeric feature encoder
     use_numeric_encoder: bool = True
     numeric_input_dim: int = 6
@@ -350,6 +353,7 @@ class GANConfig:
             lambda_gp=float(raw.get("LAMBDA_GP", 10.0)),
             critic_iters=int(raw.get("CRITIC_ITERS", 5)),
             lambda_emotion=float(raw.get("LAMBDA_EMOTION", 1.0)),
+            ema_decay=float(raw.get("EMA_DECAY", 0.0)),
             use_numeric_encoder=bool(raw.get("USE_NUMERIC_ENCODER", True)),
             numeric_input_dim=int(raw.get("NUMERIC_INPUT_DIM", 6)),
             encoder_hidden=tuple(int(h) for h in raw.get("ENCODER_HIDDEN", [256, 128])),

@@ -100,11 +100,15 @@ _UNSET = object()
 
 class AppState:
     def __init__(self, cfg: GANConfig, sampler: Sampler, frame_source=None, pool=None,
-                 ckpt_path: Optional[str] = None, loaded_version=_UNSET):
+                 ckpt_path: Optional[str] = None, loaded_version=_UNSET,
+                 use_ema: bool = False):
         from melogan_tpu.serving.metrics import Registry
 
         self.cfg = cfg
         self.sampler = sampler
+        # serve the EMA generator weights (G_ema) from every checkpoint this
+        # process loads — startup AND hot-swaps (/reload, --watch-ckpt)
+        self.use_ema = use_ema
         self.pool = pool  # optional SamplePool: batched prefetched generation
         self.ckpt_path = ckpt_path  # default target of POST /reload
         self._reload_lock = threading.Lock()  # serializes checkpoint swaps
@@ -210,7 +214,7 @@ class AppState:
                 mtime = os.path.getmtime(path)
             except OSError:
                 mtime = None
-            gen_vars, fe_vars = load_gan_final(path)
+            gen_vars, fe_vars = load_gan_final(path, ema=self.use_ema)
             self.sampler.swap_variables(gen_vars, fe_vars)
             flushed = self.pool.flush() if self.pool is not None else 0
             self.ckpt_path = path
@@ -416,6 +420,7 @@ def build_app(state: AppState):
                     "generator": ("checkpoint" if state.loaded_version
                                   else "random-weights"),
                     "checkpoint": state.ckpt_path,
+                    "ema": state.use_ema,
                     "sample_pool": state.pool.stats() if state.pool else None,
                     # which backend actually serves compute — an operator
                     # diagnosing latency (or a post-outage degraded-CPU
@@ -722,6 +727,7 @@ def serve(
     camera_source: Optional[str] = None,
     dp: int = 0,
     watch_ckpt: float = 0.0,
+    use_ema: bool = False,
 ):
     """``camera_source``: None (no /video_feed), "synthetic" (built-in test
     pattern), or a path to a YUV4MPEG2 file — real footage, looped (also via
@@ -754,8 +760,9 @@ def serve(
             loaded_version = (ckpt_path, os.path.getmtime(ckpt_path))
         except OSError:
             pass
-        gen_vars, fe_vars = load_gan_final(ckpt_path)
-        print(f"[INIT] loaded GAN checkpoint from {ckpt_path}")
+        gen_vars, fe_vars = load_gan_final(ckpt_path, ema=use_ema)
+        print(f"[INIT] loaded GAN checkpoint from {ckpt_path}"
+              + (" (EMA weights)" if use_ema else ""))
     else:
         print(f"[WARN] GAN checkpoint not found at {ckpt_path}; serving random weights"
               + (" until it appears" if watch_ckpt > 0 else ""))
@@ -812,7 +819,8 @@ def serve(
     # moment training writes it — a serve started BEFORE its training job
     # must not silently serve random weights forever
     state = AppState(cfg, sampler, frame_source=frame_source, pool=pool,
-                     ckpt_path=ckpt_path, loaded_version=loaded_version)
+                     ckpt_path=ckpt_path, loaded_version=loaded_version,
+                     use_ema=use_ema)
     if watch_ckpt > 0:
         watch_checkpoint(state, watch_ckpt)
         print(f"[INIT] watching {state.ckpt_path} for changes every {watch_ckpt:g}s")

@@ -78,6 +78,8 @@ def train(
     resume: bool = False,
     mesh=None,
     precision=None,
+    track_best: bool = False,
+    gate_samples_per_emotion: int = 2,
 ) -> Tuple[gan_step.GANTrainState, Dict[str, float]]:
     """Full Stage-3 run. ``ed_variables`` is the pre-trained frozen emotion
     discriminator ({'params': ..., 'batch_stats': ...}); when absent the ED is
@@ -89,7 +91,17 @@ def train(
     replicated, microbatches sharded; `melogan train-gan --dp N`).
     ``precision='bf16'``: mixed-precision MXU training (note: the WGAN-GP
     second-order penalty is precision-sensitive; the parity default stays
-    HIGHEST)."""
+    HIGHEST).
+
+    ``track_best``: at every checkpoint cadence, generate
+    ``gate_samples_per_emotion`` fresh .mid per emotion (deterministic seed
+    per epoch — resume-stable) and score them against the golden-band
+    quality gate; the best-scoring weights are kept as ``gan_best.ckpt``.
+    This is the model-selection step the reference's GAN stage never had
+    (train_gan.py saves only periodic + final; AE/ED key their best on val
+    loss — SURVEY.md §2.1/§2.2): WGAN critic loss is not a quality metric,
+    so the gate scores the actual artifact statistics instead. Gates the
+    EMA weights when ``cfg.ema_decay > 0`` (the deployable artifact)."""
     models = gan_step.build_models(cfg, ed_cfg)
     state = gan_step.init_state(cfg, models, seed=cfg.seed, ed_variables=ed_variables)
     steps = gan_step.make_train_steps(cfg, models, mesh=mesh)
@@ -123,6 +135,13 @@ def train(
                 state = state.replace(rng=jnp.asarray(raw["rng"], jnp.uint32))
             if "step" in raw:
                 state = state.replace(step=jnp.asarray(raw["step"], jnp.int32))
+            if state.ema_params is not None:
+                # seed the EMA from the restored live weights when the
+                # checkpoint predates --ema (first-order correct: EMA decays
+                # toward the trajectory anyway)
+                ema_src = raw.get("G_ema", {"params": raw["G"]["params"]})
+                state = state.replace(ema_params=serialization.from_state_dict(
+                    state.ema_params, ema_src["params"]))
             start_epoch = int(raw["epoch"]) + 1
             if verbose:
                 print(f"[INFO] resumed from {latest} at epoch {start_epoch}")
@@ -147,6 +166,18 @@ def train(
         from melogan_tpu.parallel.mesh import put_replicated
 
         data_dev = put_replicated(data_dev, mesh)
+
+    gate_sampler = None
+    best_gate = None  # (passed, -violations) comparator for gan_best.ckpt
+    if track_best and resume:
+        # re-seed the comparator from the existing best so a resumed run
+        # only overwrites gan_best when it genuinely beats it
+        best_path = os.path.join(ckpt_dir, "gan_best.ckpt")
+        if os.path.exists(best_path):
+            prev = load_checkpoint(best_path)
+            if "gate" in prev:
+                best_gate = (int(prev["gate"]["passed"]),
+                             -int(prev["gate"]["violations"]))
 
     rng = np.random.default_rng(cfg.seed)
     n_epochs = epochs or cfg.epochs
@@ -230,40 +261,86 @@ def train(
             history = dict(scalars, epoch=ep)
 
         if chunk_end % cfg.save_freq == 0:
+            payload = {
+                "epoch": chunk_end,
+                "G": {"params": state.gen_params, "batch_stats": state.gen_stats},
+                "D": {"params": state.critic_params},
+                "E_num": {"params": state.fe_params},
+                "opt_G": state.opt_g,
+                "opt_D": state.opt_d,
+                "rng": state.rng,
+                "step": state.step,
+            }
+            if state.ema_params is not None:
+                payload["G_ema"] = {"params": state.ema_params,
+                                    "batch_stats": state.gen_stats}
             save_checkpoint(
-                os.path.join(ckpt_dir, f"gan_epoch{chunk_end:04d}.ckpt"),
-                {
-                    "epoch": chunk_end,
-                    "G": {"params": state.gen_params, "batch_stats": state.gen_stats},
-                    "D": {"params": state.critic_params},
-                    "E_num": {"params": state.fe_params},
-                    "opt_G": state.opt_g,
-                    "opt_D": state.opt_d,
-                    "rng": state.rng,
-                    "step": state.step,
-                },
+                os.path.join(ckpt_dir, f"gan_epoch{chunk_end:04d}.ckpt"), payload
             )
+        if track_best and (chunk_end % cfg.save_freq == 0 or chunk_end == n_epochs):
+            # sweep's gate helper scores any GANTrainState; the sampler is
+            # built once and weight-swapped per gate (jit args, no recompile)
+            from melogan_tpu.train.sweep import _gate_member
+
+            gate_dir = os.path.join(workdir or ".", cfg.sample_dir,
+                                    f"gate_epoch{chunk_end:04d}")
+            passed, total, violations, _, _, gate_sampler = _gate_member(
+                cfg, state, cfg.seed + chunk_end, gate_dir,
+                gate_samples_per_emotion, gate_sampler)
+            writer.add_scalars(
+                {"Gate/passed": passed, "Gate/violations": violations}, chunk_end)
+            score = (passed, -violations)
+            if best_gate is None or score > best_gate:
+                best_gate = score
+                best = {
+                    "epoch": chunk_end,
+                    "G": {"params": state.gen_params,
+                          "batch_stats": state.gen_stats},
+                    "E_num": {"params": state.fe_params},
+                    "gate": {"passed": passed, "total": total,
+                             "violations": violations},
+                }
+                if state.ema_params is not None:
+                    best["G_ema"] = {"params": state.ema_params,
+                                     "batch_stats": state.gen_stats}
+                save_checkpoint(os.path.join(ckpt_dir, "gan_best.ckpt"), best)
+                if verbose:
+                    print(f"[GAN] new best at epoch {chunk_end}: "
+                          f"gate {passed}/{total} ({violations} violations)")
         epoch = chunk_end + 1
 
-    save_checkpoint(
-        os.path.join(ckpt_dir, "gan_final.ckpt"),
-        {
-            "G": {"params": state.gen_params, "batch_stats": state.gen_stats},
-            "E_num": {"params": state.fe_params},
-        },
-    )
+    final = {
+        "G": {"params": state.gen_params, "batch_stats": state.gen_stats},
+        "E_num": {"params": state.fe_params},
+    }
+    if state.ema_params is not None:
+        final["G_ema"] = {"params": state.ema_params,
+                          "batch_stats": state.gen_stats}
+    save_checkpoint(os.path.join(ckpt_dir, "gan_final.ckpt"), final)
     writer.close()
     return state, history
 
 
-def load_gan_final(path: str):
-    """Load a gan_final checkpoint → (gen_variables, fe_variables)."""
+def load_gan_final(path: str, ema: bool = False):
+    """Load a gan_final checkpoint → (gen_variables, fe_variables).
+
+    ``ema=True`` returns the EMA generator weights (``G_ema``, present when
+    the run trained with ``cfg.ema_decay > 0``); raises KeyError with a clear
+    message when the checkpoint has none."""
     from melogan_tpu.utils.checkpoint import load_checkpoint
 
     ckpt = load_checkpoint(path)
+    g_key = "G"
+    if ema:
+        if "G_ema" not in ckpt:
+            raise KeyError(
+                f"{path} has no EMA weights (G_ema); it was trained without "
+                "ema_decay — rerun training with --ema or load without ema"
+            )
+        g_key = "G_ema"
     gen_vars = {
-        "params": ckpt["G"]["params"],
-        "batch_stats": ckpt["G"].get("batch_stats", {}),
+        "params": ckpt[g_key]["params"],
+        "batch_stats": ckpt[g_key].get("batch_stats", {}),
     }
     fe_vars = {"params": ckpt["E_num"]["params"]}
     return gen_vars, fe_vars

@@ -49,6 +49,10 @@ class GANTrainState(struct.PyTreeNode):
     opt_g: Any  # over (gen_params, fe_params) jointly
     opt_d: Any
     rng: jnp.ndarray
+    # exponential moving average of gen_params (None when cfg.ema_decay == 0;
+    # updated after every generator step inside the fused programs — a
+    # tree_map of fused multiply-adds, free next to the double-backward GP)
+    ema_params: Any = None
 
 
 class GANModels(NamedTuple):
@@ -154,6 +158,7 @@ def init_state(
         opt_g=opt_g.init(g_joint),
         opt_d=opt_d.init(critic_vars["params"]),
         rng=jax.random.PRNGKey(seed + 1),
+        ema_params=(gen_vars["params"] if cfg.ema_decay else None),
     )
 
 
@@ -325,6 +330,16 @@ def make_train_steps(
             state, last_batch, critic_params, gen_stats, rng
         )
 
+        # generator weight EMA, tracked on device after every G update
+        # (static python branch: when ema_decay == 0 the compiled program is
+        # unchanged and ema_params stays None)
+        ema_params = state.ema_params
+        if cfg.ema_decay:
+            d = jnp.float32(cfg.ema_decay)
+            ema_params = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p, ema_params, gen_params
+            )
+
         new_state = state.replace(
             step=state.step + 1,
             gen_params=gen_params,
@@ -334,6 +349,7 @@ def make_train_steps(
             opt_g=opt_g_state,
             opt_d=opt_d_state,
             rng=rng,
+            ema_params=ema_params,
         )
         metrics = {
             "loss_d_sum": jnp.sum(d_losses),

@@ -76,6 +76,7 @@ def _train_population(
     verbose: bool,
     epoch_offset: int = 0,
     total_epochs: Optional[int] = None,
+    save_cb=None,
 ) -> gan_step.GANTrainState:
     """Run ``n_epochs`` of the vmapped population program in save_freq-sized
     fused chunks, appending one row per (member, epoch) to ``history``.
@@ -133,6 +134,8 @@ def _train_population(
                 )
                 + f" | {dt:.2f}s/epoch (population of {len(seeds)})"
             )
+        if save_cb is not None:
+            save_cb(batched, epoch_offset + chunk_end)
         epoch = chunk_end + 1
     return batched
 
@@ -154,6 +157,7 @@ def sweep_gan(
     hyper_grid: Optional[Sequence[Dict[str, float]]] = None,
     halving: bool = False,
     rung_epochs: Optional[int] = None,
+    resume: bool = False,
 ) -> Dict:
     """Train ``len(seeds)`` WGAN-GP runs concurrently; gate and rank them.
 
@@ -187,6 +191,17 @@ def sweep_gan(
     copies the winner to the stage's regular ``gan_final.ckpt`` so the
     pipeline's downstream (sample / serve / quality-gate) picks it up.
     ``precision='bf16'`` runs the population with single-pass MXU matmuls.
+
+    ``resume``: restart an interrupted sweep from
+    ``experiments/gan/sweep/sweep_state.ckpt`` — the whole population's
+    device state (params, optimizer moments, BN stats, device RNG streams,
+    step counters) is checkpointed after every fused chunk and after every
+    halving rung, and the per-member host shuffle generators are replayed to
+    the saved epoch (the ``gan_loop.train`` resume convention), so an
+    interrupted-and-resumed sweep is trajectory-identical to a
+    straight-through one (tests/test_sweep.py). The invocation must match
+    the interrupted run (seeds, hyper grid, halving shape); epochs may be
+    extended.
     """
     from melogan_tpu.train.harness import jit_with_precision
 
@@ -218,6 +233,59 @@ def sweep_gan(
                 "run without --dp"
             )
     n_epochs = epochs or cfg.epochs
+    r_epochs = (rung_epochs or cfg.save_freq) if halving else None
+
+    base = os.path.join(workdir or ".", cfg.checkpoint_dir)
+    sweep_dir = os.path.join(os.path.dirname(base.rstrip("/")), "sweep")
+    state_path = os.path.join(sweep_dir, "sweep_state.ckpt")
+    # the invocation fingerprint: a resumed run must be a continuation of the
+    # SAME sweep (population, grid, rung shape) or the replayed shuffle/RNG
+    # streams would silently diverge from the interrupted trajectory
+    fingerprint = {
+        "seeds": list(seeds),
+        "hypers": ([dict(h._asdict()) for h in hypers]
+                   if hypers is not None else None),
+        "halving": bool(halving),
+        "r_epochs": r_epochs,
+        "batch_size": cfg.batch_size,
+        "critic_iters": cfg.critic_iters,
+        "ema_decay": cfg.ema_decay,  # changes the state tree structure
+    }
+
+    ids = list(range(len(seeds)))  # stable member ids across halving rungs
+    rung = 0
+    done = 0  # epochs completed by the CURRENT population (lockstep)
+    rung_report: Optional[List[Dict]] = [] if halving else None
+    resumed_state = None
+    resumed_history = None
+    if resume and os.path.exists(state_path):
+        from melogan_tpu.utils.checkpoint import load_checkpoint
+
+        raw = load_checkpoint(state_path)
+        meta = json.loads(bytes(np.asarray(raw["meta"], np.uint8)).decode())
+        if meta["fingerprint"] != fingerprint:
+            raise ValueError(
+                f"sweep_state.ckpt at {state_path} belongs to a different "
+                f"sweep (saved {meta['fingerprint']}, invoked {fingerprint}); "
+                "delete it or rerun without resume"
+            )
+        seeds = [int(s) for s in meta["seeds"]]
+        ids = [int(i) for i in meta["ids"]]
+        rung = int(meta["rung"])
+        done = int(meta["done"])
+        if rung_report is not None:
+            rung_report = meta["rung_report"]
+        if meta["hypers"] is not None:
+            hypers = [
+                gan_step.HyperParams(**{k: float(v) for k, v in h.items()})
+                for h in meta["hypers"]
+            ]
+        resumed_state = raw["state"]
+        resumed_history = [list(h) for h in meta["history"]]
+        if verbose:
+            print(f"[SWEEP] resumed from {state_path}: population "
+                  f"{len(seeds)} at epoch {done}"
+                  + (f", rung {rung}" if halving else ""))
 
     models = gan_step.build_models(cfg, ed_cfg)
     states = [
@@ -225,6 +293,11 @@ def sweep_gan(
         for s in seeds
     ]
     batched = _stack_states(states)
+    if resumed_state is not None:
+        from flax import serialization
+
+        batched = serialization.from_state_dict(batched, resumed_state)
+        batched = jax.tree_util.tree_map(jnp.asarray, batched)
     # population sharding: leading (member) axis over 'data'; every leaf of
     # the state has it, so each device carries K/N members end to end and
     # GSPMD partitions the vmapped program with no cross-member reductions
@@ -308,26 +381,53 @@ def sweep_gan(
             f"< critic_iters ({cfg.critic_iters}); use gan_loop.train"
         )
 
-    # per-member epoch-shuffle streams (solo-train convention: seed = cfg.seed)
+    # per-member epoch-shuffle streams (solo-train convention: seed = cfg.seed);
+    # on resume, replay the consumed epochs so the streams continue exactly
+    # where the interrupted run stopped (one permutation per live epoch —
+    # epoch_group_indices consumes exactly one rng.permutation call)
     rngs = [np.random.default_rng(s) for s in seeds]
-    history: List[List[Dict[str, float]]] = [[] for _ in seeds]
+    for r_ in rngs:
+        for _ in range(done):
+            r_.permutation(n)
+    history: List[List[Dict[str, float]]] = (
+        resumed_history if resumed_history is not None else [[] for _ in seeds]
+    )
 
-    rung_report = None
+    def save_state(batched_now, done_now):
+        """Checkpoint the whole sweep after a fused chunk or a halving rung:
+        device state + enough host meta to resume trajectory-identically.
+        Reads the enclosing-scope population variables at call time, so the
+        saved meta always reflects the current (possibly halved) population."""
+        meta_now = {
+            "version": 1,
+            "fingerprint": fingerprint,
+            "seeds": seeds,
+            "ids": ids,
+            "hypers": ([dict(h._asdict()) for h in hypers]
+                       if hypers is not None else None),
+            "rung": rung,
+            "done": done_now,
+            "rung_report": rung_report,
+            "history": history,
+        }
+        # meta rides inside the same atomic msgpack file as the device state
+        # (a crash can never leave the two halves inconsistent); flax msgpack
+        # has no str leaf type, so the JSON goes in as a uint8 array
+        meta_bytes = np.frombuffer(json.dumps(meta_now).encode(), np.uint8)
+        save_checkpoint(state_path,
+                        {"meta": meta_bytes, "state": batched_now})
+
     if halving:
-        base = os.path.join(workdir or ".", cfg.checkpoint_dir)
-        sweep_dir = os.path.join(os.path.dirname(base.rstrip("/")), "sweep")
-        r_epochs = rung_epochs or cfg.save_freq
-        ids = list(range(len(seeds)))  # stable member ids across rungs
         sampler = None
-        rung_report = []
-        done = 0
-        rung = 0
         while len(seeds) > 1:
-            batched = _train_population(
-                run_fn, batched, hp_arrays, data_dev, cfg, rngs, seeds,
-                r_epochs, history, _pop_put, n, verbose, epoch_offset=done,
-            )
-            done += r_epochs
+            rung_target = (rung + 1) * r_epochs
+            if done < rung_target:  # resume may land exactly on a rung boundary
+                batched = _train_population(
+                    run_fn, batched, hp_arrays, data_dev, cfg, rngs, seeds,
+                    rung_target - done, history, _pop_put, n, verbose,
+                    epoch_offset=done, save_cb=save_state,
+                )
+                done = rung_target
             rows = []
             for k in range(len(seeds)):
                 out_dir = os.path.join(sweep_dir, f"rung{rung}",
@@ -362,16 +462,18 @@ def sweep_gan(
             if hypers is not None:
                 hypers = [hypers[i] for i in keep]
             rung = 1 + rung
+            save_state(batched, done)  # survivors recorded before next rung
         if done < n_epochs:  # winner trains out the remaining budget
             batched = _train_population(
                 run_fn, batched, hp_arrays, data_dev, cfg, rngs, seeds,
                 n_epochs - done, history, _pop_put, n, verbose,
-                epoch_offset=done,
+                epoch_offset=done, save_cb=save_state,
             )
-    else:
+    elif done < n_epochs:
         batched = _train_population(
-            run_fn, batched, hp_arrays, data_dev, cfg, rngs, seeds, n_epochs,
-            history, _pop_put, n, verbose,
+            run_fn, batched, hp_arrays, data_dev, cfg, rngs, seeds,
+            n_epochs - done, history, _pop_put, n, verbose,
+            epoch_offset=done, total_epochs=n_epochs, save_cb=save_state,
         )
 
     report = _select_and_save(
@@ -406,6 +508,9 @@ def _gate_member(
     """Generate ``samples_per_emotion`` fresh .mid per emotion from one
     population member and score them against the golden bands.
 
+    Gates the member's DEPLOYABLE weights: the EMA generator when the run
+    tracks one (cfg.ema_decay > 0), else the live generator.
+
     Returns ``(passed, total, violations, gen_vars, fe_vars, sampler)`` — the
     sampler is built lazily on first use and its weights swapped thereafter
     (jit args: no recompile per member)."""
@@ -413,7 +518,9 @@ def _gate_member(
     from melogan_tpu.diagnostics.quality import gate_directory
     from melogan_tpu.sampling import EMOTION_BPM, EMOTIONS, Sampler
 
-    gen_vars = {"params": member.gen_params, "batch_stats": member.gen_stats}
+    g_par = (member.ema_params if member.ema_params is not None
+             else member.gen_params)
+    gen_vars = {"params": g_par, "batch_stats": member.gen_stats}
     fe_vars = {"params": member.fe_params}
     os.makedirs(out_dir, exist_ok=True)
     if sampler is None:
@@ -460,10 +567,16 @@ def _select_and_save(
         # hyper populations may reuse a seed across members; disambiguate dirs
         label = f"seed{seed}" if hypers is None else f"m{k}_seed{seed}"
         seed_dir = os.path.join(sweep_dir, label)
-        passed, gate_total, violations, gen_vars, fe_vars, sampler = _gate_member(
+        passed, gate_total, violations, _, fe_vars, sampler = _gate_member(
             cfg, member, seed, seed_dir, samples_per_emotion, sampler)
         ckpt_path = os.path.join(seed_dir, "gan_final.ckpt")
-        save_checkpoint(ckpt_path, {"G": gen_vars, "E_num": fe_vars})
+        final = {"G": {"params": member.gen_params,
+                       "batch_stats": member.gen_stats},
+                 "E_num": fe_vars}
+        if member.ema_params is not None:
+            final["G_ema"] = {"params": member.ema_params,
+                              "batch_stats": member.gen_stats}
+        save_checkpoint(ckpt_path, final)
         results.append({
             "seed": seed,
             "checkpoint": ckpt_path,

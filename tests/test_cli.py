@@ -398,3 +398,43 @@ def test_parse_hyper_grid_forms():
         parse_hyper_grid('{"lr_g": [1e-4], "lr_d": [1, 2]}')
     with pytest.raises(SystemExit, match="list of override dicts"):
         parse_hyper_grid('[1, 2]')
+
+
+def test_pipeline_gan_selection_flags(tmp_path, capsys, monkeypatch):
+    """`pipeline --gan-ema DECAY --gan-track-best`: the GAN stage trains with
+    a generator EMA and gate-tracked best checkpoint, and the sample stage
+    consumes gan_best.ckpt's EMA weights (not gan_final's live ones)."""
+    monkeypatch.setenv("MELOGAN_EPOCH_CHUNK", "2")
+    monkeypatch.setenv("MELOGAN_PIPELINE_PRECOMPILE", "0")
+    monkeypatch.setenv("MELOGAN_COMPILE_CACHE", "0")
+
+    ae = tmp_path / "ae.yaml"
+    ae.write_text("latent_dim: 4\nhidden_dim: 32\nbatch_size: 8\n"
+                  "recon_save_count: 0\n")
+    ed = tmp_path / "ed.yaml"
+    ed.write_text("input_mode: notes\nnotes_hidden: 32\nmlp_hidden: [32, 16]\n"
+                  "batch_size: 8\nlatent_dim: 4\n")
+    gan = tmp_path / "gan.yaml"
+    gan.write_text("NOISE_DIM: 16\nLATENT_DIM: 4\nGEN_HIDDEN: 32\n"
+                   "BATCH_SIZE: 4\nCRITIC_ITERS: 2\nSAVE_FREQ: 2\n")
+
+    main(["pipeline", "--workdir", str(tmp_path), "--synthetic",
+          "--per-emotion", "6", "--epochs", "2", "--skip-quality-gate",
+          "--gan-ema", "0.9", "--gan-track-best",
+          "--ae-config", str(ae), "--ed-config", str(ed),
+          "--gan-config", str(gan)])
+    out = capsys.readouterr().out
+    assert "pipeline complete" in out
+
+    from melogan_tpu.utils.checkpoint import load_checkpoint
+
+    best = tmp_path / "experiments/gan/checkpoints/gan_best.ckpt"
+    assert best.exists()
+    ckpt = load_checkpoint(str(best))
+    assert "G_ema" in ckpt and "gate" in ckpt
+    # the sample stage loaded the gate-selected best, as EMA weights
+    assert f"loaded generator from {best}" in out
+    assert "(EMA weights)" in out
+    gen = tmp_path / "generated_tests"
+    mids = list(gen.glob("*.mid"))
+    assert len(mids) == 8 and all(m.stat().st_size > 0 for m in mids)

@@ -1257,3 +1257,40 @@ def test_generate_stays_green_across_hot_swaps(tmp_path):
     want = Sampler(cfg, seed=5).sample_notes(["happy"], seed=77)
     np.testing.assert_allclose(sampler.sample_notes(["happy"], seed=77), want,
                                rtol=1e-5, atol=1e-7)
+
+
+def test_reload_with_use_ema_serves_ema_weights(tmp_path):
+    """AppState(use_ema=True) hot-swaps the EMA generator (G_ema) from a
+    checkpoint, not the live weights — and refuses ema-less checkpoints with
+    the current weights kept serving."""
+    from melogan_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    sampler = Sampler(cfg, seed=0)
+    live_donor = Sampler(cfg, seed=7)
+    ema_donor = Sampler(cfg, seed=11)  # stands in for the EMA stream
+    ckpt = str(tmp_path / "gan_final.ckpt")
+    save_checkpoint(ckpt, {
+        "G": {"params": live_donor.gen_variables["params"],
+              "batch_stats": live_donor.gen_variables.get("batch_stats", {})},
+        "G_ema": {"params": ema_donor.gen_variables["params"],
+                  "batch_stats": live_donor.gen_variables.get("batch_stats", {})},
+        "E_num": {"params": live_donor.fe_variables["params"]},
+    })
+
+    state = AppState(cfg, sampler, ckpt_path=None, use_ema=True)
+    state.reload_checkpoint(ckpt)
+    got = sampler.sample_notes(["happy"], seed=123)
+    want = Sampler(cfg, gen_variables={
+        "params": ema_donor.gen_variables["params"],
+        "batch_stats": live_donor.gen_variables.get("batch_stats", {})},
+        fe_variables=live_donor.fe_variables).sample_notes(["happy"], seed=123)
+    assert np.allclose(got, want)
+
+    plain = str(tmp_path / "plain.ckpt")
+    _gan_final_ckpt_from(live_donor, plain)
+    before = sampler.sample_notes(["happy"], seed=5)
+    with pytest.raises(KeyError, match="ema_decay"):
+        state.reload_checkpoint(plain)
+    after = sampler.sample_notes(["happy"], seed=5)
+    assert np.allclose(before, after)  # swap never happened

@@ -288,3 +288,125 @@ def test_halving_validation(train_data):
     ed_cfg = EDConfig(max_notes=64, notes_blocks=2, notes_hidden=32, mlp_hidden=(16,))
     with pytest.raises(ValueError, match="at least 2"):
         sweep_gan(GANConfig(**_KW), ed_cfg, train_data, seeds=[1], halving=True)
+
+
+def test_sweep_resume_is_step_identical(train_data, tmp_path):
+    """Interrupted-and-resumed ≡ straight-through for the plain population:
+    a sweep stopped after its first fused chunk (simulated by a 2-epoch run,
+    whose sweep_state.ckpt is exactly what a crash after chunk 1 of a
+    4-epoch run leaves behind) and resumed to 4 epochs must reproduce the
+    straight-through run bit-for-bit — curves equal, member finals
+    byte-identical (device state round-trips msgpack lossless; host shuffle
+    streams are replayed)."""
+    kw = dict(_KW, epochs=4)
+    ed_cfg = EDConfig(max_notes=64, notes_blocks=2, notes_hidden=32, mlp_hidden=(16,))
+    straight = sweep_gan(
+        GANConfig(**kw), ed_cfg, train_data, seeds=[3, 5],
+        workdir=str(tmp_path / "straight"), verbose=False, samples_per_emotion=1,
+    )
+    sweep_gan(
+        GANConfig(**dict(_KW, epochs=2)), ed_cfg, train_data, seeds=[3, 5],
+        workdir=str(tmp_path / "resumed"), verbose=False, samples_per_emotion=1,
+    )
+    state_path = os.path.join(
+        str(tmp_path / "resumed"), "experiments/gan/sweep/sweep_state.ckpt")
+    assert os.path.exists(state_path)
+
+    # a mismatched invocation must refuse to resume (streams would diverge)
+    with pytest.raises(ValueError, match="different"):
+        sweep_gan(GANConfig(**kw), ed_cfg, train_data, seeds=[3, 6],
+                  workdir=str(tmp_path / "resumed"), verbose=False,
+                  samples_per_emotion=1, resume=True)
+
+    resumed = sweep_gan(
+        GANConfig(**kw), ed_cfg, train_data, seeds=[3, 5],
+        workdir=str(tmp_path / "resumed"), verbose=False, samples_per_emotion=1,
+        resume=True,
+    )
+    for rs, rr in zip(straight["results"], resumed["results"]):
+        assert rs["seed"] == rr["seed"]
+        assert rs["curve"] == rr["curve"]  # floats bitwise (JSON round-trips)
+        with open(rs["checkpoint"], "rb") as f1, open(rr["checkpoint"], "rb") as f2:
+            assert f1.read() == f2.read()
+    assert straight["best_seed"] == resumed["best_seed"]
+
+
+def test_halving_resume_after_crash_is_step_identical(train_data, tmp_path,
+                                                      monkeypatch):
+    """A halving sweep killed mid-search (here: during rung-1 gating, AFTER
+    rung 1's training chunk checkpointed the survivors) must resume into the
+    identical trajectory: no retraining of finished epochs, deterministic
+    re-gating, same survivor chain, same winner, byte-identical final."""
+    from melogan_tpu.train import sweep as sweep_mod
+
+    kw = dict(_KW, epochs=3, save_freq=1)
+    ed_cfg = EDConfig(max_notes=64, notes_blocks=2, notes_hidden=32, mlp_hidden=(16,))
+    seeds = [1, 2, 3, 4]
+
+    straight = sweep_gan(
+        GANConfig(**kw), ed_cfg, train_data, seeds=seeds, halving=True,
+        rung_epochs=1, workdir=str(tmp_path / "straight"), verbose=False,
+        samples_per_emotion=1,
+    )
+
+    # crash on the 5th gate call = first member of rung 1 (rung 0 gates 4)
+    real_gate = sweep_mod._gate_member
+    trap = {"calls": 0, "armed": True}
+
+    def crashing_gate(*a, **k):
+        trap["calls"] += 1
+        if trap["armed"] and trap["calls"] == 5:
+            raise RuntimeError("simulated crash during rung-1 gating")
+        return real_gate(*a, **k)
+
+    monkeypatch.setattr(sweep_mod, "_gate_member", crashing_gate)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        sweep_gan(GANConfig(**kw), ed_cfg, train_data, seeds=seeds,
+                  halving=True, rung_epochs=1,
+                  workdir=str(tmp_path / "resumed"), verbose=False,
+                  samples_per_emotion=1)
+    trap["armed"] = False
+
+    state_path = os.path.join(
+        str(tmp_path / "resumed"), "experiments/gan/sweep/sweep_state.ckpt")
+    assert os.path.exists(state_path)
+
+    resumed = sweep_gan(
+        GANConfig(**kw), ed_cfg, train_data, seeds=seeds, halving=True,
+        rung_epochs=1, workdir=str(tmp_path / "resumed"), verbose=False,
+        samples_per_emotion=1, resume=True,
+    )
+
+    assert [len(r["members"]) for r in resumed["rungs"]] == [4, 2]
+    for rs, rr in zip(straight["rungs"], resumed["rungs"]):
+        assert [m["member"] for m in rs["members"]] == [m["member"] for m in rr["members"]]
+        assert [m["survived"] for m in rs["members"]] == [m["survived"] for m in rr["members"]]
+    ws, wr = straight["results"][0], resumed["results"][0]
+    assert ws["seed"] == wr["seed"]
+    assert ws["curve"] == wr["curve"]
+    with open(ws["checkpoint"], "rb") as f1, open(wr["checkpoint"], "rb") as f2:
+        assert f1.read() == f2.read()
+
+
+def test_sweep_members_carry_ema_finals(train_data, tmp_path):
+    """With cfg.ema_decay > 0 every member tracks its own EMA inside the one
+    vmapped program; member finals carry G_ema (live G preserved) and the
+    gate ranks the EMA weights (the deployable artifact)."""
+    import jax
+
+    kw = dict(_KW, epochs=1, ema_decay=0.9)
+    ed_cfg = EDConfig(max_notes=64, notes_blocks=2, notes_hidden=32, mlp_hidden=(16,))
+    report = sweep_gan(
+        GANConfig(**kw), ed_cfg, train_data, seeds=[3, 5],
+        workdir=str(tmp_path), verbose=False, samples_per_emotion=1,
+    )
+    from melogan_tpu.utils.checkpoint import load_checkpoint
+
+    for r in report["results"]:
+        ckpt = load_checkpoint(r["checkpoint"])
+        assert "G_ema" in ckpt
+        gen_ema, _ = gan_loop.load_gan_final(r["checkpoint"], ema=True)
+        gen_live, _ = gan_loop.load_gan_final(r["checkpoint"])
+        a = jax.tree_util.tree_leaves(gen_ema["params"])[0]
+        b = jax.tree_util.tree_leaves(gen_live["params"])[0]
+        assert not np.allclose(np.asarray(a), np.asarray(b))

@@ -622,3 +622,160 @@ def test_gan_precompile_seeds_the_exact_train_program(rng, tmp_path):
     assert after == before, (
         f"train() compiled a program precompile missed: {after - before}"
     )
+
+
+# -- generator weight EMA (no reference equivalent; standard GAN practice,
+# -- tracked on device inside the fused programs — gan_step.group_step)
+
+
+def test_gan_ema_matches_hand_computed(rng):
+    """ema ← d·ema + (1−d)·params after EVERY generator update, seeded with
+    the init params. Verified against a host tree_map recomputation from the
+    per-dispatch live params (1 group per epoch ⇒ 1 G update per dispatch)."""
+    import jax.numpy as jnp
+
+    from melogan_tpu.train import gan_step
+
+    d = 0.5
+    cfg = GANConfig(max_notes=64, batch_size=4, noise_dim=16, latent_dim=8,
+                    gen_hidden=32, ema_decay=d)
+    ed_cfg = EDConfig(max_notes=64, notes_blocks=2, notes_hidden=32, mlp_hidden=(16,))
+    # 20 rows = batch(4) × critic_iters(5): exactly one group, no tail
+    split = synth_split(rng, 20, 64)
+    models = gan_step.build_models(cfg, ed_cfg)
+    s0 = gan_step.init_state(cfg, models, seed=0)
+    _leaves_equal(s0.ema_params, s0.gen_params)  # EMA seeded at init
+
+    data = (
+        jnp.asarray(split.notes_gan()),
+        jnp.asarray(split.emotion_idx.astype(np.int32)),
+        jnp.zeros((20, cfg.latent_dim), jnp.float32),
+        jnp.asarray(split.numeric.astype(np.float32)),
+    )
+    run = jax.jit(gan_step.make_train_steps(cfg, models).run)
+    host = np.random.default_rng(0)
+    live = jnp.ones((1,), bool)
+
+    def one_epoch(st):
+        idx = host.permutation(20).reshape(1, 1, 5, 4).astype(np.int32)
+        return run(st, data, jnp.asarray(idx), None, live)
+
+    s1, _ = one_epoch(s0)
+    s2, _ = one_epoch(s1)
+
+    f = lambda e, p: d * np.asarray(e, np.float32) + (1 - d) * np.asarray(p, np.float32)
+    e1 = jax.tree_util.tree_map(f, s0.gen_params, s1.gen_params)
+    e2 = jax.tree_util.tree_map(f, e1, s2.gen_params)
+    for a, b in zip(jax.tree_util.tree_leaves(e2),
+                    jax.tree_util.tree_leaves(s2.ema_params)):
+        np.testing.assert_allclose(np.asarray(b), a, rtol=0, atol=1e-7)
+
+    # EMA genuinely lags the live weights
+    la = jax.tree_util.tree_leaves(s2.gen_params)[0]
+    lb = jax.tree_util.tree_leaves(s2.ema_params)[0]
+    assert not np.allclose(np.asarray(la), np.asarray(lb))
+
+    # off by default: no EMA state, program unchanged
+    s_off = gan_step.init_state(
+        GANConfig(max_notes=64, batch_size=4, noise_dim=16, latent_dim=8,
+                  gen_hidden=32), models, seed=0)
+    assert s_off.ema_params is None
+
+
+def test_gan_ema_checkpoints_and_loader(splits, tmp_path):
+    """--ema runs save G_ema in periodic + final checkpoints;
+    load_gan_final(ema=True) returns it (and raises clearly on ema-less
+    checkpoints); the EMA weights drive the Sampler."""
+    train_data, _ = splits
+    kw = dict(max_notes=64, batch_size=4, noise_dim=16, latent_dim=8,
+              gen_hidden=32, epochs=2, save_freq=2)
+    ed_cfg = EDConfig(max_notes=64, notes_blocks=2, notes_hidden=32, mlp_hidden=(16,))
+    state, _ = gan_loop.train(
+        GANConfig(ema_decay=0.9, **kw), ed_cfg, train_data,
+        workdir=str(tmp_path / "ema"), verbose=False,
+    )
+    ckpt_dir = tmp_path / "ema" / "experiments/gan/checkpoints"
+    periodic = load_checkpoint(str(ckpt_dir / "gan_epoch0002.ckpt"))
+    assert "G_ema" in periodic
+    gen_ema, fe = gan_loop.load_gan_final(str(ckpt_dir / "gan_final.ckpt"), ema=True)
+    gen_live, _ = gan_loop.load_gan_final(str(ckpt_dir / "gan_final.ckpt"))
+    a = jax.tree_util.tree_leaves(gen_ema["params"])[0]
+    b = jax.tree_util.tree_leaves(gen_live["params"])[0]
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    _leaves_equal(state.ema_params, gen_ema["params"])
+
+    from melogan_tpu.sampling import Sampler
+
+    out = tmp_path / "ema_sample.mid"
+    Sampler(GANConfig(ema_decay=0.9, **kw), gen_variables=gen_ema,
+            fe_variables=fe).generate_midi("happy", str(out), seed=1)
+    assert out.exists() and out.stat().st_size > 0
+
+    # ema-less run: no G_ema anywhere; loader refuses ema=True with guidance
+    gan_loop.train(GANConfig(**kw), ed_cfg, train_data,
+                   workdir=str(tmp_path / "plain"), verbose=False)
+    plain_final = str(tmp_path / "plain" / "experiments/gan/checkpoints/gan_final.ckpt")
+    assert "G_ema" not in load_checkpoint(plain_final)
+    with pytest.raises(KeyError, match="ema_decay"):
+        gan_loop.load_gan_final(plain_final, ema=True)
+
+
+def test_gan_ema_resume_is_step_identical(splits, tmp_path):
+    """Interrupted-and-resumed ≡ straight-through must hold for the EMA
+    stream too (it is saved/restored with the periodic checkpoints)."""
+    train_data, _ = splits
+    kw = dict(max_notes=64, batch_size=4, noise_dim=16, latent_dim=8,
+              gen_hidden=32, save_freq=2, ema_decay=0.9)
+    ed_cfg = EDConfig(max_notes=64, notes_blocks=2, notes_hidden=32, mlp_hidden=(16,))
+    straight, _ = gan_loop.train(
+        GANConfig(epochs=4, **kw), ed_cfg, train_data,
+        workdir=str(tmp_path / "straight"), verbose=False,
+    )
+    gan_loop.train(
+        GANConfig(epochs=2, **kw), ed_cfg, train_data,
+        workdir=str(tmp_path / "resumed"), verbose=False,
+    )
+    resumed, _ = gan_loop.train(
+        GANConfig(epochs=4, **kw), ed_cfg, train_data,
+        workdir=str(tmp_path / "resumed"), verbose=False, resume=True,
+    )
+    _leaves_equal(straight.gen_params, resumed.gen_params)
+    _leaves_equal(straight.ema_params, resumed.ema_params)
+
+
+def test_gan_track_best_keeps_gate_winner(splits, tmp_path, monkeypatch):
+    """--track-best gates fresh samples at every checkpoint cadence and keeps
+    the best-scoring weights as gan_best.ckpt. The gate is monkeypatched to a
+    deterministic schedule (epoch-2 perfect, epoch-4 worse) so the winner is
+    known: gan_best must hold the epoch-2 weights (== gan_epoch0002.ckpt) and
+    record its gate score."""
+    from melogan_tpu.diagnostics import quality
+
+    train_data, _ = splits
+    scores = iter([
+        {"files": {f"f{i}": {"violations": []} for i in range(8)}},          # ep 2
+        {"files": {f"f{i}": {"violations": ["x"]} for i in range(8)}},       # ep 4
+    ])
+    monkeypatch.setattr(quality, "gate_directory", lambda d: next(scores))
+
+    kw = dict(max_notes=64, batch_size=4, noise_dim=16, latent_dim=8,
+              gen_hidden=32, epochs=4, save_freq=2)
+    ed_cfg = EDConfig(max_notes=64, notes_blocks=2, notes_hidden=32, mlp_hidden=(16,))
+    gan_loop.train(GANConfig(**kw), ed_cfg, train_data,
+                   workdir=str(tmp_path), verbose=False, track_best=True,
+                   gate_samples_per_emotion=2)
+
+    ckpt_dir = tmp_path / "experiments/gan/checkpoints"
+    best = load_checkpoint(str(ckpt_dir / "gan_best.ckpt"))
+    assert best["epoch"] == 2
+    assert best["gate"] == {"passed": 8, "total": 8, "violations": 0}
+    ep2 = load_checkpoint(str(ckpt_dir / "gan_epoch0002.ckpt"))
+    for a, b in zip(jax.tree_util.tree_leaves(best["G"]["params"]),
+                    jax.tree_util.tree_leaves(ep2["G"]["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # loadable by the standard final loader (serve/sample can point at it)
+    gen_vars, fe_vars = gan_loop.load_gan_final(str(ckpt_dir / "gan_best.ckpt"))
+    assert "params" in gen_vars and "params" in fe_vars
+    # gate samples were really generated at both cadences
+    assert (tmp_path / "experiments/gan/samples/gate_epoch0002").is_dir()
+    assert (tmp_path / "experiments/gan/samples/gate_epoch0004").is_dir()
