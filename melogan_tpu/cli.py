@@ -457,6 +457,10 @@ def _launch_precompiles(args, workdir, splits_dir, stages):
         gan_cfg = _load_cfg(GANConfig, args.gan_config, workdir)
         if epochs:
             gan_cfg.epochs = epochs
+        # --gan-ema changes the fused program (EMA update + extra state
+        # leaves); warming the non-EMA variant would miss the cache
+        if getattr(args, "gan_ema", None) is not None:
+            gan_cfg.ema_decay = args.gan_ema
         if _len_ok("GAN", gan_cfg.max_notes):
             launches.append(("train-gan", "GAN", gan_loop.precompile,
                              (gan_cfg, ed_cfg, n_train),
@@ -1316,6 +1320,10 @@ def build_parser():
     s.add_argument("--ae-config", default="configs/ae.yaml", dest="ae_config")
     s.add_argument("--ed-config", default="configs/ed.yaml", dest="ed_config")
     s.add_argument("--gan-config", default="configs/gan.yaml", dest="gan_config")
+    s.add_argument("--gan-ema", type=float, default=None, dest="gan_ema",
+                   metavar="DECAY",
+                   help="warm the EMA variant of the GAN program (must match "
+                        "the later train-gan --ema / pipeline --gan-ema)")
     s.add_argument("--dp", type=int, default=0,
                    help="data-parallel device count (matches the later run)")
     s.add_argument("--bf16", action="store_true",

@@ -136,12 +136,22 @@ def train(
             if "step" in raw:
                 state = state.replace(step=jnp.asarray(raw["step"], jnp.int32))
             if state.ema_params is not None:
-                # seed the EMA from the restored live weights when the
-                # checkpoint predates --ema (first-order correct: EMA decays
-                # toward the trajectory anyway)
-                ema_src = raw.get("G_ema", {"params": raw["G"]["params"]})
-                state = state.replace(ema_params=serialization.from_state_dict(
-                    state.ema_params, ema_src["params"]))
+                if "ema_raw" in raw:
+                    # the raw zero-seeded stream continues exactly
+                    state = state.replace(ema_params=serialization.from_state_dict(
+                        state.ema_params, raw["ema_raw"]))
+                else:
+                    # checkpoint predates --ema: seed the raw stream so the
+                    # debiased EMA equals the restored live weights at the
+                    # resume point ((1 − d^t)·p debiases back to p) and
+                    # tracks the trajectory from there
+                    t = int(np.asarray(raw.get("step", 0)))
+                    corr = 1.0 - float(cfg.ema_decay) ** t if t else 0.0
+                    state = state.replace(ema_params=jax.tree_util.tree_map(
+                        lambda p: np.asarray(p) * np.float32(corr),
+                        serialization.from_state_dict(
+                            state.gen_params, raw["G"]["params"]),
+                    ))
             start_epoch = int(raw["epoch"]) + 1
             if verbose:
                 print(f"[INFO] resumed from {latest} at epoch {start_epoch}")
@@ -272,8 +282,13 @@ def train(
                 "step": state.step,
             }
             if state.ema_params is not None:
-                payload["G_ema"] = {"params": state.ema_params,
-                                    "batch_stats": state.gen_stats}
+                # G_ema is the DEBIASED serving artifact; ema_raw is the
+                # zero-seeded stream the resume path continues from
+                payload["G_ema"] = {
+                    "params": gan_step.ema_weights(state, cfg.ema_decay),
+                    "batch_stats": state.gen_stats,
+                }
+                payload["ema_raw"] = state.ema_params
             save_checkpoint(
                 os.path.join(ckpt_dir, f"gan_epoch{chunk_end:04d}.ckpt"), payload
             )
@@ -301,8 +316,10 @@ def train(
                              "violations": violations},
                 }
                 if state.ema_params is not None:
-                    best["G_ema"] = {"params": state.ema_params,
-                                     "batch_stats": state.gen_stats}
+                    best["G_ema"] = {
+                        "params": gan_step.ema_weights(state, cfg.ema_decay),
+                        "batch_stats": state.gen_stats,
+                    }
                 save_checkpoint(os.path.join(ckpt_dir, "gan_best.ckpt"), best)
                 if verbose:
                     print(f"[GAN] new best at epoch {chunk_end}: "
@@ -314,7 +331,7 @@ def train(
         "E_num": {"params": state.fe_params},
     }
     if state.ema_params is not None:
-        final["G_ema"] = {"params": state.ema_params,
+        final["G_ema"] = {"params": gan_step.ema_weights(state, cfg.ema_decay),
                           "batch_stats": state.gen_stats}
     save_checkpoint(os.path.join(ckpt_dir, "gan_final.ckpt"), final)
     writer.close()

@@ -261,8 +261,19 @@ def sweep_gan(
     if resume and os.path.exists(state_path):
         from melogan_tpu.utils.checkpoint import load_checkpoint
 
-        raw = load_checkpoint(state_path)
-        meta = json.loads(bytes(np.asarray(raw["meta"], np.uint8)).decode())
+        try:
+            raw = load_checkpoint(state_path)
+            meta = json.loads(bytes(np.asarray(raw["meta"], np.uint8)).decode())
+        except Exception as e:
+            # a torn/corrupt state file must fail TYPED with guidance, not
+            # leak a msgpack internal (writes are atomic, so this means
+            # external damage — the sweep artifacts themselves are intact)
+            raise ValueError(
+                f"sweep state at {state_path} is unreadable "
+                f"({type(e).__name__}: {e}); delete it to restart the sweep "
+                "from scratch — per-member finals and the report are "
+                "unaffected"
+            ) from e
         if meta["fingerprint"] != fingerprint:
             raise ValueError(
                 f"sweep_state.ckpt at {state_path} belongs to a different "
@@ -518,9 +529,9 @@ def _gate_member(
     from melogan_tpu.diagnostics.quality import gate_directory
     from melogan_tpu.sampling import EMOTION_BPM, EMOTIONS, Sampler
 
-    g_par = (member.ema_params if member.ema_params is not None
-             else member.gen_params)
-    gen_vars = {"params": g_par, "batch_stats": member.gen_stats}
+    ema = gan_step.ema_weights(member, cfg.ema_decay)
+    gen_vars = {"params": ema if ema is not None else member.gen_params,
+                "batch_stats": member.gen_stats}
     fe_vars = {"params": member.fe_params}
     os.makedirs(out_dir, exist_ok=True)
     if sampler is None:
@@ -574,8 +585,10 @@ def _select_and_save(
                        "batch_stats": member.gen_stats},
                  "E_num": fe_vars}
         if member.ema_params is not None:
-            final["G_ema"] = {"params": member.ema_params,
-                              "batch_stats": member.gen_stats}
+            final["G_ema"] = {
+                "params": gan_step.ema_weights(member, cfg.ema_decay),
+                "batch_stats": member.gen_stats,
+            }
         save_checkpoint(ckpt_path, final)
         results.append({
             "seed": seed,

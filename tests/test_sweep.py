@@ -394,7 +394,9 @@ def test_sweep_members_carry_ema_finals(train_data, tmp_path):
     gate ranks the EMA weights (the deployable artifact)."""
     import jax
 
-    kw = dict(_KW, epochs=1, ema_decay=0.9)
+    # ≥2 G updates: at t=1 the debiased EMA is exactly the single visited
+    # param vector (ê = p₁ = live), so divergence only shows from t=2 on
+    kw = dict(_KW, epochs=2, ema_decay=0.9)
     ed_cfg = EDConfig(max_notes=64, notes_blocks=2, notes_hidden=32, mlp_hidden=(16,))
     report = sweep_gan(
         GANConfig(**kw), ed_cfg, train_data, seeds=[3, 5],
@@ -410,3 +412,18 @@ def test_sweep_members_carry_ema_finals(train_data, tmp_path):
         a = jax.tree_util.tree_leaves(gen_ema["params"])[0]
         b = jax.tree_util.tree_leaves(gen_live["params"])[0]
         assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_sweep_resume_corrupt_state_fails_typed(train_data, tmp_path):
+    """Random bytes / truncation in sweep_state.ckpt surface as ValueError
+    with recovery guidance, never a raw msgpack internal (fuzzing convention
+    of the other parsers: tests/test_tools.py)."""
+    ed_cfg = EDConfig(max_notes=64, notes_blocks=2, notes_hidden=32, mlp_hidden=(16,))
+    sweep_dir = tmp_path / "experiments/gan/sweep"
+    sweep_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for payload in (b"", b"garbage", rng.bytes(256)):
+        (sweep_dir / "sweep_state.ckpt").write_bytes(payload)
+        with pytest.raises(ValueError, match="delete it to restart"):
+            sweep_gan(GANConfig(**_KW), ed_cfg, train_data, seeds=[3, 5],
+                      workdir=str(tmp_path), verbose=False, resume=True)

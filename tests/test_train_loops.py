@@ -604,8 +604,13 @@ def test_gan_precompile_seeds_the_exact_train_program(rng, tmp_path):
     # min-compile-time threshold (the tiny-32-hidden variant compiles too
     # fast to be persisted at all)
     train_data = synth_split(rng, 24, 64)
+    # ema_decay on: the EMA variant is the RICHER program (extra state
+    # leaves + fused update); equality here covers the plain variant too —
+    # both share the same construction path, differing only in a static
+    # trace-time branch
     cfg = GANConfig(max_notes=64, batch_size=4, epochs=2, save_freq=2,
-                    critic_iters=2, noise_dim=32, latent_dim=8, gen_hidden=96)
+                    critic_iters=2, noise_dim=32, latent_dim=8, gen_hidden=96,
+                    ema_decay=0.9)
     ed_cfg = EDConfig(max_notes=64, batch_size=8, notes_hidden=32,
                       mlp_hidden=[32, 16])
 
@@ -629,9 +634,13 @@ def test_gan_precompile_seeds_the_exact_train_program(rng, tmp_path):
 
 
 def test_gan_ema_matches_hand_computed(rng):
-    """ema ← d·ema + (1−d)·params after EVERY generator update, seeded with
-    the init params. Verified against a host tree_map recomputation from the
-    per-dispatch live params (1 group per epoch ⇒ 1 G update per dispatch)."""
+    """Raw stream: ema ← d·ema + (1−d)·params after EVERY generator update,
+    seeded with ZEROS; the exported weights (gan_step.ema_weights) are the
+    debiased ema/(1 − d^t). Verified against a host tree_map recomputation
+    from the per-dispatch live params (1 group per epoch ⇒ 1 G update per
+    dispatch). Zero-seeding + debiasing matters: an init-seeded stream would
+    carry d^t worth of random init into the served weights (~90% at
+    d=0.999, t=100 — observed as a 0/8 gate on a real TPU run)."""
     import jax.numpy as jnp
 
     from melogan_tpu.train import gan_step
@@ -644,7 +653,10 @@ def test_gan_ema_matches_hand_computed(rng):
     split = synth_split(rng, 20, 64)
     models = gan_step.build_models(cfg, ed_cfg)
     s0 = gan_step.init_state(cfg, models, seed=0)
-    _leaves_equal(s0.ema_params, s0.gen_params)  # EMA seeded at init
+    for leaf in jax.tree_util.tree_leaves(s0.ema_params):
+        assert not np.any(np.asarray(leaf))  # zero-seeded raw stream
+    # before any G update the deployable weights are the live ones
+    _leaves_equal(gan_step.ema_weights(s0, d), s0.gen_params)
 
     data = (
         jnp.asarray(split.notes_gan()),
@@ -664,16 +676,24 @@ def test_gan_ema_matches_hand_computed(rng):
     s2, _ = one_epoch(s1)
 
     f = lambda e, p: d * np.asarray(e, np.float32) + (1 - d) * np.asarray(p, np.float32)
-    e1 = jax.tree_util.tree_map(f, s0.gen_params, s1.gen_params)
+    e1 = jax.tree_util.tree_map(f, s0.ema_params, s1.gen_params)
     e2 = jax.tree_util.tree_map(f, e1, s2.gen_params)
     for a, b in zip(jax.tree_util.tree_leaves(e2),
                     jax.tree_util.tree_leaves(s2.ema_params)):
         np.testing.assert_allclose(np.asarray(b), a, rtol=0, atol=1e-7)
 
-    # EMA genuinely lags the live weights
+    # debiased export: raw / (1 − d^t) with t = 2 G updates
+    deb = gan_step.ema_weights(s2, d)
+    for a, b in zip(jax.tree_util.tree_leaves(e2), jax.tree_util.tree_leaves(deb)):
+        np.testing.assert_allclose(np.asarray(b), a / (1.0 - d ** 2),
+                                   rtol=1e-6, atol=1e-7)
+    # ...which is a true weighted average of visited params: magnitudes match
+    # the live weights (an undebaised zero-seeded stream at t=2 would be
+    # scaled down by 1 − d² = 0.75)
     la = jax.tree_util.tree_leaves(s2.gen_params)[0]
-    lb = jax.tree_util.tree_leaves(s2.ema_params)[0]
-    assert not np.allclose(np.asarray(la), np.asarray(lb))
+    lb = jax.tree_util.tree_leaves(deb)[0]
+    assert not np.allclose(np.asarray(la), np.asarray(lb))  # lags, not equals
+    assert 0.5 < np.linalg.norm(np.asarray(lb)) / np.linalg.norm(np.asarray(la)) < 2.0
 
     # off by default: no EMA state, program unchanged
     s_off = gan_step.init_state(
@@ -702,7 +722,13 @@ def test_gan_ema_checkpoints_and_loader(splits, tmp_path):
     a = jax.tree_util.tree_leaves(gen_ema["params"])[0]
     b = jax.tree_util.tree_leaves(gen_live["params"])[0]
     assert not np.allclose(np.asarray(a), np.asarray(b))
-    _leaves_equal(state.ema_params, gen_ema["params"])
+    from melogan_tpu.train import gan_step
+
+    _leaves_equal(gan_step.ema_weights(state, 0.9), gen_ema["params"])
+    # the periodic checkpoint carries the raw stream for resume
+    assert "ema_raw" in periodic
+    _leaves_equal(state.ema_params,
+                  load_checkpoint(str(ckpt_dir / "gan_epoch0002.ckpt"))["ema_raw"])
 
     from melogan_tpu.sampling import Sampler
 
