@@ -805,3 +805,37 @@ def test_gan_track_best_keeps_gate_winner(splits, tmp_path, monkeypatch):
     # gate samples were really generated at both cadences
     assert (tmp_path / "experiments/gan/samples/gate_epoch0002").is_dir()
     assert (tmp_path / "experiments/gan/samples/gate_epoch0004").is_dir()
+
+
+def test_gan_resume_enables_ema_on_pre_ema_checkpoint(splits, tmp_path):
+    """Resuming with --ema from a checkpoint that predates EMA seeds the raw
+    stream so the debiased weights EQUAL the restored live weights at the
+    resume point, then track the trajectory — no init contamination, sane
+    magnitudes."""
+    from melogan_tpu.train import gan_step
+
+    train_data, _ = splits
+    kw = dict(max_notes=64, batch_size=4, noise_dim=16, latent_dim=8,
+              gen_hidden=32, save_freq=2)
+    ed_cfg = EDConfig(max_notes=64, notes_blocks=2, notes_hidden=32, mlp_hidden=(16,))
+    gan_loop.train(GANConfig(epochs=2, **kw), ed_cfg, train_data,
+                   workdir=str(tmp_path), verbose=False)  # no EMA
+    ckpt_dir = tmp_path / "experiments/gan/checkpoints"
+    assert "G_ema" not in load_checkpoint(str(ckpt_dir / "gan_epoch0002.ckpt"))
+
+    d = 0.9
+    state, _ = gan_loop.train(GANConfig(epochs=4, ema_decay=d, **kw), ed_cfg,
+                              train_data, workdir=str(tmp_path),
+                              verbose=False, resume=True)
+    ema = gan_step.ema_weights(state, d)
+    live = state.gen_params
+    for a, b in zip(jax.tree_util.tree_leaves(ema),
+                    jax.tree_util.tree_leaves(live)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(a))
+        # same magnitude class as the live weights (an unseeded/uncorrected
+        # stream would be scaled way down toward zero)
+        if np.linalg.norm(b) > 1e-3:
+            assert 0.5 < np.linalg.norm(a) / np.linalg.norm(b) < 2.0
+    final = load_checkpoint(str(ckpt_dir / "gan_final.ckpt"))
+    assert "G_ema" in final
