@@ -191,6 +191,9 @@ def train(
 
     rng = np.random.default_rng(cfg.seed)
     n_epochs = epochs or cfg.epochs
+    note = gan_step.ema_horizon_note(cfg, n_epochs, notes.shape[0])
+    if note and verbose:
+        print(note)
     # replay the data-order RNG so a resumed run consumes the same stream
     for _ in range(start_epoch - 1):
         rng.permutation(notes.shape[0])

@@ -189,6 +189,36 @@ def ema_weights(state: GANTrainState, decay: float):
     )
 
 
+def ema_horizon_note(cfg: GANConfig, n_epochs: int, n_train: int) -> Optional[str]:
+    """Advisory for a mis-sized generator-EMA decay (the measured gotcha).
+
+    The run performs ``t = n_epochs × (⌊N/B⌋ // critic_iters)`` generator
+    updates while the EMA averages over a ``1/(1−d)``-update window. Measured
+    on TPU at full reference scale (RESULTS.md, docs/operations.md "horizon
+    rule"): the debiased EMA needs roughly ``2/(1−d)`` updates before it
+    matches the live trajectory — at t≈100, d=0.98 gated 0/8 while the live
+    weights passed 8/8; a 500-epoch run at d=0.99 reached 8/8 at ~2× the
+    window. Returns a warning string when ``t < 2/(1−d)``, else None. Pure
+    host-side arithmetic — never traced."""
+    d = cfg.ema_decay
+    if not d:
+        return None
+    g_per_epoch = (n_train // cfg.batch_size) // max(cfg.critic_iters, 1)
+    t = n_epochs * g_per_epoch
+    window = 1.0 / (1.0 - d)
+    if t >= 2.0 * window:
+        return None
+    fix = f"lower the decay to ≤ {1.0 - 2.0 / t:.4g}, " if t > 2 else ""
+    return (
+        f"[WARN] ema_decay={d:g} averages over ~{window:.0f} G updates but "
+        f"this run only performs t={t} ({n_epochs} epochs × {g_per_epoch} "
+        f"G updates/epoch); measured on TPU the EMA needs ~2/(1−d) updates "
+        f"to catch the live trajectory, so the exported G_ema will lag — "
+        f"{fix}train longer, or use --track-best to gate the EMA artifact "
+        f"(docs/operations.md: horizon rule)"
+    )
+
+
 def cross_entropy(logits, labels) -> jnp.ndarray:
     """torch CrossEntropyLoss semantics: mean over batch of −log_softmax[y]."""
     logp = jax.nn.log_softmax(logits, axis=-1)

@@ -385,6 +385,9 @@ def sweep_gan(
         data_dev = put_replicated(data_dev, mesh)
 
     n = notes.shape[0]
+    note = gan_step.ema_horizon_note(cfg, n_epochs, n)
+    if note and verbose:
+        print(note)
     n_batches = n // cfg.batch_size
     if n_batches // cfg.critic_iters == 0:
         raise ValueError(

@@ -21,7 +21,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def summarize(workdir: str, per_emotion: int, total: float):
+def summarize(workdir: str, per_emotion: int, total: float,
+              track_best: bool = False):
     """Regenerate RESULTS.md from a completed demo-run workdir."""
     import numpy as np
 
@@ -106,6 +107,26 @@ def summarize(workdir: str, per_emotion: int, total: float):
                 "quality gate 8/8), so the gate verdict is unaffected.",
             ]
 
+    # --track-best: the pipeline sampled from the gate-tracked best
+    # checkpoint rather than the final epoch; surface its provenance
+    best_para = []
+    best_path = os.path.join(workdir, "experiments/gan/checkpoints/gan_best.ckpt")
+    if track_best and os.path.exists(best_path):
+        from melogan_tpu.utils.checkpoint import load_checkpoint
+
+        best = load_checkpoint(best_path)
+        g = best.get("gate", {})
+        best_para = [
+            "",
+            "Checkpoint selection: `--gan-track-best` gated every checkpoint "
+            "cadence with fresh samples against the golden bands and kept the "
+            f"winner — `gan_best.ckpt` from epoch {int(best.get('epoch', -1))} "
+            f"(gate {int(g.get('passed', -1))}/{int(g.get('total', -1))}, "
+            f"{int(g.get('violations', -1))} violations at selection time). "
+            "The sample/serve stages consume this checkpoint instead of "
+            "`gan_final.ckpt`.",
+        ]
+
     wall = f"**{total:.1f}s**" if total else "(see git history)"
     lines = [
         "# RESULTS — end-to-end demo training run (single TPU v5e chip)",
@@ -172,6 +193,7 @@ def summarize(workdir: str, per_emotion: int, total: float):
             "docs/performance.md); the steady-state epoch medians above are "
             "the trained-throughput numbers.",
         ]
+    lines += best_para
     lines += diag_para
     rel = os.path.relpath(workdir, REPO)
     lines += [
@@ -185,7 +207,8 @@ def summarize(workdir: str, per_emotion: int, total: float):
     print("\n".join(lines))
 
 
-def main(workdir: str = None, per_emotion: int = 320, epochs: int = None):
+def main(workdir: str = None, per_emotion: int = 320, epochs: int = None,
+         track_best: bool = False):
     import jax
 
     cache_dir = os.path.join(REPO, ".jax_cache")
@@ -206,15 +229,23 @@ def main(workdir: str = None, per_emotion: int = 320, epochs: int = None):
             "--gan-config", os.path.join(REPO, "configs/gan.yaml")]
     if epochs:
         args += ["--epochs", str(epochs)]
+    if track_best:
+        args += ["--gan-track-best"]
     cli(args)
 
     total = time.time() - t0
 
-    # extra samples for stats
+    # extra samples for stats — from the same checkpoint the pipeline's own
+    # sample stage used (the gate-tracked best under --track-best)
     gen_dir = os.path.join(workdir, "generated_tests")
-    cli(["sample", "--emotion", "all", "--samples", "2", "--seed", "123",
-         "--config", os.path.join(REPO, "configs/gan.yaml"),
-         "--workdir", workdir, "--out", gen_dir])
+    sample_args = ["sample", "--emotion", "all", "--samples", "2",
+                   "--seed", "123",
+                   "--config", os.path.join(REPO, "configs/gan.yaml"),
+                   "--workdir", workdir, "--out", gen_dir]
+    best_path = os.path.join(workdir, "experiments/gan/checkpoints/gan_best.ckpt")
+    if track_best and os.path.exists(best_path):
+        sample_args += ["--checkpoint", best_path]
+    cli(sample_args)
 
     # diagnostics
     splits_dir = os.path.join(workdir, "data/splits")
@@ -225,22 +256,29 @@ def main(workdir: str = None, per_emotion: int = 320, epochs: int = None):
          "--processed-dir", processed, "--out", workdir])
 
     with open(os.path.join(workdir, "run_meta.json"), "w") as f:
-        json.dump({"wall_seconds": total, "per_emotion": per_emotion}, f)
-    summarize(workdir, per_emotion, total)
+        json.dump({"wall_seconds": total, "per_emotion": per_emotion,
+                   "track_best": track_best}, f)
+    summarize(workdir, per_emotion, total, track_best=track_best)
 
 
 if __name__ == "__main__":
-    pos = [a for a in sys.argv[1:] if a != "--summarize"]
-    if "--summarize" in sys.argv:
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    unknown = flags - {"--summarize", "--track-best"}
+    if unknown:
+        sys.exit(f"unknown flag(s): {' '.join(sorted(unknown))}")
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--summarize" in flags:
         if not pos:
             sys.exit("usage: demo_run.py WORKDIR --summarize")
         wd = pos[0]
         meta_path = os.path.join(wd, "run_meta.json")
         meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}
-        summarize(wd, meta.get("per_emotion", 320), meta.get("wall_seconds"))
+        summarize(wd, meta.get("per_emotion", 320), meta.get("wall_seconds"),
+                  track_best=meta.get("track_best", False))
     else:
         main(
             workdir=pos[0] if len(pos) > 0 else None,
             per_emotion=int(pos[1]) if len(pos) > 1 else 320,
             epochs=int(pos[2]) if len(pos) > 2 else None,
+            track_best="--track-best" in flags,
         )

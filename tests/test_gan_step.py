@@ -279,3 +279,33 @@ def test_multi_epoch_run_matches_sequential_epochs(rng):
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(s_seq.rng), np.asarray(s_run.rng))
+
+
+def test_ema_horizon_note():
+    """The horizon-rule advisory fires exactly when t < 2/(1-d).
+
+    Rule and thresholds from the TPU measurements recorded in RESULTS.md /
+    docs/operations.md: a d=0.98 EMA over a ~100-G-update run gated 0/8
+    while the live weights passed 8/8; sized decays work. The helper is pure
+    host arithmetic, so the boundary is testable exactly."""
+    # EMA off -> no note regardless of shape
+    assert gan_step.ema_horizon_note(tiny_cfg(), 50, 10_000) is None
+
+    # reference regime: N=896 train rows, B=32, k=5 -> 5 G updates/epoch;
+    # 50 epochs -> t=250. d=0.999 (window 1000) must warn; d=0.9 (window
+    # 10, 2*window=20 <= 250) must not.
+    cfg_big = tiny_cfg(batch_size=32, critic_iters=5, ema_decay=0.999)
+    note = gan_step.ema_horizon_note(cfg_big, 50, 896)
+    assert note is not None and "t=250" in note and "track-best" in note
+    cfg_ok = tiny_cfg(batch_size=32, critic_iters=5, ema_decay=0.9)
+    assert gan_step.ema_horizon_note(cfg_ok, 50, 896) is None
+
+    # exact boundary: t == 2*window passes, one G update fewer warns.
+    # window(0.98)=50 -> need t>=100; 20 epochs x 5 G/epoch = 100.
+    cfg_b = tiny_cfg(batch_size=32, critic_iters=5, ema_decay=0.98)
+    assert gan_step.ema_horizon_note(cfg_b, 20, 896) is None
+    assert gan_step.ema_horizon_note(cfg_b, 19, 896) is not None
+
+    # the suggested decay cap in the message is consistent: d <= 1 - 2/t
+    note = gan_step.ema_horizon_note(cfg_big, 50, 896)
+    assert "0.992" in note  # 1 - 2/250
