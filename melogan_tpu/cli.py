@@ -224,7 +224,7 @@ def cmd_eval_ed(args):
 
 
 def cmd_train_gan(args):
-    from melogan_tpu.config import EDConfig, GANConfig
+    from melogan_tpu.config import EDConfig, GANConfig, validate_ema_decay
     from melogan_tpu.train import gan_loop
     from melogan_tpu.utils.checkpoint import load_checkpoint
 
@@ -233,7 +233,10 @@ def cmd_train_gan(args):
     if args.epochs:
         cfg.epochs = args.epochs
     if getattr(args, "ema", None) is not None:
-        cfg.ema_decay = args.ema
+        try:
+            cfg.ema_decay = validate_ema_decay(args.ema)
+        except ValueError as e:
+            raise SystemExit(f"--ema: {e}")
     train_data = _load_split(args, "train")
 
     latents = None
@@ -286,7 +289,7 @@ def cmd_sweep(args):
     """Population sweep: K WGAN-GP seeds trained concurrently as one vmapped
     XLA program, ranked by the golden-band quality gate (train/sweep.py —
     no reference equivalent; the torch scripts train one model per process)."""
-    from melogan_tpu.config import EDConfig, GANConfig
+    from melogan_tpu.config import EDConfig, GANConfig, validate_ema_decay
     from melogan_tpu.train.sweep import sweep_gan
     from melogan_tpu.utils.checkpoint import load_checkpoint
 
@@ -295,7 +298,10 @@ def cmd_sweep(args):
     if args.epochs:
         cfg.epochs = args.epochs
     if getattr(args, "ema", None) is not None:
-        cfg.ema_decay = args.ema
+        try:
+            cfg.ema_decay = validate_ema_decay(args.ema)
+        except ValueError as e:
+            raise SystemExit(f"--ema: {e}")
     train_data = _load_split(args, "train")
 
     latents = None

@@ -279,6 +279,23 @@ class EDConfig:
         }
 
 
+def validate_ema_decay(d) -> float:
+    """Reject a generator-EMA decay outside [0, 1) with one clear message.
+
+    A decay of 1.0 never moves the EMA off its seed (and the 1/(1−d) horizon
+    arithmetic divides by zero). Called from GANConfig.__post_init__ (YAML /
+    dataclasses.replace) and from the CLI --ema override, which assigns the
+    field directly."""
+    d = float(d)
+    if not (0.0 <= d < 1.0):
+        raise ValueError(
+            f"ema_decay must be in [0, 1) (0 disables EMA); got {d!r}. A "
+            f"decay of 1.0 would average over an infinite window and never "
+            f"leave its zero seed."
+        )
+    return d
+
+
 @dataclass
 class GANConfig:
     """GAN workload config (reference config/gan_config.yaml)."""
@@ -328,6 +345,9 @@ class GANConfig:
     processed_dir: str = "data/processed"
     encoder_feats_train: str = "data/splits/train/encoder_feats.npy"
     encoder_feats_val: str = "data/splits/val/encoder_feats.npy"
+
+    def __post_init__(self):
+        validate_ema_decay(self.ema_decay)
 
     @classmethod
     def from_yaml(cls, path: str) -> "GANConfig":

@@ -203,8 +203,22 @@ def ema_horizon_note(cfg: GANConfig, n_epochs: int, n_train: int) -> Optional[st
     d = cfg.ema_decay
     if not d:
         return None
+    if d >= 1.0:  # GANConfig.__post_init__ rejects this; belt-and-braces
+        return (
+            f"[WARN] ema_decay={d:g} is ≥ 1.0: the EMA would never move off "
+            f"its seed. Use a decay in [0, 1)."
+        )
     g_per_epoch = (n_train // cfg.batch_size) // max(cfg.critic_iters, 1)
     t = n_epochs * g_per_epoch
+    if g_per_epoch == 0:
+        return (
+            f"[WARN] ema_decay={d:g} requested but this run will perform ZERO "
+            f"generator updates: the corpus yields only "
+            f"{n_train // cfg.batch_size} batches/epoch at batch_size="
+            f"{cfg.batch_size}, fewer than critic_iters={cfg.critic_iters}, "
+            f"so every epoch is a critic-only tail and G_ema stays its zero "
+            f"seed regardless of epochs. Lower the batch size or critic_iters."
+        )
     window = 1.0 / (1.0 - d)
     if t >= 2.0 * window:
         return None

@@ -273,8 +273,12 @@ if __name__ == "__main__":
         wd = pos[0]
         meta_path = os.path.join(wd, "run_meta.json")
         meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}
+        # An explicit --track-best overrides run_meta.json (older workdirs
+        # predate the field; without the override the flag was silently
+        # ignored in summarize mode).
         summarize(wd, meta.get("per_emotion", 320), meta.get("wall_seconds"),
-                  track_best=meta.get("track_best", False))
+                  track_best=("--track-best" in flags
+                              or meta.get("track_best", False)))
     else:
         main(
             workdir=pos[0] if len(pos) > 0 else None,

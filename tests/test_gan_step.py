@@ -309,3 +309,32 @@ def test_ema_horizon_note():
     # the suggested decay cap in the message is consistent: d <= 1 - 2/t
     note = gan_step.ema_horizon_note(cfg_big, 50, 896)
     assert "0.992" in note  # 1 - 2/250
+
+
+def test_ema_decay_validation():
+    """ema_decay outside [0,1) is rejected at config construction (ADVICE-r3:
+    --ema 1.0 used to crash with a ZeroDivisionError inside ema_horizon_note),
+    and a corpus smaller than one critic group gets the zero-G-updates
+    message, not the generic lag warning."""
+    import dataclasses
+
+    import pytest
+
+    with pytest.raises(ValueError, match="ema_decay"):
+        tiny_cfg(ema_decay=1.0)
+    with pytest.raises(ValueError, match="ema_decay"):
+        tiny_cfg(ema_decay=-0.1)
+    # dataclasses.replace revalidates too
+    with pytest.raises(ValueError, match="ema_decay"):
+        dataclasses.replace(tiny_cfg(), ema_decay=1.5)
+
+    # belt-and-braces guard in the helper itself (bypassing __post_init__)
+    cfg = tiny_cfg(ema_decay=0.9)
+    object.__setattr__(cfg, "ema_decay", 1.0)
+    note = gan_step.ema_horizon_note(cfg, 50, 896)
+    assert note is not None and "never move" in note
+
+    # n_train // batch_size < critic_iters -> zero generator updates ever
+    cfg0 = tiny_cfg(batch_size=32, critic_iters=5, ema_decay=0.9)
+    note = gan_step.ema_horizon_note(cfg0, 1000, 4 * 32)  # 4 batches < 5
+    assert note is not None and "ZERO" in note and "critic-only" in note
