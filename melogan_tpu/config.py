@@ -95,6 +95,13 @@ class AEConfig:
     weight_decay: float = 1e-5
     kld_warmup_epochs: int = 1
     beta: float = 10.0
+    # anti-collapse knobs (defaults = exact reference loss; see vae_loss):
+    # free_bits — per-dim KL floor in nats; kl_capacity — Burgess-style
+    # annealed KL target C (β·|KL−C|), ramped linearly over
+    # kl_capacity_epochs (0 → ramp over the full run)
+    free_bits: float = 0.0
+    kl_capacity: float = 0.0
+    kl_capacity_epochs: int = 0
     early_stop_patience: int = 15
     hidden_dim: int = 512  # reference hardcodes 512 (src/ae/model.py:104)
     augment: AugmentConfig = field(default_factory=AugmentConfig)
@@ -124,6 +131,9 @@ class AEConfig:
             weight_decay=float(raw.get("WEIGHT_DECAY", 1e-5)),
             kld_warmup_epochs=int(raw.get("KLD_WARMUP_EPOCHS", 1)),
             beta=float(raw.get("BETA", 10.0)),
+            free_bits=float(raw.get("FREE_BITS", 0.0)),
+            kl_capacity=float(raw.get("KL_CAPACITY", 0.0)),
+            kl_capacity_epochs=int(raw.get("KL_CAPACITY_EPOCHS", 0)),
             early_stop_patience=int(raw.get("EARLY_STOP_PATIENCE", 15)),
             hidden_dim=int(raw.get("HIDDEN_DIM", 512)),
             augment=AugmentConfig(

@@ -16,6 +16,56 @@ from melogan_tpu import EMOTIONS
 from melogan_tpu.data.datasets import SplitData
 
 
+def latent_emotion_structure(latents: np.ndarray, labels: np.ndarray, k: int = 5) -> Dict:
+    """Quantify how emotion-structured a latent space is (the property the
+    reference's tsne.py:125-185 plots but never measures).
+
+    Returns leave-one-out kNN emotion accuracy, the silhouette coefficient of
+    the emotion clustering, and the majority-class chance rate. Pure numpy —
+    O(N²) distances (N ≤ ~1300 for the reference corpus)."""
+    x = np.asarray(latents, np.float64)
+    y = np.asarray(labels)
+    n = x.shape[0]
+    d2 = np.sum((x[:, None, :] - x[None, :, :]) ** 2, axis=-1)
+    np.fill_diagonal(d2, np.inf)
+
+    # leave-one-out kNN majority vote (ties broken by the nearest member)
+    k_eff = min(k, n - 1)
+    nn = np.argsort(d2, axis=1)[:, :k_eff]
+    votes = y[nn]  # (n, k)
+    correct = 0
+    for i in range(n):
+        vals, counts = np.unique(votes[i], return_counts=True)
+        top = counts.max()
+        winners = set(vals[counts == top])
+        # tie-break: first (nearest) vote among the tied classes
+        pred = next(v for v in votes[i] if v in winners)
+        correct += int(pred == y[i])
+    knn_acc = correct / n
+
+    # silhouette over emotion clusters
+    d = np.sqrt(np.where(np.isinf(d2), 0.0, d2))
+    classes = np.unique(y)
+    sil = []
+    for i in range(n):
+        same = (y == y[i]) & (np.arange(n) != i)
+        if not same.any():
+            continue
+        a = d[i, same].mean()
+        b = min(d[i, y == c].mean() for c in classes if c != y[i])
+        sil.append((b - a) / max(a, b) if max(a, b) > 0 else 0.0)
+    silhouette = float(np.mean(sil)) if sil else 0.0
+
+    counts = np.unique(y, return_counts=True)[1]
+    return {
+        "n": int(n),
+        "k": int(k_eff),
+        "knn_accuracy": float(knn_acc),
+        "silhouette": silhouette,
+        "chance": float(counts.max() / n),
+    }
+
+
 def diagnose(data: SplitData, latents: Optional[np.ndarray] = None) -> Dict:
     report: Dict = {"n_samples": data.n, "checks": []}
 
@@ -68,6 +118,20 @@ def diagnose(data: SplitData, latents: Optional[np.ndarray] = None) -> Dict:
             len(collapsed) < latents.shape[1],
             f"latent dims with std<0.1: {collapsed} of {latents.shape[1]} "
             f"(min std {float(stds.min()):.4f})",
+        )
+        # 4b. quantitative emotion structure (VERDICT-r3 item 1): the latent
+        # space should predict emotion well above chance. Threshold: LOO-kNN
+        # accuracy ≥ 2× the majority-class rate (collapsed latents sit AT
+        # chance; a clustered space scores far higher).
+        m = min(latents.shape[0], data.n)
+        struct = latent_emotion_structure(latents[:m], idx[:m])
+        report["latent_structure"] = struct
+        check(
+            "latent_emotion_structure",
+            struct["knn_accuracy"] >= 2.0 * struct["chance"],
+            f"LOO {struct['k']}-NN emotion accuracy {struct['knn_accuracy']:.3f} "
+            f"(chance {struct['chance']:.3f}, threshold 2x chance), "
+            f"silhouette {struct['silhouette']:.3f}",
         )
     else:
         check("latent_collapse", True, "no latents provided; skipped")

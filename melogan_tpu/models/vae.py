@@ -118,13 +118,41 @@ class VAE(nn.Module):
         return cls(max_notes=cfg.max_notes, latent_dim=cfg.latent_dim, hidden_dim=cfg.hidden_dim)
 
 
-def vae_loss(recon, x, mu, log_var, beta: float):
-    """MSE + β·KLD (reference src/ae/train_ae.py:35-51 semantics).
+def vae_loss(recon, x, mu, log_var, beta: float, free_bits: float = 0.0,
+             capacity=None):
+    """MSE + β·KLD (reference src/ae/train_ae.py:35-51 semantics), with two
+    optional anti-collapse knobs that default to the exact reference loss.
 
-    Both terms are means over *all* elements (the reference KLD is
-    ``-0.5·mean(1 + logσ² − µ² − σ²)``, not a per-sample sum).
+    Both reference terms are means over *all* elements (the reference KLD is
+    ``-0.5·mean(1 + logσ² − µ² − σ²)``, not a per-sample sum). At β=10 on a
+    corpus the decoder can reconstruct unconditionally this drives full
+    posterior collapse (every µ dim std < 0.1 — the failure the reference's
+    own diagnose.py:66-80 checks for). The knobs:
+
+    - ``free_bits`` (static float, nats per latent dim): the KL *penalty*
+      uses per-dim batch-mean KL clamped from below —
+      ``mean_d(max(KL_d, free_bits))`` — so β stops squeezing a dimension
+      once its information content drops to the floor (Kingma et al. 2016,
+      IAF appendix). 0.0 keeps the reference's flat-mean formula bitwise
+      (the per-dim path is not even traced).
+    - ``capacity`` (traced scalar or None): Burgess et al. 2018 capacity
+      annealing — the penalty becomes ``β·|KL_pen − C|`` with C ramped by
+      the caller (harness.capacity_schedule). None keeps β·KL_pen.
+
+    The returned ``kld`` is always the TRUE reference KLD (for logging /
+    val-selection); only ``total`` sees the penalty shaping.
     """
     mse = jnp.mean(jnp.square(recon - x))
     kld = -0.5 * jnp.mean(1 + log_var - jnp.square(mu) - jnp.exp(log_var))
-    total = mse + beta * kld
+    if free_bits and free_bits > 0.0:
+        kld_dim = -0.5 * jnp.mean(
+            1 + log_var - jnp.square(mu) - jnp.exp(log_var), axis=0
+        )
+        kl_pen = jnp.mean(jnp.maximum(kld_dim, free_bits))
+    else:
+        kl_pen = kld
+    if capacity is None:
+        total = mse + beta * kl_pen
+    else:
+        total = mse + beta * jnp.abs(kl_pen - capacity)
     return total, mse, kld

@@ -203,3 +203,14 @@ def beta_schedule(epoch: int, warmup_epochs: int, final_beta: float) -> float:
     if epoch >= warmup_epochs:
         return final_beta
     return min(final_beta, (epoch / warmup_epochs) * final_beta)
+
+
+def capacity_schedule(epoch: int, capacity: float, ramp_epochs: int) -> float:
+    """Burgess et al. 2018 KL capacity annealing: the target C ramps linearly
+    from 0 to ``capacity`` over ``ramp_epochs`` then stays constant, so the
+    posterior is granted information budget gradually (vae_loss uses
+    β·|KL − C|). Host-side arithmetic, C enters the fused program as a traced
+    per-epoch scalar like β."""
+    if ramp_epochs <= 0 or epoch >= ramp_epochs:
+        return capacity
+    return capacity * epoch / ramp_epochs

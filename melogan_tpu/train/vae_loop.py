@@ -32,6 +32,7 @@ from melogan_tpu.train.harness import (
     EarlyStopping,
     ReduceLROnPlateau,
     beta_schedule,
+    capacity_schedule,
     device_sched_init,
     device_sched_step,
 )
@@ -123,7 +124,7 @@ def make_epoch_fns(cfg: AEConfig, model: VAE, mesh=None):
     shard_mb = microbatch_constrainer(mesh)
 
     def train_step(carry, batch):
-        state, beta = carry
+        state, beta, cap = carry
         batch = shard_mb(batch)
         rng, k_rep = jax.random.split(state.rng)
 
@@ -135,7 +136,10 @@ def make_epoch_fns(cfg: AEConfig, model: VAE, mesh=None):
                 rngs={"reparam": k_rep},
                 mutable=["batch_stats"],
             )
-            total, mse, kld = vae_loss(recon, batch, mu, log_var, beta)
+            total, mse, kld = vae_loss(
+                recon, batch, mu, log_var, beta,
+                free_bits=cfg.free_bits, capacity=cap,
+            )
             return total, (mutated["batch_stats"], mse, kld)
 
         (total, (stats, mse, kld)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -144,10 +148,12 @@ def make_epoch_fns(cfg: AEConfig, model: VAE, mesh=None):
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         state = state.replace(params=params, batch_stats=stats, opt_state=opt_state, rng=rng)
-        return (state, beta), (total, mse, kld)
+        return (state, beta, cap), (total, mse, kld)
 
-    def train_epoch(state: VAETrainState, batches, beta):
-        (state, _), (totals, mses, klds) = jax.lax.scan(train_step, (state, beta), batches)
+    def train_epoch(state: VAETrainState, batches, beta, cap=None):
+        (state, _, _), (totals, mses, klds) = jax.lax.scan(
+            train_step, (state, beta, cap), batches
+        )
         metrics = {
             "total": jnp.mean(totals),
             "recon": jnp.mean(mses),
@@ -155,7 +161,7 @@ def make_epoch_fns(cfg: AEConfig, model: VAE, mesh=None):
         }
         return state, metrics
 
-    def train_epoch_indexed(state: VAETrainState, x_all, idx, beta):
+    def train_epoch_indexed(state: VAETrainState, x_all, idx, beta, cap=None):
         """Device-resident-data epoch: the host sends only the (n_batches, B)
         gather indices (~KB) instead of the stacked batches (~MB) — the same
         pattern as the GAN loop's indexed_epoch_step."""
@@ -163,7 +169,7 @@ def make_epoch_fns(cfg: AEConfig, model: VAE, mesh=None):
         def step(carry, idx_b):
             return train_step(carry, x_all[idx_b])
 
-        (state, _), (totals, mses, klds) = jax.lax.scan(step, (state, beta), idx)
+        (state, _, _), (totals, mses, klds) = jax.lax.scan(step, (state, beta, cap), idx)
         metrics = {
             "total": jnp.mean(totals),
             "recon": jnp.mean(mses),
@@ -192,7 +198,7 @@ def make_epoch_fns(cfg: AEConfig, model: VAE, mesh=None):
     # -- multi-epoch fusion: E epochs of train+val+LR-control+early-stop in
     # ONE dispatch ----------------------------------------------------------
     def run_epochs(state: VAETrainState, x_all, idx, betas, live_mask,
-                   val_batches, fixed_val, sched, dump_mask=None):
+                   val_batches, fixed_val, sched, dump_mask=None, caps=None):
         """``idx``: (E, n_batches, B) gather indices; ``betas``: (E,) KL
         weights; ``live_mask``: (E,) bool — False marks padding rows the host
         added to keep E constant across chunks (one compiled program for the
@@ -220,11 +226,15 @@ def make_epoch_fns(cfg: AEConfig, model: VAE, mesh=None):
 
         def body(carry, xs):
             state, sched = carry
-            idx_e, beta, alive, dump = xs
+            if caps is None:
+                idx_e, beta, alive, dump = xs
+                cap = None
+            else:
+                idx_e, beta, alive, dump, cap = xs
             live = alive & jnp.logical_not(sched["done"])
 
             def do_epoch(st):
-                st, tm = train_epoch_indexed(st, x_all, idx_e, beta)
+                st, tm = train_epoch_indexed(st, x_all, idx_e, beta, cap)
                 vm = eval_epoch(st, val_batches)
                 if fixed_val.shape[0]:
                     # recon forward only on epochs the host will dump —
@@ -287,9 +297,10 @@ def make_epoch_fns(cfg: AEConfig, model: VAE, mesh=None):
             return (state, sched), out
 
         dumps = live_mask if dump_mask is None else dump_mask
-        (state, sched), out = jax.lax.scan(
-            body, (state, sched), (idx, betas, live_mask, dumps)
-        )
+        xs = (idx, betas, live_mask, dumps)
+        if caps is not None:
+            xs = xs + (caps,)
+        (state, sched), out = jax.lax.scan(body, (state, sched), xs)
         return state, sched, out
 
     return train_epoch, eval_epoch, train_epoch_indexed, run_epochs
@@ -336,6 +347,7 @@ def precompile(cfg: AEConfig, n_train: int, n_val: int, mesh=None,
 
     sds = jax.ShapeDtypeStruct
     dsds = data_sds(mesh)  # train() commits the data args replicated-over-mesh
+    caps_arg = () if cfg.kl_capacity <= 0.0 else (sds((chunk,), jnp.float32),)
     run_fn.lower(
         state,
         dsds((n_train, cfg.max_notes, 4), jnp.float32),
@@ -346,6 +358,7 @@ def precompile(cfg: AEConfig, n_train: int, n_val: int, mesh=None,
         dsds((n_recon, cfg.max_notes, 4), jnp.float32),
         sched,
         sds((chunk,), jnp.bool_),
+        *caps_arg,
     ).compile()
 
     # the encode stage's µ-export program too: weight-independent (params are
@@ -462,6 +475,13 @@ def train(
             [beta_schedule(ep, cfg.kld_warmup_epochs, cfg.beta) for ep in chunk],
             np.float32,
         )
+        caps = None
+        if cfg.kl_capacity > 0.0:
+            ramp = cfg.kl_capacity_epochs or cfg.epochs
+            caps = np.asarray(
+                [capacity_schedule(ep, cfg.kl_capacity, ramp) for ep in chunk],
+                np.float32,
+            )
         # pad a short final chunk to the fixed E with live-masked no-op rows:
         # every dispatch then hits the SAME compiled program (a second shape
         # would cost a full recompile — minutes through the remote compiler)
@@ -470,6 +490,8 @@ def train(
             pad = chunk_size - len(chunk)
             idx = np.concatenate([idx, np.repeat(idx[-1:], pad, axis=0)])
             betas = np.concatenate([betas, np.repeat(betas[-1:], pad)])
+            if caps is not None:
+                caps = np.concatenate([caps, np.repeat(caps[-1:], pad)])
             live[len(chunk):] = False
         # recon forwards run only on the epochs whose dump the host writes
         dump = np.zeros(chunk_size, bool)
@@ -479,6 +501,7 @@ def train(
         state, sched, out = run_fn(
             state, x_train_dev, jnp.asarray(idx), jnp.asarray(betas),
             jnp.asarray(live), val_batches, fixed_dev, sched, jnp.asarray(dump),
+            *(() if caps is None else (jnp.asarray(caps),)),
         )
         out = jax.tree_util.tree_map(np.asarray, out)
         dt = (time.perf_counter() - t0) / len(chunk)

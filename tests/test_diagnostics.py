@@ -24,12 +24,18 @@ def make_split(rng, n=16, differentiated=True):
                      filenames=[f"f{i}" for i in range(n)])
 
 
+def clustered_latents(rng, n=16, d=8, spread=0.15):
+    """Latents with per-emotion cluster centers (the healthy-encoder shape)."""
+    centers = rng.normal(0, 1.5, size=(4, d))
+    return np.stack([centers[i % 4] + rng.normal(0, spread, d) for i in range(n)])
+
+
 def test_diagnose_passes_on_good_data(rng):
-    report = diagnose(make_split(rng), latents=rng.normal(size=(16, 8)))
+    report = diagnose(make_split(rng), latents=clustered_latents(rng))
     assert report["ok"], report
     names = {c["check"] for c in report["checks"]}
     assert {"notes_normalization", "numeric_feature_variance", "latent_collapse",
-            "label_balance"} <= names
+            "latent_emotion_structure", "label_balance"} <= names
 
 
 def test_diagnose_flags_constant_features(rng):
@@ -44,6 +50,37 @@ def test_diagnose_flags_latent_collapse(rng):
     report = diagnose(make_split(rng), latents=collapsed)
     check = next(c for c in report["checks"] if c["check"] == "latent_collapse")
     assert not check["ok"]
+
+
+def test_latent_emotion_structure_metric(rng):
+    """The quantitative latent metric (VERDICT-r3 item 1): clustered latents
+    score near-perfect kNN accuracy and positive silhouette; unstructured
+    (random or collapsed) latents sit at chance and fail the 2x-chance
+    threshold check."""
+    from melogan_tpu.diagnostics.diagnose import latent_emotion_structure
+
+    labels = np.asarray([0, 1, 2, 3] * 10)
+    good = clustered_latents(rng, n=40)
+    g = latent_emotion_structure(good, labels)
+    assert g["knn_accuracy"] > 0.9
+    assert g["silhouette"] > 0.3
+    assert g["chance"] == 0.25
+
+    flat = np.zeros((40, 8)) + rng.normal(0, 1e-4, size=(40, 8))  # collapsed
+    f = latent_emotion_structure(flat, labels)
+    assert f["knn_accuracy"] < 0.5
+    assert f["silhouette"] < 0.1
+
+    # diagnose wires the threshold: random latents fail, clustered pass
+    report_bad = diagnose(make_split(rng, 40), latents=rng.normal(size=(40, 8)))
+    bad = next(c for c in report_bad["checks"]
+               if c["check"] == "latent_emotion_structure")
+    assert not bad["ok"]
+    report_good = diagnose(make_split(rng, 40), latents=good)
+    ok = next(c for c in report_good["checks"]
+              if c["check"] == "latent_emotion_structure")
+    assert ok["ok"]
+    assert report_good["latent_structure"]["knn_accuracy"] > 0.9
 
 
 def test_tsne_visualization(tmp_path, rng):

@@ -839,3 +839,96 @@ def test_gan_resume_enables_ema_on_pre_ema_checkpoint(splits, tmp_path):
             assert 0.5 < np.linalg.norm(a) / np.linalg.norm(b) < 2.0
     final = load_checkpoint(str(ckpt_dir / "gan_final.ckpt"))
     assert "G_ema" in final
+
+
+def test_vae_loss_knob_formulas(rng):
+    """free_bits / capacity shape only the penalty; defaults are the exact
+    reference loss (train_ae.py:35-51) and the returned kld is always the true
+    reference KLD."""
+    import jax.numpy as jnp
+
+    from melogan_tpu.models.vae import vae_loss
+
+    recon = jnp.asarray(rng.normal(size=(4, 16, 4)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(4, 16, 4)), jnp.float32)
+    mu = jnp.asarray(rng.normal(size=(4, 8)), jnp.float32)
+    log_var = jnp.asarray(rng.normal(size=(4, 8)) * 0.3, jnp.float32)
+
+    total, mse, kld = vae_loss(recon, x, mu, log_var, 10.0)
+    ref_mse = float(jnp.mean(jnp.square(recon - x)))
+    ref_kld = float(-0.5 * jnp.mean(1 + log_var - jnp.square(mu) - jnp.exp(log_var)))
+    assert float(mse) == ref_mse and float(kld) == ref_kld
+    assert float(total) == float(mse + 10.0 * kld)
+
+    # free bits: penalty uses per-dim KL clamped from below; kld unchanged
+    lam = 1.0
+    kld_dim = -0.5 * jnp.mean(1 + log_var - jnp.square(mu) - jnp.exp(log_var), axis=0)
+    expect = ref_mse + 10.0 * float(jnp.mean(jnp.maximum(kld_dim, lam)))
+    t_fb, m_fb, k_fb = vae_loss(recon, x, mu, log_var, 10.0, free_bits=lam)
+    np.testing.assert_allclose(float(t_fb), expect, rtol=1e-6)
+    assert float(k_fb) == ref_kld
+    # a floor above every dim's KL removes the KL term's mu-gradient entirely
+    import jax
+
+    g_ref = jax.grad(lambda m: vae_loss(recon, x, m, log_var, 10.0)[0])(mu)
+    g_fb = jax.grad(
+        lambda m: vae_loss(recon, x, m, log_var, 10.0, free_bits=1e6)[0]
+    )(mu)
+    assert float(jnp.abs(g_fb).max()) == 0.0  # recon path doesn't touch mu here
+    assert float(jnp.abs(g_ref).max()) > 0.0
+
+    # capacity: |KL - C| pulls KL TOWARD C from both sides
+    C = ref_kld + 0.7
+    t_c, _, k_c = vae_loss(recon, x, mu, log_var, 10.0, capacity=jnp.float32(C))
+    np.testing.assert_allclose(float(t_c), ref_mse + 10.0 * abs(ref_kld - C), rtol=1e-6)
+    assert float(k_c) == ref_kld
+
+
+def test_capacity_schedule():
+    from melogan_tpu.train.harness import capacity_schedule
+
+    assert capacity_schedule(0, 4.0, 10) == 0.0
+    assert capacity_schedule(5, 4.0, 10) == 2.0
+    assert capacity_schedule(10, 4.0, 10) == 4.0
+    assert capacity_schedule(99, 4.0, 10) == 4.0
+    assert capacity_schedule(3, 4.0, 0) == 4.0  # no ramp -> constant
+
+
+@pytest.mark.slow
+def test_free_bits_defeats_posterior_collapse(rng, tmp_path):
+    """The measured VERDICT-r3 weakness: at the reference beta=10 the posterior
+    fully collapses (all mu dims std < 1e-3 on this fixture); FREE_BITS keeps
+    the latent alive by orders of magnitude under otherwise identical
+    training. Full-scale decollapse is recorded in RESULTS.md; this pins the
+    mechanism at CI scale."""
+    from melogan_tpu.models.vae import VAE
+
+    train_data = synth_split(rng, 48, 64)
+    val_data = synth_split(rng, 16, 64)
+    stds = {}
+    for label, kw in [("ref", {}), ("fb", dict(free_bits=0.5))]:
+        cfg = AEConfig(max_notes=64, batch_size=8, epochs=150, lr=1e-3,
+                       recon_save_count=0, early_stop_patience=1000, **kw)
+        state, _ = vae_loop.train(
+            cfg, train_data, val_data, workdir=str(tmp_path / label),
+            verbose=False, recon_dumps=False,
+        )
+        mu = vae_loop.encode_mu(VAE.from_config(cfg), state, train_data.notes_ae(cfg))
+        stds[label] = mu.std(axis=0)
+    assert stds["ref"].max() < 0.01  # the reference regime really collapses
+    assert stds["fb"].max() > 10 * stds["ref"].max()
+    assert stds["fb"].min() > 5 * stds["ref"].min()
+
+
+def test_capacity_annealed_training_runs(splits, tmp_path):
+    """KL-capacity training exercises the caps-carrying fused program
+    (including the padded final chunk) end-to-end."""
+    train_data, val_data = splits
+    cfg = AEConfig(max_notes=64, batch_size=8, epochs=13, recon_save_count=0,
+                   kl_capacity=1.0, kl_capacity_epochs=8)
+    state, metrics = vae_loop.train(
+        cfg, train_data, val_data, workdir=str(tmp_path), verbose=False,
+        recon_dumps=False,
+    )
+    assert np.isfinite(metrics["best_val"])
+    assert os.path.exists(tmp_path / cfg.checkpoint_dir / "ae_best.ckpt")
