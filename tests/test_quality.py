@@ -123,7 +123,12 @@ def test_cli_quality_gate_subcommand(reference_dir, tmp_path, capsys):
         shutil.copy(p, tmp_path / os.path.basename(p))
     cli(["quality-gate", str(tmp_path)])
     out = capsys.readouterr().out
-    assert "[PASS] quality gate: 4/4" in out
+    assert "[PASS] quality gate (default tier): 4/4" in out
+
+    # the strict tier admits the golden artifacts too (their own envelope)
+    cli(["quality-gate", str(tmp_path), "--tier", "strict"])
+    out = capsys.readouterr().out
+    assert "[PASS] quality gate (strict tier): 4/4" in out
 
     # strict gate exits nonzero on an empty dir
     empty = tmp_path / "empty"
@@ -147,3 +152,53 @@ def test_bands_are_exactly_the_derivation_output(reference_dir):
     common, emotion = derive_bands(stats)
     assert common == COMMON_BANDS
     assert emotion == EMOTION_BANDS
+
+    from melogan_tpu.diagnostics.quality import (
+        STRICT_COMMON_BANDS,
+        STRICT_EMOTION_BANDS,
+    )
+
+    s_common, s_emotion = derive_bands(stats, tier="strict")
+    assert s_common == STRICT_COMMON_BANDS
+    assert s_emotion == STRICT_EMOTION_BANDS
+    # strict is genuinely tighter on every common metric
+    for m in COMMON_BANDS:
+        lo, hi = COMMON_BANDS[m]
+        slo, shi = STRICT_COMMON_BANDS[m]
+        assert slo >= lo and shi <= hi
+        assert (shi - slo) < (hi - lo)
+
+
+def test_all_16_golden_artifacts_pass_the_strict_gate(reference_dir):
+    report = quality_gate(golden_paths(reference_dir), tier="strict")
+    assert report["ok"], {
+        n: e["violations"] for n, e in report["files"].items() if e["violations"]
+    }
+
+
+@pytest.mark.slow
+def test_untrained_generator_fails_the_gate(tmp_path):
+    """VERDICT-r3 weak #3: 8/8 would be weak evidence if garbage could pass.
+    A randomly-initialized generator at full reference shapes must FAIL the
+    DEFAULT gate on every file (and a fortiori the strict tier)."""
+    from melogan_tpu.config import GANConfig
+    from melogan_tpu.constants import EMOTION_BPM
+    from melogan_tpu.sampling import Sampler
+
+    cfg = GANConfig()
+    sampler = Sampler(cfg, seed=0)  # no checkpoint: random weights
+    prompts, paths, bpms = [], [], []
+    for emotion in ("happy", "sad", "angry", "calm"):
+        for i in (1, 2):
+            prompts.append(emotion)
+            paths.append(str(tmp_path / f"test_{emotion}_{i}.mid"))
+            bpms.append(float(EMOTION_BPM[emotion]))
+    sampler.generate_many(prompts, paths, seed=1, bpms=bpms)
+    report = quality_gate(paths)
+    failing = sum(1 for e in report["files"].values() if e["violations"])
+    assert failing == len(paths), (
+        f"only {failing}/{len(paths)} random-generator files failed the gate"
+    )
+    assert not report["ok"]
+    strict = quality_gate(paths, tier="strict")
+    assert not strict["ok"]
