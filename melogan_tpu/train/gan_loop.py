@@ -242,6 +242,14 @@ def train(
                     "Loss/Critic": float(m["loss_d_sum"][j]) / n_steps,
                     "Loss/Generator_Adv": float(m["loss_g_adv"][j]) / n_groups,
                     "Loss/Generator_Emo": float(m["loss_g_emo"][j]) / n_groups,
+                    # Wasserstein estimate W ≈ E[D(real)] − E[D(fake)] and its
+                    # components, per critic update (VERDICT-r3 item 3: make
+                    # the adversarial balance observable, not just loss_g_adv)
+                    "Critic/Wasserstein": (float(m["d_real_sum"][j])
+                                           - float(m["d_fake_sum"][j])) / n_steps,
+                    "Critic/d_real": float(m["d_real_sum"][j]) / n_steps,
+                    "Critic/d_fake": float(m["d_fake_sum"][j]) / n_steps,
+                    "Critic/gp": float(m["gp_mean"][j]),
                 }
                 for j in range(len(chunk))
             ]
@@ -252,14 +260,22 @@ def train(
                 if ti is None:
                     per_epoch.append(
                         {"Loss/Critic": 0.0, "Loss/Generator_Adv": 0.0,
-                         "Loss/Generator_Emo": 0.0})
+                         "Loss/Generator_Emo": 0.0, "Critic/Wasserstein": 0.0,
+                         "Critic/d_real": 0.0, "Critic/d_fake": 0.0,
+                         "Critic/gp": 0.0})
                     continue
                 sel = ti
                 tail = (notes[sel], emotion_idx[sel], latents[sel], numeric[sel])
                 state, mt = tail_fn(state, jax.tree_util.tree_map(jnp.asarray, tail))
+                n_t = ti.shape[0]
                 per_epoch.append(
-                    {"Loss/Critic": float(mt["loss_d_sum"]) / ti.shape[0],
-                     "Loss/Generator_Adv": 0.0, "Loss/Generator_Emo": 0.0})
+                    {"Loss/Critic": float(mt["loss_d_sum"]) / n_t,
+                     "Loss/Generator_Adv": 0.0, "Loss/Generator_Emo": 0.0,
+                     "Critic/Wasserstein": (float(mt["d_real_sum"])
+                                            - float(mt["d_fake_sum"])) / n_t,
+                     "Critic/d_real": float(mt["d_real_sum"]) / n_t,
+                     "Critic/d_fake": float(mt["d_fake_sum"]) / n_t,
+                     "Critic/gp": float(mt["gp_mean"])})
 
         dt = (time.perf_counter() - t0) / len(chunk)
         for ep, scalars in zip(chunk, per_epoch):

@@ -121,6 +121,8 @@ def _train_population(
                     "Loss/Critic": float(m["loss_d_sum"][k, j]) / n_steps,
                     "Loss/Generator_Adv": float(m["loss_g_adv"][k, j]) / n_groups,
                     "Loss/Generator_Emo": float(m["loss_g_emo"][k, j]) / n_groups,
+                    "Critic/Wasserstein": (float(m["d_real_sum"][k, j])
+                                           - float(m["d_fake_sum"][k, j])) / n_steps,
                 })
         if verbose:
             last = [history[k][-1] for k in range(len(seeds))]

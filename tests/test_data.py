@@ -183,22 +183,189 @@ def test_stack_gan_groups_covers_epoch(rng):
 
 
 def test_preprocess_reference_golden_midi(reference_dir, tmp_path):
-    """The preprocessing pipeline must ingest the reference's real shipped
-    .mid artifacts (pretty_midi-written, running-status, vel-0 offs)."""
+    """The preprocessing pipeline ingests ALL 16 reference .mid artifacts
+    (pretty_midi-written, running-status, vel-0 offs) with tight per-emotion
+    feature assertions (VERDICT-r3 item 4; loose [:4] coverage before)."""
     import glob
 
+    from melogan_tpu.constants import EMOTION_BPM
     from melogan_tpu.data.preprocess import preprocess_midi_file
 
-    files = sorted(glob.glob(os.path.join(reference_dir, "good_gens1", "*.mid")))[:4]
+    files = sorted(
+        glob.glob(os.path.join(reference_dir, "good_gens1", "*.mid"))
+        + glob.glob(os.path.join(reference_dir, "generated_tests", "*.mid"))
+    )
+    assert len(files) == 16
+    per_emotion_tempos = {}
     for path in files:
         emotion = os.path.basename(path).split("_")[1]
         sample, feats = preprocess_midi_file(path, emotion)
         assert sample.notes.shape == (512, 4)
         valid = sample.notes[:, 0] >= 0
-        assert valid.sum() > 100  # golden files carry ~500 notes
-        assert 36 - 11 <= sample.notes[valid, 0].min()
-        assert sample.notes[valid, 0].max() <= 96
+        # every golden artifact is near padding-free (499-512 sounding rows)
+        assert valid.sum() >= 499, f"{path}: {valid.sum()} notes"
+        # renderer pitch clamp [36, 96] (utils.py:139-141); observed 34-77
+        assert 34 <= sample.notes[valid, 0].min() <= 41
+        assert 59 <= sample.notes[valid, 0].max() <= 77
         assert (sample.notes[valid, 2] > 0).all()  # durations positive
+        starts = sample.notes[valid, 1]
+        assert (np.diff(starts) >= 0).all()  # sorted by onset
         assert feats.shape == (6,)
-        assert 60 <= feats[0] <= 180  # tempo within renderer clamp
-        assert feats[5] == 0.0
+        # tempo clamp (utils.py:102) and per-emotion serving bpm ± jitter
+        assert 60 <= feats[0] <= 180
+        if "generated_tests" in path:  # the map-jittered sampling dir
+            base = EMOTION_BPM[emotion]
+            assert 0.78 * base <= feats[0] <= 1.22 * base, (path, feats[0])
+        assert 0.25 <= feats[1] <= 1.0          # key strength (scale-snapped)
+        assert feats[2] in (-1.0, 1.0)          # mode
+        assert 0.2 <= feats[3] <= 0.35          # mean velocity/64 - 1
+        assert 120.0 <= feats[4] <= 220.0       # mean-pitch frequency (Hz)
+        assert feats[5] == 0.0                  # constant by schema
+        per_emotion_tempos.setdefault(emotion, []).append(float(feats[0]))
+    # cross-emotion ordering: sad is the slowest family, angry the fastest
+    assert max(per_emotion_tempos["sad"]) <= 120.0
+    assert max(per_emotion_tempos["angry"]) >= 141.0
+    assert np.mean(per_emotion_tempos["sad"]) < np.mean(per_emotion_tempos["angry"])
+
+
+# ---------------------------------------------------------------------------
+# Adversarial SMF fixtures through the preprocessing path (VERDICT-r3 item 4:
+# the fuzzers covered caffemodel/prototxt/tfevents/y4m but not hand-crafted
+# SMF into preprocess_midi_file). Bytes are built by hand, NOT via the
+# package's own writer.
+# ---------------------------------------------------------------------------
+
+
+def _vlq(n):
+    out = [n & 0x7F]
+    n >>= 7
+    while n:
+        out.append(0x80 | (n & 0x7F))
+        n >>= 7
+    return bytes(reversed(out))
+
+
+def _smf(fmt, division, tracks):
+    data = b"MThd" + (6).to_bytes(4, "big") + fmt.to_bytes(2, "big")
+    data += len(tracks).to_bytes(2, "big") + division.to_bytes(2, "big")
+    for t in tracks:
+        data += b"MTrk" + len(t).to_bytes(4, "big") + t
+    return data
+
+
+def test_adversarial_smf_multitrack_tempo_map_running_status(tmp_path):
+    """Format-1 file with a conductor tempo map (120→60 bpm mid-song),
+    running-status note events, zero-velocity note-offs, SysEx, text meta,
+    a drum-channel track, pitch bend and aftertouch — all through
+    preprocess_midi_file with exact expected output."""
+    from melogan_tpu.data.preprocess import preprocess_midi_file
+
+    div = 480
+    conductor = (
+        _vlq(0) + bytes([0xFF, 0x51, 0x03]) + (500000).to_bytes(3, "big")   # 120 bpm
+        + _vlq(0) + bytes([0xFF, 0x01, 0x05]) + b"hello"                    # text meta
+        + _vlq(div) + bytes([0xFF, 0x51, 0x03]) + (1000000).to_bytes(3, "big")  # 60 bpm at tick 480
+        + _vlq(0) + bytes([0xFF, 0x2F, 0x00])
+    )
+    melody = (
+        _vlq(0) + bytes([0xC0, 0x00])                       # program 0 ch0
+        + _vlq(0) + bytes([0x90, 60, 80])                   # C4 on
+        + _vlq(0) + bytes([0xF0]) + _vlq(3) + b"\x01\x02\xF7"  # SysEx (skipped)
+        + _vlq(div) + bytes([0x90, 60, 0])                  # C4 off (vel-0 on)
+        + _vlq(0) + bytes([64, 70])                         # E4 on, RUNNING STATUS
+        + _vlq(div) + bytes([64, 0])                        # E4 off, running status
+        + _vlq(0) + bytes([0xFF, 0x2F, 0x00])
+    )
+    other = (
+        _vlq(0) + bytes([0x99, 36, 100])                    # drum ch9 (excluded)
+        + _vlq(120) + bytes([0x89, 36, 64])
+        + _vlq(0) + bytes([0x91, 50, 90])                   # ch1 note 50
+        + _vlq(0) + bytes([0xE1, 0x00, 0x60])               # pitch bend (ignored)
+        + _vlq(0) + bytes([0xA1, 50, 33])                   # aftertouch (ignored)
+        + _vlq(240) + bytes([0x81, 50, 64])                 # explicit note-off
+        + _vlq(0) + bytes([0xFF, 0x2F, 0x00])
+    )
+    path = str(tmp_path / "adv.mid")
+    with open(path, "wb") as f:
+        f.write(_smf(1, div, [conductor, melody, other]))
+
+    sample, feats = preprocess_midi_file(path, "happy")
+    valid = sample.notes[:, 0] >= 0
+    notes = sample.notes[valid]
+    # drum excluded; 3 sounding notes, sorted by onset then pitch
+    assert notes.shape[0] == 3
+    np.testing.assert_allclose(notes[:, 0], [60.0, 50.0, 64.0])
+    # beats at the INITIAL tempo (120 bpm, 0.5 s/beat):
+    # n60: ticks 0-480 -> 1.0 beat at start 0;
+    # n50: on at tick 120 (after the drum deltas) -> 0.25 beats, 240 ticks
+    #      long -> 0.5 beats;
+    # n64: on at tick 480 (=0.5s -> 1.0 beat), off at tick 960 under the
+    #      60-bpm regime -> 1.0s long -> 2.0 beats at the initial tempo
+    np.testing.assert_allclose(notes[:, 1], [0.0, 0.25, 1.0], atol=1e-5)
+    np.testing.assert_allclose(notes[:, 2], [1.0, 0.5, 2.0], atol=1e-5)
+    np.testing.assert_allclose(notes[:, 3], [80.0, 90.0, 70.0])
+    assert feats[0] == 120.0  # initial tempo, not the mid-song change
+
+
+def test_adversarial_smf_malformed_inputs_fail_typed(tmp_path):
+    """Malformed SMF through the preprocessing path fails with ValueError
+    (the one typed error callers catch), never a crash or hang."""
+    import pytest
+
+    from melogan_tpu.data.preprocess import preprocess_midi_file
+
+    div = 480
+    cases = {
+        # running-status data byte with no prior status (SysEx cancels it)
+        "running_after_sysex": (
+            _vlq(0) + bytes([0x90, 60, 80])
+            + _vlq(0) + bytes([0xF0]) + _vlq(1) + b"\xF7"
+            + _vlq(div) + bytes([60, 0])
+            + _vlq(0) + bytes([0xFF, 0x2F, 0x00])
+        ),
+        # truncated mid-event
+        "truncated": _vlq(0) + bytes([0x90, 60]),
+        # non-positive tempo
+        "zero_tempo": (
+            _vlq(0) + bytes([0xFF, 0x51, 0x03]) + (0).to_bytes(3, "big")
+            + _vlq(0) + bytes([0xFF, 0x2F, 0x00])
+        ),
+    }
+    for name, track in cases.items():
+        path = str(tmp_path / f"{name}.mid")
+        with open(path, "wb") as f:
+            f.write(_smf(0, div, [track]))
+        with pytest.raises(ValueError):
+            preprocess_midi_file(path, "happy")
+    # wrong magic and random bytes too
+    for name, blob in {"magic": b"XXXX" + b"\x00" * 32,
+                       "random": bytes(range(256))}.items():
+        path = str(tmp_path / f"{name}.mid")
+        with open(path, "wb") as f:
+            f.write(blob)
+        with pytest.raises(ValueError):
+            preprocess_midi_file(path, "happy")
+
+
+def test_synthetic_corpus_features_match_reference_scaler_stats(tmp_path):
+    """The synthetic corpus's raw numeric-feature distribution must live in
+    the same regime as the reference scaler's recorded statistics
+    (data/models/scaler.joblib: mean ~ [119.5, 0.685, -0.027, -0.195,
+    339.65, 0], fit on 890 real EMOPIA/VGMIDI songs) — so models trained on
+    it see reference-shaped conditioning inputs (VERDICT-r3 item 4)."""
+    from melogan_tpu.data.preprocess import preprocess_midi_file
+    from melogan_tpu.data.synthetic import generate_corpus
+
+    entries = generate_corpus(str(tmp_path), n_per_emotion=8, seed=7)
+    feats = []
+    for _key, path, emotion in entries:
+        _s, f = preprocess_midi_file(path, emotion)
+        feats.append(f)
+    mean = np.stack(feats).mean(axis=0)
+    ref_mean = np.array([119.5, 0.685, -0.027, -0.195, 339.65, 0.0])
+    assert abs(mean[0] - ref_mean[0]) <= 25.0        # tempo (bpm)
+    assert abs(mean[1] - ref_mean[1]) <= 0.25        # key strength
+    assert -1.0 <= mean[2] <= 1.0                    # mode balance
+    assert abs(mean[3] - ref_mean[3]) <= 0.5         # mean velocity norm
+    assert 150.0 <= mean[4] <= 550.0                 # mean-pitch freq regime
+    assert mean[5] == 0.0                            # constant feature exact
