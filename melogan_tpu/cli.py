@@ -1103,6 +1103,17 @@ def cmd_eval_gen(args):
     return report
 
 
+def cmd_text_eval(args):
+    """Measured accuracy of the offline text-emotion backends on the
+    held-out eval split (VERDICT-r3 item 5)."""
+    from melogan_tpu.diagnostics.text_eval import compare_offline_backends
+
+    report = compare_offline_backends(seed=getattr(args, "seed", 0), verbose=True)
+    if getattr(args, "json", False):
+        print(json.dumps(report))
+    return report
+
+
 def cmd_tsne(args):
     from melogan_tpu.diagnostics.tsne import visualize_latents
 
@@ -1489,6 +1500,14 @@ def build_parser():
                    help="exit nonzero when overall judge accuracy is below "
                         "this (optional gate)")
     s.set_defaults(fn=cmd_eval_gen)
+
+    s = sub.add_parser(
+        "text-eval",
+        help="measured accuracy of the offline text-emotion backends",
+    )
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--json", action="store_true")
+    s.set_defaults(fn=cmd_text_eval)
 
     s = sub.add_parser("tsne", help="latent-space t-SNE visualization")
     s.add_argument("--split", default="train")

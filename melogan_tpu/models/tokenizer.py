@@ -218,6 +218,63 @@ class ByteLevelBPE:
         return {"input_ids": out}
 
 
+def train_bpe(
+    texts: Iterable[str],
+    vocab_size: int = 2048,
+    add_prefix_space: bool = False,
+) -> ByteLevelBPE:
+    """Train a byte-level BPE from scratch (the standard merge-count loop).
+
+    No reference equivalent — the reference downloads a pretrained RoBERTa
+    tokenizer (textClassification/text.py:54-58); this makes the framework's
+    own text classifier fully self-contained offline. Produces a
+    :class:`ByteLevelBPE` whose vocab is ``specials + 256-byte alphabet +
+    merge products`` (so every input always tokenizes; no unk needed)."""
+    from collections import Counter
+
+    byte_encoder = bytes_to_unicode()
+    words: Counter = Counter()
+    for text in texts:
+        if add_prefix_space and text and not text.startswith(" "):
+            text = " " + text
+        for pre in pretokenize(text):
+            words[tuple(byte_encoder[b] for b in pre.encode("utf-8"))] += 1
+
+    specials = ["<s>", "<pad>", "</s>", "<unk>"]
+    alphabet = [byte_encoder[b] for b in range(256)]
+    vocab: Dict[str, int] = {}
+    for tok in specials + alphabet:
+        vocab[tok] = len(vocab)
+    merges: List[Tuple[str, str]] = []
+
+    work = {w: list(w) for w in words}
+    while len(vocab) < vocab_size:
+        pair_counts: Counter = Counter()
+        for w, sym in work.items():
+            f = words[w]
+            for a, b in zip(sym[:-1], sym[1:]):
+                pair_counts[(a, b)] += f
+        if not pair_counts:
+            break
+        (a, b), count = max(pair_counts.items(), key=lambda kv: (kv[1], kv[0]))
+        if count < 2:  # nothing left worth merging
+            break
+        merges.append((a, b))
+        new_tok = a + b
+        vocab[new_tok] = len(vocab)
+        for w, sym in work.items():
+            i, out = 0, []
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(new_tok)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            work[w] = out
+    return ByteLevelBPE(vocab, merges, add_prefix_space=add_prefix_space)
+
+
 class WordLevelTokenizer:
     """Minimal WordLevel model + Whitespace pre-tokenizer + ``<s> $A </s>``
     template — the shape of hand-built offline ``tokenizer.json`` files."""

@@ -408,6 +408,8 @@ def build_app(state: AppState):
                 {
                     "status": "ok",
                     "text_backend": backend_name(),
+                    "text_backend_accuracy": backend_info().get(
+                        "measured_eval_accuracy"),
                     # loud accuracy caveat when the lexicon fallback serves
                     # text emotion instead of the go_emotions model
                     "text_backend_note": backend_info()["note"],
