@@ -346,3 +346,88 @@ def test_dp_gan_run_matches_single_device_at_reference_shapes(rng):
         + jax.tree_util.tree_leaves(s_dp.fe_params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3)
+
+
+@needs_8
+@pytest.mark.slow
+def test_tp_gan_run_matches_single_device_at_reference_shapes(rng):
+    """VERDICT-r3 item 7: the (data=4, model=2) tensor-parallel substrate at
+    the FULL production config (512×4 notes, batch 32, critic_iters 5) — the
+    tp twin of the dp=8 test above, previously proven only at max_notes=64.
+    Params are tp-sharded over 'model' (partition_params min_dim=256: the
+    generator/critic 512-d projections split; conv stacks stay replicated),
+    microbatches shard over 'data'; GSPMD inserts the collectives. Trajectory
+    must match single-device within the same reduction-order tolerances as
+    the dp test (documented: atol 5e-3 on params after one epoch of updates,
+    rtol 2e-3 on metrics)."""
+    from melogan_tpu.config import EDConfig, GANConfig
+    from melogan_tpu.parallel.mesh import (
+        make_mesh,
+        partition_params,
+        put_replicated,
+        replicated_sharding,
+    )
+    from melogan_tpu.train import gan_step
+
+    cfg = GANConfig()
+    ed_cfg = EDConfig()
+    models = gan_step.build_models(cfg, ed_cfg)
+    state0 = gan_step.init_state(cfg, models, seed=0)
+
+    k, b = cfg.critic_iters, cfg.batch_size
+    n = k * b
+    data = (
+        jnp.asarray(rng.normal(size=(n, cfg.max_notes, cfg.note_dim)), jnp.float32),
+        jnp.asarray(rng.integers(0, 4, size=(n,)), jnp.int32),
+        jnp.asarray(rng.normal(size=(n, cfg.latent_dim)), jnp.float32),
+        jnp.asarray(rng.normal(size=(n, cfg.numeric_input_dim)), jnp.float32),
+    )
+    idx_rng = np.random.default_rng(11)
+    gidx = jnp.asarray(idx_rng.permutation(n).reshape(1, 1, k, b), jnp.int32)
+
+    run_single = jax.jit(gan_step.make_train_steps(cfg, models).run)
+    s_single, m_single = run_single(state0, data, gidx)
+
+    mesh = make_mesh(8, model_parallel=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+
+    def place(tree):
+        return jax.tree_util.tree_map(
+            jax.device_put, tree, partition_params(tree, mesh, min_dim=256)
+        )
+
+    state_tp = state0.replace(
+        gen_params=place(state0.gen_params),
+        fe_params=place(state0.fe_params),
+        critic_params=place(state0.critic_params),
+        ed_params=place(state0.ed_params),
+        opt_g=place(state0.opt_g),
+        opt_d=place(state0.opt_d),
+        gen_stats=jax.device_put(state0.gen_stats, replicated_sharding(mesh)),
+        ed_stats=jax.device_put(state0.ed_stats, replicated_sharding(mesh)),
+        rng=jax.device_put(state0.rng, replicated_sharding(mesh)),
+        step=jax.device_put(state0.step, replicated_sharding(mesh)),
+    )
+    # at least one big matrix must actually be model-sharded, or this test
+    # would silently degenerate into the dp test
+    shardings = partition_params(state0.gen_params, mesh, min_dim=256)
+    specs = [s.spec for s in jax.tree_util.tree_leaves(shardings)]
+    assert any("model" in str(sp) for sp in specs), specs
+
+    run_tp = jax.jit(gan_step.make_train_steps(cfg, models, mesh=mesh).run)
+    s_tp, m_tp = run_tp(state_tp, put_replicated(data, mesh), gidx)
+
+    for name in m_single:
+        np.testing.assert_allclose(
+            np.asarray(m_tp[name]), np.asarray(m_single[name]), rtol=2e-3, atol=1e-4,
+            err_msg=name,
+        )
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(s_single.critic_params)
+        + jax.tree_util.tree_leaves(s_single.gen_params)
+        + jax.tree_util.tree_leaves(s_single.fe_params),
+        jax.tree_util.tree_leaves(s_tp.critic_params)
+        + jax.tree_util.tree_leaves(s_tp.gen_params)
+        + jax.tree_util.tree_leaves(s_tp.fe_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3)
