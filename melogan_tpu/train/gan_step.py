@@ -342,10 +342,36 @@ def make_train_steps(
         alpha = shard_mb(jax.random.uniform(k_alpha, (b, 1, 1)))
 
         def loss_fn(cp):
-            d_real = critic.apply({"params": cp}, real, emb)
-            d_fake = critic.apply({"params": cp}, fake, emb)
-            gp = _gradient_penalty(critic, cp, real, fake, emb, alpha)
-            dr, df = jnp.mean(d_real), jnp.mean(d_fake)
+            if cfg.fused_critic_batch:
+                # ONE critic dispatch over [real; fake; interp] (3B rows)
+                # instead of three B-row applications. Mathematically exact:
+                # the critic has no cross-batch ops (convs + per-sample pool
+                # + linears, NO batch-norm — models.py:140-147), so batching
+                # is row-independent; grad of the interp-slice sum w.r.t. the
+                # interp input equals the per-sample grads the GP needs. At
+                # B=32 and Cin=4 the batched conv triples the MXU rows per
+                # dispatch — the VERDICT-r3 item-6 targeted optimization
+                # (measured on TPU in docs/performance.md).
+                interp = alpha * real + (1.0 - alpha) * fake
+                emb3 = jnp.concatenate([emb, emb, emb], axis=0)
+
+                def interp_sum(x_i):
+                    x = jnp.concatenate([real, fake, x_i], axis=0)
+                    s = critic.apply({"params": cp}, x, emb3)
+                    return jnp.sum(s[2 * b:]), s
+
+                (_, s), g = jax.value_and_grad(interp_sum, has_aux=True)(interp)
+                norms = jnp.sqrt(
+                    jnp.sum(jnp.square(g.reshape(b, -1)), axis=1) + 1e-12
+                )
+                gp = jnp.mean(jnp.square(norms - 1.0))
+                dr, df = jnp.mean(s[:b]), jnp.mean(s[b:2 * b])
+            else:
+                # reference-structured program (three separate applications)
+                d_real = critic.apply({"params": cp}, real, emb)
+                d_fake = critic.apply({"params": cp}, fake, emb)
+                gp = _gradient_penalty(critic, cp, real, fake, emb, alpha)
+                dr, df = jnp.mean(d_real), jnp.mean(d_fake)
             loss = df - dr + lambda_gp * gp
             return loss, (gp, dr, df)
 

@@ -44,7 +44,8 @@ def summarize(workdir: str, per_emotion: int, total: float,
 
     gan_logs = last_scalars(
         os.path.join(workdir, "experiments/gan/logs"),
-        ("Loss/Critic", "Loss/Generator_Adv", "Loss/Generator_Emo", "epoch_seconds"),
+        ("Loss/Critic", "Loss/Generator_Adv", "Loss/Generator_Emo",
+         "Critic/Wasserstein", "Critic/d_fake", "epoch_seconds"),
     )
     ae_logs = last_scalars(
         os.path.join(workdir, "experiments/ae"), ("loss/val_total", "epoch_seconds")
@@ -85,27 +86,93 @@ def summarize(workdir: str, per_emotion: int, total: float,
     if os.path.exists(tpath):
         timings = json.load(open(tpath))
 
-    # diagnose verdict on the trained latents (the reference's data-sanity
-    # tool; latent collapse at the reference's beta=10 is the expected,
-    # honestly-reported outcome on the synthetic corpus)
+    # latent-space verdict: collapse status + the quantitative emotion-
+    # structure metrics (VERDICT-r3 item 1). The demo trains with
+    # configs/ae_freebits.yaml (documented deviation), so the healthy
+    # paragraph is the expected outcome; a collapse is still reported
+    # honestly if it happens.
     diag_para = []
     feats = os.path.join(workdir, "data/splits/train/encoder_feats.npy")
     if os.path.exists(feats):
         mu = np.load(feats)
-        if bool((mu.std(axis=0) < 0.1).all()):
+        stds = mu.std(axis=0)
+        collapsed = bool((stds < 0.1).all())
+        struct = None
+        try:
+            from melogan_tpu.data.datasets import load_split
+            from melogan_tpu.diagnostics.diagnose import latent_emotion_structure
+
+            td = load_split(os.path.join(workdir, "data/splits/train_split.csv"),
+                            os.path.join(workdir, "data/processed"), verbose=False)
+            m = min(mu.shape[0], td.n)
+            struct = latent_emotion_structure(mu[:m], td.emotion_idx[:m])
+        except Exception as e:  # noqa: BLE001
+            print(f"[WARN] latent structure metric failed: {e}")
+        if collapsed:
             diag_para = [
                 "",
                 "`melogan diagnose` on the trained run flags `latent_collapse` "
-                f"(all {mu.shape[1]} µ dims std < 0.1): with the reference's "
-                "β = 10 (configs/ae.yaml `BETA`, the shipped reference value) "
-                "on a synthetic corpus the decoder can reconstruct without "
-                "using z, so the KL term collapses the posterior — the "
-                "textbook β-VAE outcome the reference's diagnose script "
-                "exists to catch, reported honestly here. The pipeline's "
-                "emotion conditioning flows through the numeric feature "
-                "encoder (and, in `conditioning` mode, still passes the "
-                "quality gate 8/8), so the gate verdict is unaffected.",
+                f"(all {mu.shape[1]} µ dims std < 0.1) — the posterior "
+                "collapsed despite the free-bits floor; reported honestly.",
             ]
+        else:
+            n_dead = int((stds < 0.1).sum())
+            para = (
+                "Latent space: NO posterior collapse — per-dim µ std "
+                f"{stds.min():.3f}–{stds.max():.3f} ({n_dead}/{mu.shape[1]} dims "
+                "below 0.1). The reference-exact β=10 (configs/ae.yaml) "
+                "measurably collapses the posterior on this corpus (all 8 dims "
+                "std < 0.1, round-3 run); the demo trains with the documented "
+                "FREE_BITS=0.25 deviation (configs/ae_freebits.yaml, "
+                "models/vae.py::vae_loss) which keeps the reference loss "
+                "everywhere above the floor."
+            )
+            if struct:
+                para += (
+                    f" Quantitative emotion structure (melogan diagnose): "
+                    f"leave-one-out {struct['k']}-NN emotion accuracy "
+                    f"**{struct['knn_accuracy']:.1%}** over {struct['n']} µ "
+                    f"latents (chance {struct['chance']:.0%}, pass threshold "
+                    f"2x chance), silhouette {struct['silhouette']:.3f}."
+                )
+            diag_para = ["", para]
+
+    # judge-ED: independent emotion accuracy of fresh samples (eval_gen.json
+    # written by `melogan eval-gen`; judge trained on the held-out val split
+    # with a different seed, never inside G's loss)
+    judge_para = []
+    ev = os.path.join(workdir, "eval_gen.json")
+    if os.path.exists(ev):
+        rep = json.load(open(ev))
+        per = " / ".join(
+            f"{e} {v['accuracy']:.0%}" if v["accuracy"] is not None else f"{e} n/a"
+            for e, v in rep["per_emotion"].items()
+        )
+        judge_para = [
+            "",
+            f"Independent judge-ED evaluation (`melogan eval-gen`): a second "
+            f"emotion discriminator trained on the held-out val split (different "
+            f"seed, never inside G's loss) classifies {rep['n']} fresh samples "
+            f"at **{rep['accuracy']:.1%}** overall (chance {rep['chance']:.0%}); "
+            f"per emotion: {per}.",
+        ]
+
+    # strict-tier gate (raw golden envelopes, no margins)
+    strict_para = []
+    try:
+        from melogan_tpu.diagnostics.quality import gate_directory as _gd
+
+        strict = _gd(gen_dir, tier="strict")
+        sp = sum(1 for e in strict.get("files", {}).values() if not e["violations"])
+        strict_para = [
+            "",
+            f"Strict-tier gate (raw golden envelopes, no safety margins): "
+            f"{sp}/{len(strict.get('files', {}))} samples pass "
+            f"(`melogan quality-gate --tier strict`; the default tier above "
+            "keeps the derivation-rule margins).",
+        ]
+    except Exception as e:  # noqa: BLE001
+        print(f"[WARN] strict gate summary failed: {e}")
 
     # --track-best: the pipeline sampled from the gate-tracked best
     # checkpoint rather than the final epoch; surface its provenance
@@ -146,6 +213,9 @@ def summarize(workdir: str, per_emotion: int, total: float,
         f"epoch time {epoch_s(ed_logs)}",
         f"- GAN critic loss: {curve('Loss/Critic', gan_logs)}",
         f"- GAN generator adversarial: {curve('Loss/Generator_Adv', gan_logs)}",
+        f"- GAN Wasserstein estimate W = E[D(real)] − E[D(fake)]: "
+        f"{curve('Critic/Wasserstein', gan_logs)} (the gauge-invariant "
+        f"adversarial-balance metric; see the study paragraph)",
         f"- GAN generator emotion CE: {curve('Loss/Generator_Emo', gan_logs)} "
         f"(reference: 2.004 → 1.414 over 50 epochs)",
         f"- GAN epoch time: {epoch_s(gan_logs)} "
@@ -195,6 +265,8 @@ def summarize(workdir: str, per_emotion: int, total: float,
         ]
     lines += best_para
     lines += diag_para
+    lines += judge_para
+    lines += strict_para
     rel = os.path.relpath(workdir, REPO)
     lines += [
         "",
@@ -222,9 +294,13 @@ def main(workdir: str = None, per_emotion: int = 320, epochs: int = None,
     os.makedirs(workdir, exist_ok=True)
     t0 = time.time()
 
+    # ae_freebits: the reference-exact β=10 (configs/ae.yaml) measurably
+    # collapses the posterior on this corpus; the demo trains with the
+    # documented FREE_BITS deviation so the latent space carries signal
+    # (see configs/ae_freebits.yaml header + RESULTS.md latent paragraph)
     args = ["pipeline", "--workdir", workdir, "--synthetic",
             "--per-emotion", str(per_emotion),
-            "--ae-config", os.path.join(REPO, "configs/ae.yaml"),
+            "--ae-config", os.path.join(REPO, "configs/ae_freebits.yaml"),
             "--ed-config", os.path.join(REPO, "configs/ed.yaml"),
             "--gan-config", os.path.join(REPO, "configs/gan.yaml")]
     if epochs:
@@ -254,6 +330,23 @@ def main(workdir: str = None, per_emotion: int = 320, epochs: int = None,
          "--processed-dir", processed])
     cli(["tsne", "--split", "train", "--splits-dir", splits_dir,
          "--processed-dir", processed, "--out", workdir])
+
+    # independent judge-ED emotion accuracy of fresh samples (writes
+    # eval_gen.json; judge trains on the held-out val split)
+    eval_args = ["eval-gen", "--workdir", workdir,
+                 "--config", os.path.join(REPO, "configs/gan.yaml"),
+                 "--ed-config", os.path.join(REPO, "configs/ed.yaml"),
+                 "--splits-dir", splits_dir, "--processed-dir", processed,
+                 "--samples", "8"]
+    if track_best and os.path.exists(best_path):
+        eval_args += ["--checkpoint", best_path]
+    cli(eval_args)
+
+    # strict-tier gate verdict (raw golden envelopes) — recorded, not fatal
+    try:
+        cli(["quality-gate", gen_dir, "--tier", "strict", "--no-strict"])
+    except SystemExit:
+        pass
 
     with open(os.path.join(workdir, "run_meta.json"), "w") as f:
         json.dump({"wall_seconds": total, "per_emotion": per_emotion,

@@ -358,7 +358,9 @@ def test_doctor_cli_is_bounded_and_reports(tmp_path, capsys, monkeypatch):
     for frag in ("device:", "compile-cache:", "ae-config:", "splits:",
                  "native-midi:", "text-backend:", "doctor:"):
         assert frag in out, out
-    assert "text-backend: lexicon" in out  # offline image: lexicon fallback
+    # offline image: the framework's own trained classifier is the default
+    # offline backend (round 4; lexicon remains the last-resort fallback)
+    assert "text-backend: text-mlp" in out
 
 
 def test_precompile_refuses_corpus_length_mismatch(tmp_path, capsys, monkeypatch):

@@ -338,3 +338,44 @@ def test_ema_decay_validation():
     cfg0 = tiny_cfg(batch_size=32, critic_iters=5, ema_decay=0.9)
     note = gan_step.ema_horizon_note(cfg0, 1000, 4 * 32)  # 4 batches < 5
     assert note is not None and "ZERO" in note and "critic-only" in note
+
+
+def test_fused_critic_batch_matches_reference_structure(rng):
+    """The fused [real; fake; interp] single-dispatch critic update
+    (cfg.fused_critic_batch, the VERDICT-r3 item-6 optimization) is
+    mathematically identical to the reference-structured three-application
+    program: same group-step metrics and parameter trajectories to float
+    reassociation tolerance."""
+    cfg_f = tiny_cfg(batch_size=8, fused_critic_batch=True)
+    cfg_r = tiny_cfg(batch_size=8, fused_critic_batch=False)
+    ed_cfg = tiny_ed_cfg()
+    models = gan_step.build_models(cfg_f, ed_cfg)
+    state0 = gan_step.init_state(cfg_f, models, seed=0)
+
+    k, b = cfg_f.critic_iters, cfg_f.batch_size
+    batches = (
+        jnp.asarray(rng.normal(size=(k, b, cfg_f.max_notes, 4)), jnp.float32),
+        jnp.asarray(rng.integers(0, 4, size=(k, b)), jnp.int32),
+        jnp.asarray(rng.normal(size=(k, b, cfg_f.latent_dim)), jnp.float32),
+        jnp.asarray(rng.normal(size=(k, b, cfg_f.numeric_input_dim)), jnp.float32),
+    )
+    step_f = jax.jit(gan_step.make_train_steps(cfg_f, models).group)
+    step_r = jax.jit(gan_step.make_train_steps(cfg_r, models).group)
+    s_f, m_f = step_f(state0, batches)
+    s_r, m_r = step_r(state0, batches)
+    # two separately-compiled programs: identical math, different XLA fusion
+    # order; Adam's rsqrt amplifies reassociation deltas (measured: gp diff
+    # 3.6e-7, params 3.6e-4 after the 5 critic updates) — same tolerance
+    # rationale as test_epoch_step_matches_sequential_groups
+    for name in m_f:
+        np.testing.assert_allclose(
+            np.asarray(m_f[name]), np.asarray(m_r[name]), rtol=1e-3, atol=5e-5,
+            err_msg=name,
+        )
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(s_f.critic_params)
+        + jax.tree_util.tree_leaves(s_f.gen_params),
+        jax.tree_util.tree_leaves(s_r.critic_params)
+        + jax.tree_util.tree_leaves(s_r.gen_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3)
