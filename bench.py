@@ -71,6 +71,9 @@ def _bench_train(iters: int = 20, warmup: int = 2, pallas: str = "off",
     conv_ops.set_use_pallas(pallas)
 
     cfg = GANConfig()  # reference shapes: batch 32, 512×4 notes
+    # per-precision dispatch policy (fused critic batch 1.44x at f32,
+    # slower under bf16 — measured, scripts/mfu_breakdown.py)
+    cfg = gan_step.precision_tuned_cfg(cfg, precision)
     models = gan_step.build_models(cfg, EDConfig())
     state = gan_step.init_state(cfg, models, seed=0)
     steps = gan_step.make_train_steps(cfg, models, mesh=mesh)

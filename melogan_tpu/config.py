@@ -335,9 +335,12 @@ class GANConfig:
     lambda_emotion: float = 5.0
     # ONE batched critic dispatch over [real; fake; interp] per update
     # instead of three (exact — the critic has no cross-batch ops; see
-    # gan_step.critic_update). False restores the reference-structured
-    # program. YAML: FUSED_CRITIC_BATCH.
-    fused_critic_batch: bool = True
+    # gan_step.critic_update). Measured on v5e (docs/performance.md): 1.44x
+    # faster at single-dispatch granularity but SLOWER inside the fused
+    # multi-epoch run program (761 vs 992 steps/s), where dispatch is
+    # already amortized — so the production default is the
+    # reference-structured program. YAML: FUSED_CRITIC_BATCH.
+    fused_critic_batch: bool = False
     # generator weight EMA (0.0 = off; no reference equivalent — standard
     # GAN practice, tracked on device inside the fused train programs)
     ema_decay: float = 0.0
@@ -388,7 +391,7 @@ class GANConfig:
             lambda_gp=float(raw.get("LAMBDA_GP", 10.0)),
             critic_iters=int(raw.get("CRITIC_ITERS", 5)),
             lambda_emotion=float(raw.get("LAMBDA_EMOTION", 1.0)),
-            fused_critic_batch=bool(raw.get("FUSED_CRITIC_BATCH", True)),
+            fused_critic_batch=bool(raw.get("FUSED_CRITIC_BATCH", False)),
             ema_decay=float(raw.get("EMA_DECAY", 0.0)),
             use_numeric_encoder=bool(raw.get("USE_NUMERIC_ENCODER", True)),
             numeric_input_dim=int(raw.get("NUMERIC_INPUT_DIM", 6)),

@@ -39,6 +39,7 @@ def precompile(
     cache hit. Data is passed as ShapeDtypeStructs (no device memory)."""
     from melogan_tpu.train.harness import data_sds, jit_with_precision
 
+    cfg = gan_step.precision_tuned_cfg(cfg, precision)
     models = gan_step.build_models(cfg, ed_cfg)
     state = gan_step.init_state(cfg, models, seed=cfg.seed)
     steps = gan_step.make_train_steps(cfg, models, mesh=mesh)
@@ -102,6 +103,7 @@ def train(
     loss — SURVEY.md §2.1/§2.2): WGAN critic loss is not a quality metric,
     so the gate scores the actual artifact statistics instead. Gates the
     EMA weights when ``cfg.ema_decay > 0`` (the deployable artifact)."""
+    cfg = gan_step.precision_tuned_cfg(cfg, precision)
     models = gan_step.build_models(cfg, ed_cfg)
     state = gan_step.init_state(cfg, models, seed=cfg.seed, ed_variables=ed_variables)
     steps = gan_step.make_train_steps(cfg, models, mesh=mesh)

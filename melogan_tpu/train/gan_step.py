@@ -251,6 +251,20 @@ def _gradient_penalty(critic: Critic, critic_params, real, fake, emb, alpha):
     return jnp.mean(jnp.square(norms - 1.0))
 
 
+def precision_tuned_cfg(cfg: GANConfig, precision) -> GANConfig:
+    """Apply the measured per-precision dispatch policy (round 4, v5e,
+    scripts/mfu_breakdown.py): the fused [real; fake; interp] single-dispatch
+    critic batch is 1.44× faster at f32 but 0.75× (slower) under bf16 MXU
+    passes, so bf16 runs keep the reference-structured program. Explicit
+    ``FUSED_CRITIC_BATCH`` in YAML still wins for f32 runs; bf16 always
+    unfuses (the fused program is strictly worse there)."""
+    import dataclasses
+
+    if precision in ("bf16", "default") and cfg.fused_critic_batch:
+        return dataclasses.replace(cfg, fused_critic_batch=False)
+    return cfg
+
+
 class TrainStepFns(NamedTuple):
     """The fused WGAN-GP programs, coarsest-granularity last (each is a pure
     function to be jitted; the loop picks the coarsest one the data allows)."""

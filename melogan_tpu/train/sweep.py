@@ -207,6 +207,7 @@ def sweep_gan(
     """
     from melogan_tpu.train.harness import jit_with_precision
 
+    cfg = gan_step.precision_tuned_cfg(cfg, precision)
     seeds = [int(s) for s in seeds]
     if len(set(seeds)) != len(seeds) and hyper_grid is None:
         raise ValueError(f"duplicate seeds in {seeds}")

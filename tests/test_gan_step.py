@@ -379,3 +379,16 @@ def test_fused_critic_batch_matches_reference_structure(rng):
         + jax.tree_util.tree_leaves(s_r.gen_params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3)
+
+
+def test_precision_tuned_cfg_policy():
+    """The measured per-precision dispatch policy: fused critic batch stays
+    for f32, is disabled under bf16 (docs/performance.md round-4 table)."""
+    cfg = tiny_cfg(fused_critic_batch=True)
+    assert gan_step.precision_tuned_cfg(cfg, None).fused_critic_batch
+    assert gan_step.precision_tuned_cfg(cfg, "highest").fused_critic_batch
+    assert not gan_step.precision_tuned_cfg(cfg, "bf16").fused_critic_batch
+    assert not gan_step.precision_tuned_cfg(cfg, "default").fused_critic_batch
+    # explicit opt-out is preserved everywhere
+    off = tiny_cfg(fused_critic_batch=False)
+    assert not gan_step.precision_tuned_cfg(off, None).fused_critic_batch
