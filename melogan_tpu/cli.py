@@ -104,7 +104,16 @@ def cmd_preprocess(args):
 def cmd_make_splits(args):
     from melogan_tpu.data.splits import create_splits, read_manifest
 
-    splits = create_splits(read_manifest(args.manifest), args.out, seed=args.seed)
+    ratios = getattr(args, "ratios", None)
+    kw = {}
+    if ratios:
+        parts = [float(x) for x in str(ratios).split("/")]
+        if len(parts) != 3 or abs(sum(parts) - 1.0) > 1e-6:
+            raise SystemExit("--ratios must be three fractions summing to 1, "
+                             "e.g. 0.5/0.25/0.25")
+        kw["ratios"] = tuple(parts)
+    splits = create_splits(read_manifest(args.manifest), args.out,
+                           seed=args.seed, **kw)
     print({k: len(v) for k, v in splits.items()})
 
 
@@ -1234,6 +1243,10 @@ def build_parser():
     s.add_argument("--manifest", required=True)
     s.add_argument("--out", default="data/splits")
     s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--ratios", default=None, metavar="TR/VA/TE",
+                   help="split fractions, e.g. 0.5/0.25/0.25 (default "
+                        "0.70/0.15/0.15; tiny corpora need coarser cuts so "
+                        "no split lands empty)")
     s.set_defaults(fn=cmd_make_splits)
 
     s = sub.add_parser("split-arrays", help="per-split fast-path arrays")

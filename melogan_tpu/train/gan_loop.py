@@ -165,6 +165,16 @@ def train(
         if latents is not None and verbose:
             print("[WARN] latent feats length mismatch; using zero latents")
         latents = np.zeros((notes.shape[0], cfg.latent_dim), np.float32)
+    if cfg.integration_mode == "conditioning" and latents.shape[1] != cfg.latent_dim:
+        # fail HERE, not as a shape crash at sample time: a generator trained
+        # on d-dim encoder latents is unusable by a sampler built from a
+        # config whose LATENT_DIM says otherwise
+        raise ValueError(
+            f"conditioning mode: encoder latents are {latents.shape[1]}-d but "
+            f"the GAN config's LATENT_DIM is {cfg.latent_dim}. Set LATENT_DIM "
+            f"to the AE latent size (configs/gan_conditioning.yaml does), or "
+            f"re-export the latents."
+        )
 
     # device-resident epoch arrays: per epoch the host sends only gather
     # indices (~KB) instead of the stacked batches (~MB)

@@ -440,3 +440,27 @@ def test_pipeline_gan_selection_flags(tmp_path, capsys, monkeypatch):
     gen = tmp_path / "generated_tests"
     mids = list(gen.glob("*.mid"))
     assert len(mids) == 8 and all(m.stat().st_size > 0 for m in mids)
+
+
+def test_make_splits_ratios_flag(tmp_path, capsys):
+    """--ratios lets tiny corpora avoid empty splits (16 files at the default
+    70/15/15 stratified cut round the test split to zero)."""
+    import csv
+
+    from melogan_tpu.data.synthetic import generate_corpus
+
+    entries = generate_corpus(str(tmp_path), n_per_emotion=4, seed=0, n_notes=16)
+    manifest = str(tmp_path / "data_manifest.csv")
+    main(["make-splits", "--manifest", manifest, "--out", str(tmp_path / "s"),
+          "--ratios", "0.5/0.25/0.25"])
+    out = capsys.readouterr().out
+    assert "'train': 8" in out and "'val': 4" in out and "'test': 4" in out
+    for name, want in (("train", 8), ("val", 4), ("test", 4)):
+        rows = list(csv.DictReader(open(tmp_path / "s" / f"{name}_split.csv")))
+        assert len(rows) == want
+
+    import pytest
+
+    with pytest.raises(SystemExit, match="ratios"):
+        main(["make-splits", "--manifest", manifest, "--out", str(tmp_path / "s2"),
+              "--ratios", "0.5/0.6"])

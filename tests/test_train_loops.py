@@ -932,3 +932,23 @@ def test_capacity_annealed_training_runs(splits, tmp_path):
     )
     assert np.isfinite(metrics["best_val"])
     assert os.path.exists(tmp_path / cfg.checkpoint_dir / "ae_best.ckpt")
+
+
+def test_conditioning_mode_latent_dim_mismatch_fails_fast(splits, tmp_path):
+    """A conditioning-mode GAN trained on d-dim encoder latents with a config
+    whose LATENT_DIM disagrees must raise a clear error at train() time —
+    the round-4 real-MIDI run originally crashed with a flax shape error at
+    SAMPLE time instead."""
+    import pytest
+
+    from melogan_tpu.train import gan_loop
+
+    train_data, _ = splits
+    cfg = GANConfig(max_notes=64, batch_size=4, noise_dim=16, latent_dim=64,
+                    gen_hidden=32, integration_mode="conditioning")
+    ed_cfg = EDConfig(max_notes=64, notes_blocks=2, notes_hidden=32,
+                      mlp_hidden=(16,))
+    bad_latents = np.zeros((train_data.n, 8), np.float32)  # AE dim 8 != 64
+    with pytest.raises(ValueError, match="LATENT_DIM"):
+        gan_loop.train(cfg, ed_cfg, train_data, latents=bad_latents,
+                       workdir=str(tmp_path), verbose=False, epochs=1)
