@@ -137,7 +137,16 @@ def _train_population(
                 + f" | {dt:.2f}s/epoch (population of {len(seeds)})"
             )
         if save_cb is not None:
-            save_cb(batched, epoch_offset + chunk_end)
+            # population-state writes are big (hundreds of MB for K members
+            # incl. both optimizer states): at long horizons writing every
+            # chunk dominates wall (measured round 4: a 4-member 500-epoch
+            # sweep spent most of its time in 587 MB state writes). The
+            # cadence trades resume granularity for wall; the final chunk
+            # always writes so a completed phase is always resumable.
+            every = max(1, int(os.environ.get("MELOGAN_SWEEP_STATE_EVERY", "1")))
+            chunk_no = (chunk_end + cfg.save_freq - 1) // cfg.save_freq
+            if chunk_end >= n_epochs or chunk_no % every == 0:
+                save_cb(batched, epoch_offset + chunk_end)
         epoch = chunk_end + 1
     return batched
 
