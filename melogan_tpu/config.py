@@ -333,6 +333,13 @@ class GANConfig:
     lambda_gp: float = 10.0
     critic_iters: int = 5
     lambda_emotion: float = 5.0
+    # per-emotion note-space feature matching (documented deviation from the
+    # reference loss, DEFAULT OFF — 0.0 keeps train_gan.py:226-245 exact).
+    # Pulls each generated sample's raw note-column statistics toward its
+    # emotion's real-data centroid (gan_step.note_space_stats) — the
+    # marginals an independent judge-ED reads, which the reference's
+    # frozen-ED CE never moved (its CE plateaued at ln 4). YAML: LAMBDA_FM.
+    lambda_fm: float = 0.0
     # ONE batched critic dispatch over [real; fake; interp] per update
     # instead of three (exact — the critic has no cross-batch ops; see
     # gan_step.critic_update). Measured on v5e (docs/performance.md): 1.44x
@@ -391,6 +398,7 @@ class GANConfig:
             lambda_gp=float(raw.get("LAMBDA_GP", 10.0)),
             critic_iters=int(raw.get("CRITIC_ITERS", 5)),
             lambda_emotion=float(raw.get("LAMBDA_EMOTION", 1.0)),
+            lambda_fm=float(raw.get("LAMBDA_FM", 0.0)),
             fused_critic_batch=bool(raw.get("FUSED_CRITIC_BATCH", False)),
             ema_decay=float(raw.get("EMA_DECAY", 0.0)),
             use_numeric_encoder=bool(raw.get("USE_NUMERIC_ENCODER", True)),

@@ -26,6 +26,13 @@ def latent_emotion_structure(latents: np.ndarray, labels: np.ndarray, k: int = 5
     x = np.asarray(latents, np.float64)
     y = np.asarray(labels)
     n = x.shape[0]
+    if n < 2:
+        # Degenerate input: no neighbors exist, so kNN/silhouette are
+        # undefined — report that instead of crashing (ADVICE-r4).
+        return {
+            "n": int(n), "k": 0, "knn_accuracy": None, "silhouette": None,
+            "chance": 1.0 if n else None, "skipped": "n < 2",
+        }
     d2 = np.sum((x[:, None, :] - x[None, :, :]) ** 2, axis=-1)
     np.fill_diagonal(d2, np.inf)
 

@@ -106,7 +106,15 @@ def train(
     cfg = gan_step.precision_tuned_cfg(cfg, precision)
     models = gan_step.build_models(cfg, ed_cfg)
     state = gan_step.init_state(cfg, models, seed=cfg.seed, ed_variables=ed_variables)
-    steps = gan_step.make_train_steps(cfg, models, mesh=mesh)
+    # optional feature matching: per-emotion note-space centroids from the
+    # REAL training corpus (host-computed once, baked into the program as
+    # (4,8)/(8,) constants — a lambda_fm run therefore compiles per-corpus;
+    # the default lambda_fm=0 path is byte-identical to before)
+    fm_target = None
+    if cfg.lambda_fm:
+        fm_target = gan_step.fm_targets_from_data(
+            train_data.notes_gan(), train_data.emotion_idx)
+    steps = gan_step.make_train_steps(cfg, models, mesh=mesh, fm_target=fm_target)
     from melogan_tpu.train.harness import jit_with_precision
 
     tail_fn = jit_with_precision(steps.tail, precision)
@@ -262,6 +270,9 @@ def train(
                     "Critic/d_real": float(m["d_real_sum"][j]) / n_steps,
                     "Critic/d_fake": float(m["d_fake_sum"][j]) / n_steps,
                     "Critic/gp": float(m["gp_mean"][j]),
+                    **({"Loss/Generator_FM":
+                        float(m["loss_g_fm"][j]) / n_groups}
+                       if "loss_g_fm" in m else {}),
                 }
                 for j in range(len(chunk))
             ]

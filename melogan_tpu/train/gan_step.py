@@ -104,6 +104,7 @@ class HyperParams(NamedTuple):
     lr_d: Any
     lambda_gp: Any
     lambda_emotion: Any
+    lambda_fm: Any = 0.0
 
     @classmethod
     def from_config(cls, cfg: GANConfig, **overrides) -> "HyperParams":
@@ -115,6 +116,40 @@ class HyperParams(NamedTuple):
         vals = {f: getattr(cfg, f) for f in cls._fields}
         vals.update({k: v for k, v in overrides.items() if v is not None})
         return cls(**vals)
+
+
+def note_space_stats(notes) -> "jnp.ndarray":
+    """Differentiable per-sample note-space statistics φ(notes) → (B, 8):
+    mean and std of each of the 4 note columns over the event axis.
+
+    These are the raw-note-space marginals an independent classifier (or a
+    kNN) keys on; the renderer's per-emotion bpm map cannot fake them. Used
+    by the optional feature-matching loss (``lambda_fm``)."""
+    mu = jnp.mean(notes, axis=1)
+    sd = jnp.sqrt(jnp.maximum(jnp.var(notes, axis=1), 1e-8))
+    return jnp.concatenate([mu, sd], axis=-1)
+
+
+def fm_targets_from_data(notes_gan: "np.ndarray", emotion_idx: "np.ndarray"):
+    """Per-emotion real-data centroids of :func:`note_space_stats`, plus a
+    per-feature scale (global std across songs) for a balanced loss.
+
+    Returns ``(targets (4, 8), scale (8,))`` as numpy — computed ONCE on host
+    from the training corpus, then baked into the fused program as constants.
+    """
+    import numpy as np
+
+    phi = np.concatenate(
+        [notes_gan.mean(axis=1),
+         np.sqrt(np.maximum(notes_gan.var(axis=1), 1e-8))], axis=-1
+    ).astype(np.float32)
+    targets = np.stack([
+        phi[emotion_idx == e].mean(axis=0) if (emotion_idx == e).any()
+        else phi.mean(axis=0)
+        for e in range(4)
+    ])
+    scale = np.maximum(phi.std(axis=0), 1e-3).astype(np.float32)
+    return targets, scale
 
 
 def init_state(
@@ -233,6 +268,33 @@ def ema_horizon_note(cfg: GANConfig, n_epochs: int, n_train: int) -> Optional[st
     )
 
 
+def ema_auto_decay(cfg: GANConfig, n_epochs: int, n_train: int) -> float:
+    """Derive a generator-EMA decay from the planned G-update count
+    (``--ema auto`` — VERDICT-r4 item 7: turn the horizon warning into
+    behavior).
+
+    Measured on TPU at reference scale (RESULTS.md EMA table): the
+    2/(1−d) debias rule is necessary but NOT sufficient for gating parity —
+    at t≈250 G updates, d=0.98 (t = 5× window) gated 0/8 and d=0.9
+    (t = 25× window) still lagged at 7/8 vs live 8/8. The trajectory moves
+    fast for this model's entire reference-length run, so the EMA window
+    must cover only the settled tail: auto sizes the window to ~t/50
+    (``d = 1 − 50/t``), i.e. average the last ~2% of the run. At reference
+    scale that is d≈0.8 — wide enough to smooth per-update noise, narrow
+    enough not to drag in stale weights. Floors at 0.01 (EMA ≈ live weights
+    but the G_ema artifact still exists) for micro-runs."""
+    g_per_epoch = (n_train // cfg.batch_size) // max(cfg.critic_iters, 1)
+    t = n_epochs * g_per_epoch
+    if t <= 0:
+        raise ValueError(
+            f"--ema auto: this run performs zero generator updates "
+            f"({n_train} rows, batch_size={cfg.batch_size}, "
+            f"critic_iters={cfg.critic_iters}); lower the batch size or "
+            f"critic_iters."
+        )
+    return float(min(max(1.0 - 50.0 / t, 0.01), 0.9999))
+
+
 def cross_entropy(logits, labels) -> jnp.ndarray:
     """torch CrossEntropyLoss semantics: mean over batch of −log_softmax[y]."""
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -279,6 +341,7 @@ class TrainStepFns(NamedTuple):
 def make_train_steps(
     cfg: GANConfig, models: GANModels, mesh=None,
     hyper: Optional[HyperParams] = None,
+    fm_target=None,
 ) -> TrainStepFns:
     """Build the fused train-step pure functions (see TrainStepFns).
 
@@ -307,11 +370,28 @@ def make_train_steps(
         opt_g, opt_d = make_optimizers(cfg)
         lr_scale_g = lr_scale_d = None
         lambda_gp, lambda_emo = cfg.lambda_gp, cfg.lambda_emotion
+        lambda_fm = cfg.lambda_fm
     else:
         opt_g = optax.adam(1.0, b1=cfg.beta1, b2=cfg.beta2)
         opt_d = optax.adam(1.0, b1=cfg.beta1, b2=cfg.beta2)
         lr_scale_g, lr_scale_d = hyper.lr_g, hyper.lr_d
         lambda_gp, lambda_emo = hyper.lambda_gp, hyper.lambda_emotion
+        lambda_fm = hyper.lambda_fm
+    # feature matching (documented deviation, DEFAULT OFF — cfg.lambda_fm=0
+    # keeps the exact reference loss): pull each generated sample's raw
+    # note-space statistics toward its emotion's real-data centroid. The
+    # reference's λ_emo·CE through a frozen ED never demonstrably moved
+    # emotion into note space (its CE plateaued at ln 4 — BASELINE.md); this
+    # term targets the marginals an independent judge actually reads.
+    fm_on = fm_target is not None
+    if fm_on:
+        fm_mu = jnp.asarray(fm_target[0], jnp.float32)   # (4, 8)
+        fm_scale = jnp.asarray(fm_target[1], jnp.float32)  # (8,)
+    elif hyper is None and cfg.lambda_fm:
+        raise ValueError(
+            "cfg.lambda_fm > 0 requires fm_target=(targets, scale) — compute "
+            "it from the training corpus with fm_targets_from_data()"
+        )
 
     def _scale(updates, lr):
         if lr is None:
@@ -417,13 +497,21 @@ def make_train_steps(
                 ed_vars["batch_stats"] = state.ed_stats
             logits = ed.apply(ed_vars, ed_in, train=False)
             emo = cross_entropy(logits, emot_idx)
-            return adv + lambda_emo * emo, (new_stats, adv, emo)
+            loss = adv + lambda_emo * emo
+            if fm_on:
+                phi = note_space_stats(notes)
+                diff = (phi - fm_mu[emot_idx]) / fm_scale
+                fm = jnp.mean(jnp.sum(jnp.square(diff), axis=-1))
+                loss = loss + lambda_fm * fm
+            else:
+                fm = jnp.zeros(())
+            return loss, (new_stats, adv, emo, fm)
 
         joint = (state.gen_params, state.fe_params)
-        (_, (new_stats, adv, emo)), grads = jax.value_and_grad(loss_fn, has_aux=True)(joint)
+        (_, (new_stats, adv, emo, fm)), grads = jax.value_and_grad(loss_fn, has_aux=True)(joint)
         updates, opt_g_state = opt_g.update(grads, state.opt_g, joint)
         gen_params, fe_params = optax.apply_updates(joint, _scale(updates, lr_scale_g))
-        return gen_params, fe_params, opt_g_state, new_stats, adv, emo, rng
+        return gen_params, fe_params, opt_g_state, new_stats, adv, emo, fm, rng
 
     # -- fused group step --------------------------------------------------
     def group_step(state: GANTrainState, batches):
@@ -440,7 +528,7 @@ def make_train_steps(
         critic_params, opt_d_state, _, gen_stats, _, rng = carry
 
         last_batch = jax.tree_util.tree_map(lambda x: x[-1], batches)
-        gen_params, fe_params, opt_g_state, gen_stats, adv, emo, rng = gen_update(
+        gen_params, fe_params, opt_g_state, gen_stats, adv, emo, fm, rng = gen_update(
             state, last_batch, critic_params, gen_stats, rng
         )
 
@@ -476,6 +564,8 @@ def make_train_steps(
             "d_real_sum": jnp.sum(drs),
             "d_fake_sum": jnp.sum(dfs),
         }
+        if fm_on:  # static: metric exists only when the fm loss is compiled in
+            metrics["loss_g_fm"] = fm
         return new_state, metrics
 
     # -- epoch-level fusion: scan group steps in ONE dispatch ---------------
@@ -549,10 +639,22 @@ def make_train_steps(
                 "d_real_sum": jnp.sum(gm["d_real_sum"]),
                 "d_fake_sum": jnp.sum(gm["d_fake_sum"]),
             }
+            if "loss_g_fm" in gm:
+                metrics["loss_g_fm"] = jnp.sum(gm["loss_g_fm"])
             if "tail" in idx_e:
                 st, tm = critic_only_step(st, gather(idx_e["tail"]))
                 for k in ("loss_d_sum", "d_real_sum", "d_fake_sum"):
                     metrics[k] = metrics[k] + tm[k]
+                # Fold the tail's gp into the epoch mean weighted by critic
+                # update counts, so Critic/gp covers the same updates as
+                # Critic/Wasserstein (which divides by an n_steps that
+                # includes the tail). Shapes are static inside jit:
+                # group idx (G, critic_iters, B), tail idx (T, B).
+                n_group = idx_e["group"].shape[0] * idx_e["group"].shape[1]
+                n_tail = idx_e["tail"].shape[0]
+                metrics["gp_mean"] = (
+                    metrics["gp_mean"] * n_group + tm["gp_mean"] * n_tail
+                ) / float(n_group + n_tail)
             return st, metrics
 
         def epoch_body(st, idx_e):
@@ -561,11 +663,11 @@ def make_train_steps(
             payload = {k: v for k, v in idx_e.items() if k != "live"}
 
             def skip(s):
-                zeros = {
-                    k: jnp.zeros((), jnp.float32)
-                    for k in ("loss_d_sum", "loss_g_adv", "loss_g_emo",
-                              "gp_mean", "d_real_sum", "d_fake_sum")
-                }
+                keys = ["loss_d_sum", "loss_g_adv", "loss_g_emo",
+                        "gp_mean", "d_real_sum", "d_fake_sum"]
+                if fm_on:
+                    keys.append("loss_g_fm")
+                zeros = {k: jnp.zeros((), jnp.float32) for k in keys}
                 return s, zeros
 
             return jax.lax.cond(

@@ -123,6 +123,9 @@ def _train_population(
                     "Loss/Generator_Emo": float(m["loss_g_emo"][k, j]) / n_groups,
                     "Critic/Wasserstein": (float(m["d_real_sum"][k, j])
                                            - float(m["d_fake_sum"][k, j])) / n_steps,
+                    **({"Loss/Generator_FM":
+                        float(m["loss_g_fm"][k, j]) / n_groups}
+                       if "loss_g_fm" in m else {}),
                 })
         if verbose:
             last = [history[k][-1] for k in range(len(seeds))]
@@ -332,7 +335,14 @@ def sweep_gan(
         _pop_put = lambda x: jax.device_put(  # noqa: E731
             x, batch_sharding(mesh, np.ndim(x)))
         batched = jax.tree_util.tree_map(_pop_put, batched)
-    steps = gan_step.make_train_steps(cfg, models)
+    # optional feature matching: real-corpus note-space centroids, shared by
+    # every member (the λ_fm knob itself may vary per member via hypers)
+    fm_target = None
+    if cfg.lambda_fm or (hypers is not None
+                         and any(float(h.lambda_fm) for h in hypers)):
+        fm_target = gan_step.fm_targets_from_data(
+            train_data.notes_gan(), train_data.emotion_idx)
+    steps = gan_step.make_train_steps(cfg, models, fm_target=fm_target)
 
     # per-member hyperparameters as stacked (K,) f32 scalars — vmap maps
     # them alongside the state, so each member's traced lr/λ values feed the
@@ -351,7 +361,9 @@ def sweep_gan(
     # variant.
     def _member_run(s, h, data, g, t, live):
         member_steps = (
-            steps if h is None else gan_step.make_train_steps(cfg, models, hyper=h)
+            steps if h is None
+            else gan_step.make_train_steps(cfg, models, hyper=h,
+                                           fm_target=fm_target)
         )
         return member_steps.run(s, data, g, t, live)
 

@@ -319,7 +319,7 @@ def summarize(workdir: str, per_emotion: int, total: float,
 
 
 def main(workdir: str = None, per_emotion: int = 320, epochs: int = None,
-         track_best: bool = False):
+         track_best: bool = False, gan_fm: float = None):
     import jax
 
     cache_dir = os.path.join(REPO, ".jax_cache")
@@ -346,6 +346,8 @@ def main(workdir: str = None, per_emotion: int = 320, epochs: int = None,
         args += ["--epochs", str(epochs)]
     if track_best:
         args += ["--gan-track-best"]
+    if gan_fm is not None:
+        args += ["--gan-fm", str(gan_fm)]
     cli(args)
 
     total = time.time() - t0
@@ -389,15 +391,18 @@ def main(workdir: str = None, per_emotion: int = 320, epochs: int = None,
 
     with open(os.path.join(workdir, "run_meta.json"), "w") as f:
         json.dump({"wall_seconds": total, "per_emotion": per_emotion,
-                   "track_best": track_best}, f)
+                   "track_best": track_best, "gan_fm": gan_fm}, f)
     summarize(workdir, per_emotion, total, track_best=track_best)
 
 
 if __name__ == "__main__":
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
-    unknown = flags - {"--summarize", "--track-best"}
+    fm_flags = [a for a in flags if a.startswith("--gan-fm=")]
+    unknown = flags - {"--summarize", "--track-best"} - set(fm_flags)
     if unknown:
-        sys.exit(f"unknown flag(s): {' '.join(sorted(unknown))}")
+        sys.exit(f"unknown flag(s): {' '.join(sorted(unknown))} "
+                 "(known: --summarize --track-best --gan-fm=LAMBDA)")
+    gan_fm = float(fm_flags[0].split("=", 1)[1]) if fm_flags else None
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     if "--summarize" in flags:
         if not pos:
@@ -417,4 +422,5 @@ if __name__ == "__main__":
             per_emotion=int(pos[1]) if len(pos) > 1 else 320,
             epochs=int(pos[2]) if len(pos) > 2 else None,
             track_best="--track-best" in flags,
+            gan_fm=gan_fm,
         )

@@ -138,7 +138,7 @@ def main(workdir=None, reference_dir="/root/reference"):
         f"over {struct['n']} latents (chance {struct['chance']:.0%}), "
         f"silhouette {struct['silhouette']:.2f}.",
         f"Golden-band gate on the micro-corpus generator: {n_pass}/{n_tot} "
-        "(recorded honestly — {td.n} training songs is far below the regime "
+        f"(recorded honestly — {td.n} training songs is far below the regime "
         "where the gate is a fair bar; the full-scale run above is the "
         "gate's real target).",
     ]

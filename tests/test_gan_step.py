@@ -340,6 +340,124 @@ def test_ema_decay_validation():
     assert note is not None and "ZERO" in note and "critic-only" in note
 
 
+def test_feature_matching_loss(rng):
+    """The optional λ_fm loss (VERDICT-r4 item 1, documented deviation):
+    targets derive from real data per emotion; training with it drives the
+    generator's note-space stats toward the per-emotion centroids; λ_fm=0
+    (the default) leaves the program and metrics exactly as before."""
+    cfg0 = tiny_cfg(critic_iters=2)
+    models = gan_step.build_models(cfg0, tiny_ed_cfg())
+
+    # targets: per-emotion centroids of phi over synthetic "real" notes
+    n = 32
+    notes = rng.normal(size=(n, cfg0.max_notes, 4)).astype(np.float32)
+    emo = np.asarray(rng.integers(0, 4, size=(n,)), np.int32)
+    targets, scale = gan_step.fm_targets_from_data(notes, emo)
+    assert targets.shape == (4, 8) and scale.shape == (8,)
+    phi = np.concatenate(
+        [notes.mean(axis=1), np.sqrt(np.maximum(notes.var(axis=1), 1e-8))], -1)
+    np.testing.assert_allclose(targets[1], phi[emo == 1].mean(0), rtol=1e-5)
+
+    # default path: no fm metric, states identical to a build without the arg
+    state0 = gan_step.init_state(cfg0, models, seed=0)
+    batches = make_batches(np.random.default_rng(7), cfg0, cfg0.critic_iters)
+    s_plain, m_plain = jax.jit(
+        gan_step.make_train_steps(cfg0, models).group)(state0, batches)
+    assert "loss_g_fm" not in m_plain
+
+    # fm ON: metric present and finite; repeated G updates reduce the fm term
+    cfg = tiny_cfg(critic_iters=2, lambda_fm=20.0)
+    group = jax.jit(gan_step.make_train_steps(
+        cfg, models, fm_target=(targets, scale)).group)
+    st = gan_step.init_state(cfg, models, seed=0)
+    first = None
+    for i in range(12):
+        st, m = group(st, batches)
+        if first is None:
+            first = float(m["loss_g_fm"])
+    assert np.isfinite(first)
+    assert float(m["loss_g_fm"]) < first, (
+        f"fm loss did not decrease: {first} -> {float(m['loss_g_fm'])}")
+
+    # misconfiguration fails fast
+    with pytest.raises(ValueError, match="fm_target"):
+        gan_step.make_train_steps(cfg, models)
+
+
+def test_feature_matching_hyper_matches_static(rng):
+    """λ_fm as a traced HyperParams knob (the sweep path) is numerically
+    identical to the statically-baked config value."""
+    import dataclasses
+
+    cfg = tiny_cfg(critic_iters=2, lambda_fm=5.0)
+    models = gan_step.build_models(cfg, tiny_ed_cfg())
+    n = 16
+    notes = rng.normal(size=(n, cfg.max_notes, 4)).astype(np.float32)
+    emo = np.asarray(rng.integers(0, 4, size=(n,)), np.int32)
+    fm_t = gan_step.fm_targets_from_data(notes, emo)
+    batches = make_batches(np.random.default_rng(3), cfg, cfg.critic_iters)
+
+    st0 = gan_step.init_state(cfg, models, seed=1)
+    _, m_static = jax.jit(gan_step.make_train_steps(
+        cfg, models, fm_target=fm_t).group)(st0, batches)
+
+    cfg_h = dataclasses.replace(cfg, lambda_fm=0.0)
+    hyper = gan_step.HyperParams.from_config(cfg_h, lambda_fm=5.0)
+    st1 = gan_step.init_state(cfg_h, models, seed=1)
+    _, m_hyper = jax.jit(gan_step.make_train_steps(
+        cfg_h, models, hyper=hyper, fm_target=fm_t).group)(st1, batches)
+
+    np.testing.assert_allclose(
+        float(m_hyper["loss_g_fm"]), float(m_static["loss_g_fm"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(m_hyper["loss_g_adv"]), float(m_static["loss_g_adv"]), rtol=1e-5)
+
+
+def test_ema_auto_decay():
+    """--ema auto sizes the window to ~t/50 (the TPU-measured gating-parity
+    rule — RESULTS.md: at reference scale even d=0.9 = t/25 lagged 7/8 vs
+    live 8/8), floors at 0.01 for micro-runs, and always satisfies the
+    2/(1-d) debias horizon rule (so ema_horizon_note never warns on it)."""
+    import pytest
+
+    # reference regime: 896 rows, B=32, k=5, 50 epochs -> t=250 G updates
+    cfg = tiny_cfg(batch_size=32, critic_iters=5)
+    d = gan_step.ema_auto_decay(cfg, 50, 896)
+    assert d == pytest.approx(1.0 - 50.0 / 250.0)  # 0.8
+    assert gan_step.ema_horizon_note(
+        tiny_cfg(batch_size=32, critic_iters=5, ema_decay=d), 50, 896) is None
+
+    # long run: decay grows toward (but is capped below) 1
+    d_long = gan_step.ema_auto_decay(cfg, 5000, 896)  # t=25000
+    assert d_long == pytest.approx(1.0 - 50.0 / 25000.0)
+    assert gan_step.ema_auto_decay(cfg, 10**9, 896) == 0.9999
+
+    # micro-run: t < 50 floors at 0.01 (EMA ~ live; artifact still exists)
+    assert gan_step.ema_auto_decay(cfg, 2, 896) == 0.01
+
+    # zero planned G updates is a clear error, not a silent 0-decay
+    with pytest.raises(ValueError, match="zero generator updates"):
+        gan_step.ema_auto_decay(cfg, 1000, 4 * 32)
+
+
+def test_resolve_ema_arg_cli():
+    """The CLI-level resolver: 'auto' -> ema_auto_decay, numeric strings ->
+    validated floats, junk -> SystemExit with the flag name."""
+    import pytest
+
+    from melogan_tpu.cli import _resolve_ema_arg
+
+    cfg = tiny_cfg(batch_size=32, critic_iters=5)
+    assert _resolve_ema_arg("auto", cfg, 50, 896) == pytest.approx(0.8)
+    assert _resolve_ema_arg(" AUTO ", cfg, 50, 896) == pytest.approx(0.8)
+    assert _resolve_ema_arg("0.99", cfg, 50, 896) == 0.99
+    assert _resolve_ema_arg(0.5, cfg, 50, 896) == 0.5
+    with pytest.raises(SystemExit, match="--ema"):
+        _resolve_ema_arg("1.0", cfg, 50, 896)
+    with pytest.raises(SystemExit, match="--gan-ema"):
+        _resolve_ema_arg("auto", cfg, 1000, 4 * 32, flag="--gan-ema")
+
+
 def test_fused_critic_batch_matches_reference_structure(rng):
     """The fused [real; fake; interp] single-dispatch critic update
     (cfg.fused_critic_batch, the VERDICT-r3 item-6 optimization) is

@@ -74,6 +74,38 @@ def test_out_of_band_bpm_and_velocity_fail():
     assert check_stats({"error": "boom"}, "happy") == ["unreadable: boom"]
 
 
+def test_band_breakdown():
+    """The per-metric breakdown (VERDICT-r4 item 2) reports signed distances
+    to the nearest band edge and aggregates failing files per metric."""
+    from melogan_tpu.diagnostics.quality import band_breakdown
+
+    base = {
+        "tempo_bpm": 140.0, "duration_sec": 60.0, "n_notes": 510,
+        "avg_pitch": 52.0, "min_pitch": 38, "max_pitch": 70,
+        "unique_pitches": 15, "avg_velocity": 82.0, "notes_per_sec": 3.4,
+        "avg_note_duration": 0.5,
+    }
+    report = {"files": {
+        "a_happy.mid": {"emotion": "happy", "violations": [], **base},
+        # avg_pitch 40 is below the strict lo 46.9 by -6.9
+        "b_happy.mid": {"emotion": "happy", "violations": ["x"],
+                        **{**base, "avg_pitch": 40.0}},
+    }}
+    bd = band_breakdown(report, tier="strict")
+    m = bd["per_metric"]["avg_pitch"]
+    assert m["n_fail"] == 1 and m["failing_files"] == ["b_happy.mid"]
+    assert m["worst_delta"] == pytest.approx(40.0 - 46.9, abs=1e-6)
+    row = next(r for r in bd["rows"]
+               if r["file"] == "b_happy.mid" and r["metric"] == "avg_pitch")
+    assert not row["ok"] and row["delta"] < 0
+    # a metric fully in band aggregates as zero failures
+    assert bd["per_metric"]["n_notes"]["n_fail"] == 0
+    # default tier uses the wider bands: avg_pitch 40 is inside (41.7..) — no:
+    # 40 < 41.7, still out, but by less
+    bd_d = band_breakdown(report, tier="default")
+    assert abs(bd_d["per_metric"]["avg_pitch"]["worst_delta"]) < abs(m["worst_delta"])
+
+
 def test_gate_survives_corrupt_file(reference_dir, tmp_path):
     """One malformed .mid in a directory must be reported as unreadable, not
     crash the scan; the healthy files still get gated."""
