@@ -387,20 +387,26 @@ def cmd_sweep(args):
 def cmd_sample(args):
     from melogan_tpu.config import GANConfig
     from melogan_tpu.sampling import EMOTION_BPM, Sampler, emotion_scale
-    from melogan_tpu.train.gan_loop import load_gan_final
+    from melogan_tpu.train.gan_loop import load_gan_final_full
 
     cfg = _load_cfg(GANConfig, args.config, args.workdir)
     gen_vars = fe_vars = None
+    emotion_features = None
     ckpt_path = args.checkpoint or os.path.join(args.workdir, cfg.checkpoint_dir, "gan_final.ckpt")
     if os.path.exists(ckpt_path):
-        gen_vars, fe_vars = load_gan_final(ckpt_path, ema=getattr(args, "ema", False))
+        gen_vars, fe_vars, extras = load_gan_final_full(
+            ckpt_path, ema=getattr(args, "ema", False))
+        emotion_features = extras["emotion_features"]
         print(f"[INFO] loaded generator from {ckpt_path}"
-              + (" (EMA weights)" if getattr(args, "ema", False) else ""))
+              + (" (EMA weights)" if getattr(args, "ema", False) else "")
+              + ("" if emotion_features is None
+                 else " (corpus-calibrated conditioning)"))
     else:
         print(f"[WARN] checkpoint not found at {ckpt_path}; sampling with random weights")
 
     sampler = Sampler(cfg, gen_variables=gen_vars, fe_variables=fe_vars,
-                      seed=args.seed, mesh=_mesh_from_args(args))
+                      seed=args.seed, mesh=_mesh_from_args(args),
+                      emotion_features=emotion_features)
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     emotions = [args.emotion] if args.emotion != "all" else ["happy", "sad", "angry", "calm"]
@@ -495,6 +501,13 @@ def _launch_precompiles(args, workdir, splits_dir, stages):
                          (ed_cfg, n_train, n_val),
                          dict(mesh=_mesh_from_args(args, ed_cfg.batch_size),
                               precision=precision, notes_len=corpus_len)))
+    if "gan" in stages and getattr(args, "gan_fm", None):
+        # the fm loss bakes per-corpus centroid CONSTANTS into the program;
+        # a data-less warm compile could never match the real train's cache
+        # key, so skip rather than burn a useless multi-minute remote compile
+        print("[INFO] skipping GAN precompile: --gan-fm bakes corpus "
+              "constants (the train stage compiles its own program)")
+        stages = tuple(s for s in stages if s != "gan")
     if "gan" in stages:
         gan_cfg = _load_cfg(GANConfig, args.gan_config, workdir)
         if epochs:
@@ -1063,6 +1076,25 @@ def cmd_export_checkpoint(args):
     print(f"[INFO] exported {args.kind} checkpoint {args.ckpt} -> {args.out}")
 
 
+def cmd_augment_corpus(args):
+    """Expand real MIDI sources into an augmented training corpus
+    (grouped-by-source splits, train-fit scaler — data/augment.py)."""
+    from melogan_tpu.data.augment import expand_corpus
+    from melogan_tpu.data.npz import read_split_csv
+
+    rows = read_split_csv(args.manifest)
+    entries = [(r["file_key"], r["full_path"], r["emotion"]) for r in rows]
+    ratios = tuple(float(x) for x in args.ratios.split("/"))
+    if len(ratios) != 3 or abs(sum(ratios) - 1.0) > 1e-6:
+        raise SystemExit(f"--ratios must be three fractions summing to 1, "
+                         f"got {args.ratios!r}")
+    report = expand_corpus(
+        entries, args.out, per_song=args.per_song, ratios=ratios,
+        seed=args.seed)
+    print(json.dumps(report))
+    return report
+
+
 def cmd_quality_gate(args):
     """Check generated .mid files against the golden-artifact bands."""
     from melogan_tpu.diagnostics.quality import gate_directory
@@ -1139,16 +1171,22 @@ def cmd_eval_gen(args):
         print(f"[INFO] judge saved -> {judge_ckpt}")
 
     gen_vars = fe_vars = None
+    emotion_features = None
     ckpt_path = args.checkpoint or os.path.join(
         args.workdir, cfg.checkpoint_dir, "gan_final.ckpt")
     if os.path.exists(ckpt_path):
-        gen_vars, fe_vars = load_gan_final(ckpt_path, ema=getattr(args, "ema", False))
+        from melogan_tpu.train.gan_loop import load_gan_final_full
+
+        gen_vars, fe_vars, extras = load_gan_final_full(
+            ckpt_path, ema=getattr(args, "ema", False))
+        emotion_features = extras["emotion_features"]
         print(f"[INFO] loaded generator from {ckpt_path}"
               + (" (EMA weights)" if getattr(args, "ema", False) else ""))
     else:
         print(f"[WARN] checkpoint not found at {ckpt_path}; judging RANDOM weights")
 
-    sampler = Sampler(cfg, gen_variables=gen_vars, fe_variables=fe_vars, seed=args.seed)
+    sampler = Sampler(cfg, gen_variables=gen_vars, fe_variables=fe_vars,
+                      seed=args.seed, emotion_features=emotion_features)
     report = judge_mod.judge_generated(
         judge_cfg, judge_state, sampler,
         n_per_emotion=args.samples, seed=args.seed,
@@ -1177,6 +1215,11 @@ def cmd_text_eval(args):
     from melogan_tpu.diagnostics.text_eval import compare_offline_backends
 
     report = compare_offline_backends(seed=getattr(args, "seed", 0), verbose=True)
+    if getattr(args, "ceiling", False):
+        from melogan_tpu.diagnostics.text_eval import ceiling_study
+
+        report["ceiling"] = ceiling_study(seed=getattr(args, "seed", 0),
+                                          verbose=True)
     if getattr(args, "json", False):
         print(json.dumps(report))
     return report
@@ -1558,6 +1601,20 @@ def build_parser():
     s.set_defaults(fn=cmd_export_checkpoint)
 
     s = sub.add_parser(
+        "augment-corpus",
+        help="expand real MIDI sources into an augmentation-expanded corpus "
+             "(K variants/song, leakage-safe grouped splits)",
+    )
+    s.add_argument("--manifest", required=True,
+                   help="CSV with file_key, emotion, full_path columns")
+    s.add_argument("--out", required=True, help="output corpus root")
+    s.add_argument("--per-song", type=int, default=20, dest="per_song")
+    s.add_argument("--ratios", default="0.5/0.25/0.25",
+                   help="train/val/test fractions over SOURCE songs")
+    s.add_argument("--seed", type=int, default=42)
+    s.set_defaults(fn=cmd_augment_corpus)
+
+    s = sub.add_parser(
         "quality-gate",
         help="check generated .mid files against the golden-artifact bands",
     )
@@ -1607,6 +1664,10 @@ def build_parser():
     )
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--json", action="store_true")
+    s.add_argument("--ceiling", action="store_true",
+                   help="add the ceiling study: 1-NN surface baseline, "
+                        "train-self capacity check, confusion matrix, "
+                        "misclassified examples")
     s.set_defaults(fn=cmd_text_eval)
 
     s = sub.add_parser("tsne", help="latent-space t-SNE visualization")

@@ -125,6 +125,23 @@ class EmotionDiscriminator(nn.Module):
             feats = self.encoder(x, train=train)
         return self.classifier(feats, train=train)
 
+    def features(self, x, train: bool = False):
+        """Penultimate (encoder) features — (B, notes_hidden) in notes mode.
+
+        Used by the GAN's optional ED-feature-matching loss
+        (train/gan_step.py lambda_fm): these features are what the
+        classifier head separates emotions with, so matching their
+        per-emotion real-data centroids moves generated samples along
+        exactly the directions an emotion classifier reads."""
+        if self.input_mode == "latent":
+            return x
+        return self.encoder(x, train=train)
+
+    def features_and_logits(self, x, train: bool = False):
+        """(features, logits) in one encoder pass (the G loss needs both)."""
+        feats = self.features(x, train=train)
+        return feats, self.classifier(feats, train=train)
+
     def predict_proba(self, x):
         return jax.nn.softmax(self(x, train=False), axis=-1)
 

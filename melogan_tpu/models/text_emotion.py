@@ -164,30 +164,38 @@ def backend_name() -> str:
 
 
 # measured on the held-out eval split of the framework corpus
-# (data/text_corpus.py; 540 sentences, disjoint phrases AND templates from
-# training; majority-class chance 33%). Re-derivable via
+# (data/text_corpus.py; 1,210 sentences after the round-5 expansion to 28
+# phrases/category, disjoint phrases AND templates from training;
+# majority-class chance 33%). Re-derivable via
 # diagnostics/text_eval.py::compare_offline_backends; tests assert the live
 # measurement matches these constants and that text-mlp > lexicon on both.
+# Context numbers from the same round's ceiling study (text-eval --ceiling):
+# a 1-NN char-ngram surface matcher scores 46.1% on this split and the
+# classifier scores ~100% on its own training sentences — the eval gap is
+# generalization to unseen paraphrases, bounded by the from-scratch corpus.
 MEASURED_EVAL_ACCURACY = {
-    "text-mlp": {"overall": 0.381, "macro": 0.364},
-    "lexicon": {"overall": 0.341, "macro": 0.266},
+    "text-mlp": {"overall": 0.510, "macro": 0.484},
+    "lexicon": {"overall": 0.434, "macro": 0.358},
 }
 
 _BACKEND_NOTES = {
     "jax-roberta": "go_emotions RoBERTa running natively in JAX (reference-model accuracy)",
     "transformers": "go_emotions RoBERTa via the HF pipeline on torch CPU (reference-model accuracy)",
     "text-mlp": (
-        "framework-trained hybrid classifier (own BPE embeddings + lexicon "
-        "features) — measured 38.1% overall / 36.4% macro 4-emotion accuracy "
-        "on the held-out eval set (chance 33%/25%; lexicon scores 34.1%/26.6% "
-        "there). NOT go_emotions-model grade: set MELOGAN_TEXT_MODEL_DIR to "
-        "a local go_emotions checkpoint for reference accuracy."
+        "framework-trained hybrid classifier (own BPE embeddings + hashed "
+        "char-ngrams + lexicon features, hierarchical category/4-emotion "
+        "loss) — measured 51.0% overall / 48.4% macro 4-emotion accuracy "
+        "on the held-out eval set (chance 33%/25%; lexicon scores 43.4%/35.8% "
+        "there; a surface 1-NN baseline 46.1%). NOT go_emotions-model grade: "
+        "set MELOGAN_TEXT_MODEL_DIR to a local go_emotions checkpoint for "
+        "reference accuracy."
     ),
     "lexicon": (
-        "keyword-lexicon fallback — measured 34.1% overall / 26.6% macro "
-        "4-emotion accuracy on the held-out eval set (≈ a calm-constant "
-        "classifier; chance 33%/25%). Set MELOGAN_TEXT_MODEL_DIR to a local "
-        "go_emotions checkpoint for model-grade text emotion."
+        "keyword-lexicon fallback — measured 43.4% overall / 35.8% macro "
+        "4-emotion accuracy on the held-out eval set (heavily calm-biased: "
+        "97.5% on calm, 11-21% elsewhere; chance 33%/25%). Set "
+        "MELOGAN_TEXT_MODEL_DIR to a local go_emotions checkpoint for "
+        "model-grade text emotion."
     ),
 }
 

@@ -60,6 +60,7 @@ class Sampler:
         seed: int = 42,
         fast_math: bool = False,
         mesh=None,
+        emotion_features=None,
     ):
         """``fast_math=True`` traces the sample step with default (bf16-pass)
         MXU precision — ~2× throughput at large batch; note bytes differ from
@@ -106,25 +107,48 @@ class Sampler:
         # checkpoint hot-swap concurrent with sample_notes must never mix an
         # old generator with a new feature encoder
         self._var_lock = threading.Lock()
-        self._base_features = jnp.asarray(
-            np.stack([EMOTION_FEATURES[e] for e in EMOTIONS]), dtype=jnp.float32
-        )
-        jitted = jax.jit(self._sample_step, static_argnames=("batch",))
-        if fast_math:
-            from melogan_tpu.models.layers import default_precision, set_default_precision
-
-            def step_fast(gen_vars, fe_vars, rng, emotion_idx, batch):
-                # precision is read at trace time; flip it around each trace
-                prev = default_precision()
-                set_default_precision(jax.lax.Precision.DEFAULT)
-                try:
-                    return jitted(gen_vars, fe_vars, rng, emotion_idx, batch=batch)
-                finally:
-                    set_default_precision(prev)
-
-            self._step = step_fast
+        # Conditioning base vectors. The reference app ships HAND-TUNED
+        # per-emotion vectors (app.py:53-65) that were tuned for ITS model's
+        # scaler; against a framework-trained E_num they are out-of-
+        # distribution and scramble the emotion mapping at sample time
+        # (measured round 5: judge-ED confusion swapped sad<->calm while the
+        # training-time feature-matching residual was tiny — RESULTS.md).
+        # Framework checkpoints therefore carry the TRAIN CORPUS's
+        # per-emotion standardized-feature centroids ("emotion_features" in
+        # gan_final.ckpt); pass them here to condition sampling exactly the
+        # way E_num was trained. Fallback (None) keeps the reference map —
+        # bug-for-bug parity and old-checkpoint compatibility.
+        if emotion_features is not None:
+            base = np.asarray(emotion_features, np.float32)
+            if base.shape != (len(EMOTIONS), self.cfg.numeric_input_dim):
+                raise ValueError(
+                    f"emotion_features must be {(len(EMOTIONS), self.cfg.numeric_input_dim)}, "
+                    f"got {base.shape}")
         else:
-            self._step = jitted
+            base = np.stack([EMOTION_FEATURES[e] for e in EMOTIONS])
+        self.emotion_features = None if emotion_features is None else base
+        self._base_features = jnp.asarray(base, dtype=jnp.float32)
+        self._step = self._build_step()
+
+    def _build_step(self):
+        """(Re)bind the jitted sample step against the CURRENT base-feature
+        constants (called from __init__ and from swap_variables when a
+        reload changes the conditioning centroids)."""
+        jitted = jax.jit(self._sample_step, static_argnames=("batch",))
+        if not self.fast_math:
+            return jitted
+        from melogan_tpu.models.layers import default_precision, set_default_precision
+
+        def step_fast(gen_vars, fe_vars, rng, emotion_idx, batch):
+            # precision is read at trace time; flip it around each trace
+            prev = default_precision()
+            set_default_precision(jax.lax.Precision.DEFAULT)
+            try:
+                return jitted(gen_vars, fe_vars, rng, emotion_idx, batch=batch)
+            finally:
+                set_default_precision(prev)
+
+        return step_fast
 
     # ------------------------------------------------------------------
     def _sample_step(self, gen_vars, fe_vars, rng, emotion_idx, batch: int):
@@ -159,16 +183,31 @@ class Sampler:
         notes = self._step(gen_vars, fe_vars, rng, idx, batch=len(emotions))
         return np.asarray(notes)
 
-    def swap_variables(self, gen_variables, fe_variables) -> None:
+    def swap_variables(self, gen_variables, fe_variables,
+                       emotion_features=None) -> None:
         """Atomically replace the generator + feature-encoder weights.
 
         Checkpoint hot-reload for a running server: the weights are ordinary
         arguments of the jitted step (same shapes/dtypes → same compiled
         program), so a swap costs nothing — no re-trace, no recompile. The
-        lock only pairs the two attribute writes with sample_notes' reads."""
+        lock only pairs the two attribute writes with sample_notes' reads.
+
+        ``emotion_features``: the new checkpoint's conditioning centroids.
+        The base vectors are trace-time constants, so a CHANGE re-traces the
+        step (one recompile) — only ever happens when a reload brings a
+        checkpoint trained on a different corpus."""
         with self._var_lock:
             self.gen_variables = gen_variables
             self.fe_variables = fe_variables
+            if emotion_features is not None:
+                new = np.asarray(emotion_features, np.float32)
+                if (self.emotion_features is None
+                        or not np.array_equal(new, self.emotion_features)):
+                    self.emotion_features = new
+                    self._base_features = jnp.asarray(new, jnp.float32)
+                    # the old jitted step traced the previous constants —
+                    # bind a fresh one so the stale trace can't be reused
+                    self._step = self._build_step()
 
     def generate_many(
         self,

@@ -204,7 +204,7 @@ class AppState:
         --watch-ckpt mtime watcher. Raises on unreadable/malformed files
         (the CURRENT weights keep serving — swap happens only after a
         successful load)."""
-        from melogan_tpu.train.gan_loop import load_gan_final
+        from melogan_tpu.train.gan_loop import load_gan_final_full
 
         with self._reload_lock:
             # mtime read BEFORE the load: if the file is replaced again
@@ -214,8 +214,10 @@ class AppState:
                 mtime = os.path.getmtime(path)
             except OSError:
                 mtime = None
-            gen_vars, fe_vars = load_gan_final(path, ema=self.use_ema)
-            self.sampler.swap_variables(gen_vars, fe_vars)
+            gen_vars, fe_vars, extras = load_gan_final_full(path, ema=self.use_ema)
+            self.sampler.swap_variables(
+                gen_vars, fe_vars,
+                emotion_features=extras["emotion_features"])
             flushed = self.pool.flush() if self.pool is not None else 0
             self.ckpt_path = path
             # recorded even when the mtime read raced (mtime None): the
@@ -749,10 +751,11 @@ def serve(
     else:
         cfg = GANConfig.from_yaml(config) if os.path.exists(config) else GANConfig()
     gen_vars = fe_vars = None
+    emotion_features = None
     loaded_version = None
     ckpt_path = checkpoint or os.path.join(workdir, cfg.checkpoint_dir, "gan_final.ckpt")
     if os.path.exists(ckpt_path):
-        from melogan_tpu.train.gan_loop import load_gan_final
+        from melogan_tpu.train.gan_loop import load_gan_final_full
 
         # version captured ADJACENT to the load (mtime read before, same
         # convention as reload_checkpoint): warm-up below can take minutes,
@@ -762,9 +765,12 @@ def serve(
             loaded_version = (ckpt_path, os.path.getmtime(ckpt_path))
         except OSError:
             pass
-        gen_vars, fe_vars = load_gan_final(ckpt_path, ema=use_ema)
+        gen_vars, fe_vars, extras = load_gan_final_full(ckpt_path, ema=use_ema)
+        emotion_features = extras["emotion_features"]
         print(f"[INIT] loaded GAN checkpoint from {ckpt_path}"
-              + (" (EMA weights)" if use_ema else ""))
+              + (" (EMA weights)" if use_ema else "")
+              + ("" if emotion_features is None
+                 else " (corpus-calibrated conditioning)"))
     else:
         print(f"[WARN] GAN checkpoint not found at {ckpt_path}; serving random weights"
               + (" until it appears" if watch_ckpt > 0 else ""))
@@ -783,7 +789,8 @@ def serve(
 
         mesh = make_mesh(n_devices=dp)
     sampler = Sampler(cfg, gen_variables=gen_vars, fe_variables=fe_vars,
-                      fast_math=fast_math, mesh=mesh)
+                      fast_math=fast_math, mesh=mesh,
+                      emotion_features=emotion_features)
     # warm the XLA program before accepting traffic
     sampler.sample_notes(["happy"], seed=0)
     ready.set()

@@ -106,15 +106,34 @@ def train(
     cfg = gan_step.precision_tuned_cfg(cfg, precision)
     models = gan_step.build_models(cfg, ed_cfg)
     state = gan_step.init_state(cfg, models, seed=cfg.seed, ed_variables=ed_variables)
-    # optional feature matching: per-emotion note-space centroids from the
-    # REAL training corpus (host-computed once, baked into the program as
-    # (4,8)/(8,) constants — a lambda_fm run therefore compiles per-corpus;
-    # the default lambda_fm=0 path is byte-identical to before)
-    fm_target = None
+    # optional feature matching: per-emotion note-space centroids + frozen-ED
+    # penultimate-feature centroids from the REAL training corpus (host-
+    # computed once, baked into the program as constants — a lambda_fm run
+    # therefore compiles per-corpus; the default lambda_fm=0 path is
+    # byte-identical to before)
+    fm_target = fm_ed_target = None
     if cfg.lambda_fm:
         fm_target = gan_step.fm_targets_from_data(
             train_data.notes_gan(), train_data.emotion_idx)
-    steps = gan_step.make_train_steps(cfg, models, mesh=mesh, fm_target=fm_target)
+        if ed_variables is not None:
+            fm_ed_target = gan_step.fm_ed_targets_from_data(
+                models.ed, ed_variables, train_data.notes_gan(),
+                train_data.emotion_idx)
+    steps = gan_step.make_train_steps(cfg, models, mesh=mesh,
+                                      fm_target=fm_target,
+                                      fm_ed_target=fm_ed_target)
+
+    # per-emotion standardized-feature centroids of the TRAIN corpus: stored
+    # in every checkpoint as "emotion_features" so sampling conditions E_num
+    # exactly the way it was trained (the reference app's hand-tuned vectors
+    # are out-of-distribution for a freshly trained scaler and scramble the
+    # emotion mapping at sample time — round-5 study, RESULTS.md)
+    emo_idx_all = train_data.emotion_idx
+    emotion_features = np.stack([
+        train_data.numeric[emo_idx_all == e].mean(axis=0)
+        if (emo_idx_all == e).any() else train_data.numeric.mean(axis=0)
+        for e in range(4)
+    ]).astype(np.float32)
     from melogan_tpu.train.harness import jit_with_precision
 
     tail_fn = jit_with_precision(steps.tail, precision)
@@ -322,6 +341,7 @@ def train(
                 "opt_D": state.opt_d,
                 "rng": state.rng,
                 "step": state.step,
+                "emotion_features": emotion_features,
             }
             if state.ema_params is not None:
                 # G_ema is the DEBIASED serving artifact; ema_raw is the
@@ -343,7 +363,8 @@ def train(
                                     f"gate_epoch{chunk_end:04d}")
             passed, total, violations, _, _, gate_sampler = _gate_member(
                 cfg, state, cfg.seed + chunk_end, gate_dir,
-                gate_samples_per_emotion, gate_sampler)
+                gate_samples_per_emotion, gate_sampler,
+                emotion_features=emotion_features)
             writer.add_scalars(
                 {"Gate/passed": passed, "Gate/violations": violations}, chunk_end)
             score = (passed, -violations)
@@ -356,6 +377,7 @@ def train(
                     "E_num": {"params": state.fe_params},
                     "gate": {"passed": passed, "total": total,
                              "violations": violations},
+                    "emotion_features": emotion_features,
                 }
                 if state.ema_params is not None:
                     best["G_ema"] = {
@@ -371,6 +393,7 @@ def train(
     final = {
         "G": {"params": state.gen_params, "batch_stats": state.gen_stats},
         "E_num": {"params": state.fe_params},
+        "emotion_features": emotion_features,
     }
     if state.ema_params is not None:
         final["G_ema"] = {"params": gan_step.ema_weights(state, cfg.ema_decay),
@@ -386,6 +409,16 @@ def load_gan_final(path: str, ema: bool = False):
     ``ema=True`` returns the EMA generator weights (``G_ema``, present when
     the run trained with ``cfg.ema_decay > 0``); raises KeyError with a clear
     message when the checkpoint has none."""
+    gen_vars, fe_vars, _ = load_gan_final_full(path, ema=ema)
+    return gen_vars, fe_vars
+
+
+def load_gan_final_full(path: str, ema: bool = False):
+    """(gen_variables, fe_variables, extras) — extras carries
+    ``emotion_features`` (the train corpus's per-emotion standardized-feature
+    centroids, (4, 6)) when the checkpoint has them; None for pre-round-5
+    checkpoints (samplers then fall back to the reference app's hand-tuned
+    vectors)."""
     from melogan_tpu.utils.checkpoint import load_checkpoint
 
     ckpt = load_checkpoint(path)
@@ -402,4 +435,7 @@ def load_gan_final(path: str, ema: bool = False):
         "batch_stats": ckpt[g_key].get("batch_stats", {}),
     }
     fe_vars = {"params": ckpt["E_num"]["params"]}
-    return gen_vars, fe_vars
+    ef = ckpt.get("emotion_features")
+    extras = {"emotion_features": (np.asarray(ef, np.float32)
+                                   if ef is not None else None)}
+    return gen_vars, fe_vars, extras

@@ -119,29 +119,36 @@ class HyperParams(NamedTuple):
 
 
 def note_space_stats(notes) -> "jnp.ndarray":
-    """Differentiable per-sample note-space statistics φ(notes) → (B, 8):
-    mean and std of each of the 4 note columns over the event axis.
+    """Differentiable per-sample note-space statistics φ(notes) → (B, 12):
+    per-column mean, std, and mean |Δ| (absolute first difference over the
+    event axis — a rhythm/contour statistic) for the 4 note columns.
 
     These are the raw-note-space marginals an independent classifier (or a
     kNN) keys on; the renderer's per-emotion bpm map cannot fake them. Used
-    by the optional feature-matching loss (``lambda_fm``)."""
+    by the optional feature-matching loss (``lambda_fm``). The |Δ| term was
+    added after the λ_fm=1 full-scale run: matching means/stds alone lifted
+    judge-ED 28→47% but left angry at 0% — temporal structure is where the
+    conv judge separates the fast emotions (RESULTS.md)."""
     mu = jnp.mean(notes, axis=1)
     sd = jnp.sqrt(jnp.maximum(jnp.var(notes, axis=1), 1e-8))
-    return jnp.concatenate([mu, sd], axis=-1)
+    dif = jnp.mean(jnp.abs(notes[:, 1:, :] - notes[:, :-1, :]), axis=1)
+    return jnp.concatenate([mu, sd, dif], axis=-1)
 
 
 def fm_targets_from_data(notes_gan: "np.ndarray", emotion_idx: "np.ndarray"):
     """Per-emotion real-data centroids of :func:`note_space_stats`, plus a
     per-feature scale (global std across songs) for a balanced loss.
 
-    Returns ``(targets (4, 8), scale (8,))`` as numpy — computed ONCE on host
-    from the training corpus, then baked into the fused program as constants.
+    Returns ``(targets (4, 12), scale (12,))`` as numpy — computed ONCE on
+    host from the training corpus, then baked into the fused program as
+    constants.
     """
     import numpy as np
 
     phi = np.concatenate(
         [notes_gan.mean(axis=1),
-         np.sqrt(np.maximum(notes_gan.var(axis=1), 1e-8))], axis=-1
+         np.sqrt(np.maximum(notes_gan.var(axis=1), 1e-8)),
+         np.abs(np.diff(notes_gan, axis=1)).mean(axis=1)], axis=-1
     ).astype(np.float32)
     targets = np.stack([
         phi[emotion_idx == e].mean(axis=0) if (emotion_idx == e).any()
@@ -149,6 +156,43 @@ def fm_targets_from_data(notes_gan: "np.ndarray", emotion_idx: "np.ndarray"):
         for e in range(4)
     ])
     scale = np.maximum(phi.std(axis=0), 1e-3).astype(np.float32)
+    return targets, scale
+
+
+def fm_ed_targets_from_data(
+    ed, ed_variables: Dict, notes_gan: "np.ndarray",
+    emotion_idx: "np.ndarray", batch_size: int = 128,
+):
+    """Per-emotion centroids of the FROZEN ED's penultimate features over the
+    real corpus, plus a per-feature scale — the ED-feature-matching targets
+    (Salimans et al.'s feature matching, aimed at the exact statistics an
+    emotion classifier reads; the hand-built φ in fm_targets_from_data can't
+    express pitch-class/scale structure, which is where the judge separates
+    the slow/fast emotion pairs — RESULTS.md round-5 study).
+
+    Returns ``(targets (4, D), scale (D,))`` numpy; None when the ED runs in
+    latent mode (features would just be the input)."""
+    import numpy as np
+
+    if ed.input_mode != "notes":
+        return None
+    ed_vars = {"params": ed_variables["params"]}
+    if ed_variables.get("batch_stats"):
+        ed_vars["batch_stats"] = ed_variables["batch_stats"]
+    feats_fn = jax.jit(
+        lambda x: ed.apply(ed_vars, x, train=False, method=ed.features)
+    )
+    outs = []
+    n = notes_gan.shape[0]
+    for i in range(0, n, batch_size):
+        outs.append(np.asarray(feats_fn(jnp.asarray(notes_gan[i:i + batch_size]))))
+    feats = np.concatenate(outs, axis=0).astype(np.float32)
+    targets = np.stack([
+        feats[emotion_idx == e].mean(axis=0) if (emotion_idx == e).any()
+        else feats.mean(axis=0)
+        for e in range(4)
+    ])
+    scale = np.maximum(feats.std(axis=0), 1e-3).astype(np.float32)
     return targets, scale
 
 
@@ -341,7 +385,7 @@ class TrainStepFns(NamedTuple):
 def make_train_steps(
     cfg: GANConfig, models: GANModels, mesh=None,
     hyper: Optional[HyperParams] = None,
-    fm_target=None,
+    fm_target=None, fm_ed_target=None,
 ) -> TrainStepFns:
     """Build the fused train-step pure functions (see TrainStepFns).
 
@@ -385,12 +429,17 @@ def make_train_steps(
     # term targets the marginals an independent judge actually reads.
     fm_on = fm_target is not None
     if fm_on:
-        fm_mu = jnp.asarray(fm_target[0], jnp.float32)   # (4, 8)
-        fm_scale = jnp.asarray(fm_target[1], jnp.float32)  # (8,)
-    elif hyper is None and cfg.lambda_fm:
+        fm_mu = jnp.asarray(fm_target[0], jnp.float32)   # (4, 12)
+        fm_scale = jnp.asarray(fm_target[1], jnp.float32)  # (12,)
+    fm_ed_on = fm_ed_target is not None
+    if fm_ed_on:
+        fm_ed_mu = jnp.asarray(fm_ed_target[0], jnp.float32)   # (4, D)
+        fm_ed_scale = jnp.asarray(fm_ed_target[1], jnp.float32)  # (D,)
+    if hyper is None and cfg.lambda_fm and not (fm_on or fm_ed_on):
         raise ValueError(
-            "cfg.lambda_fm > 0 requires fm_target=(targets, scale) — compute "
-            "it from the training corpus with fm_targets_from_data()"
+            "cfg.lambda_fm > 0 requires fm_target / fm_ed_target — compute "
+            "them from the training corpus with fm_targets_from_data() / "
+            "fm_ed_targets_from_data()"
         )
 
     def _scale(updates, lr):
@@ -495,16 +544,25 @@ def make_train_steps(
             ed_vars = {"params": state.ed_params}
             if state.ed_stats:
                 ed_vars["batch_stats"] = state.ed_stats
-            logits = ed.apply(ed_vars, ed_in, train=False)
+            if fm_ed_on:
+                # one encoder pass serves both the CE and the feature match
+                ed_feats, logits = ed.apply(
+                    ed_vars, ed_in, train=False,
+                    method=ed.features_and_logits)
+            else:
+                logits = ed.apply(ed_vars, ed_in, train=False)
             emo = cross_entropy(logits, emot_idx)
             loss = adv + lambda_emo * emo
+            fm = jnp.zeros(())
             if fm_on:
                 phi = note_space_stats(notes)
                 diff = (phi - fm_mu[emot_idx]) / fm_scale
-                fm = jnp.mean(jnp.sum(jnp.square(diff), axis=-1))
+                fm = fm + jnp.mean(jnp.sum(jnp.square(diff), axis=-1)) / phi.shape[-1]
+            if fm_ed_on:
+                dfe = (ed_feats - fm_ed_mu[emot_idx]) / fm_ed_scale
+                fm = fm + jnp.mean(jnp.sum(jnp.square(dfe), axis=-1)) / dfe.shape[-1]
+            if fm_on or fm_ed_on:
                 loss = loss + lambda_fm * fm
-            else:
-                fm = jnp.zeros(())
             return loss, (new_stats, adv, emo, fm)
 
         joint = (state.gen_params, state.fe_params)
@@ -564,7 +622,7 @@ def make_train_steps(
             "d_real_sum": jnp.sum(drs),
             "d_fake_sum": jnp.sum(dfs),
         }
-        if fm_on:  # static: metric exists only when the fm loss is compiled in
+        if fm_on or fm_ed_on:  # static: metric exists only when compiled in
             metrics["loss_g_fm"] = fm
         return new_state, metrics
 
@@ -665,7 +723,7 @@ def make_train_steps(
             def skip(s):
                 keys = ["loss_d_sum", "loss_g_adv", "loss_g_emo",
                         "gp_mean", "d_real_sum", "d_fake_sum"]
-                if fm_on:
+                if fm_on or fm_ed_on:
                     keys.append("loss_g_fm")
                 zeros = {k: jnp.zeros((), jnp.float32) for k in keys}
                 return s, zeros

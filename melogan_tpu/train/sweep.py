@@ -335,6 +335,15 @@ def sweep_gan(
         _pop_put = lambda x: jax.device_put(  # noqa: E731
             x, batch_sharding(mesh, np.ndim(x)))
         batched = jax.tree_util.tree_map(_pop_put, batched)
+    # per-emotion feature centroids: sampling/gating conditions E_num the way
+    # it was trained (stored in member finals; see gan_loop.train)
+    emo_idx_all = train_data.emotion_idx
+    emotion_features = np.stack([
+        train_data.numeric[emo_idx_all == e].mean(axis=0)
+        if (emo_idx_all == e).any() else train_data.numeric.mean(axis=0)
+        for e in range(4)
+    ]).astype(np.float32)
+
     # optional feature matching: real-corpus note-space centroids, shared by
     # every member (the λ_fm knob itself may vary per member via hypers)
     fm_target = None
@@ -472,7 +481,8 @@ def sweep_gan(
                                        f"m{ids[k]}_seed{seeds[k]}")
                 passed, total, violations, _, _, sampler = _gate_member(
                     cfg, _member(batched, k), seeds[k], out_dir,
-                    samples_per_emotion, sampler)
+                    samples_per_emotion, sampler,
+                    emotion_features=emotion_features)
                 rows.append({"member": ids[k], "seed": seeds[k],
                              "hyper": (dict(hypers[k]._asdict())
                                        if hypers is not None else None),
@@ -517,7 +527,7 @@ def sweep_gan(
     report = _select_and_save(
         cfg, batched, seeds, history, workdir=workdir,
         samples_per_emotion=samples_per_emotion, promote_best=promote_best,
-        verbose=verbose, hypers=hypers,
+        verbose=verbose, hypers=hypers, emotion_features=emotion_features,
     )
     if rung_report is not None:
         report["rungs"] = rung_report
@@ -542,6 +552,7 @@ def _gate_member(
     out_dir: str,
     samples_per_emotion: int,
     sampler,
+    emotion_features=None,
 ):
     """Generate ``samples_per_emotion`` fresh .mid per emotion from one
     population member and score them against the golden bands.
@@ -562,9 +573,11 @@ def _gate_member(
     fe_vars = {"params": member.fe_params}
     os.makedirs(out_dir, exist_ok=True)
     if sampler is None:
-        sampler = Sampler(cfg, gen_variables=gen_vars, fe_variables=fe_vars)
+        sampler = Sampler(cfg, gen_variables=gen_vars, fe_variables=fe_vars,
+                          emotion_features=emotion_features)
     else:
-        sampler.swap_variables(gen_vars, fe_vars)
+        sampler.swap_variables(gen_vars, fe_vars,
+                               emotion_features=emotion_features)
     rng = np.random.default_rng(seed)
     prompts, paths, bpms = [], [], []
     for emotion in EMOTIONS:
@@ -591,6 +604,7 @@ def _select_and_save(
     promote_best: bool,
     verbose: bool,
     hypers: Optional[Sequence[gan_step.HyperParams]] = None,
+    emotion_features=None,
 ) -> Dict:
     """Gate each member's fresh samples against the golden bands; rank by
     (files passed, fewest violations); save per-member finals + report."""
@@ -606,11 +620,14 @@ def _select_and_save(
         label = f"seed{seed}" if hypers is None else f"m{k}_seed{seed}"
         seed_dir = os.path.join(sweep_dir, label)
         passed, gate_total, violations, _, fe_vars, sampler = _gate_member(
-            cfg, member, seed, seed_dir, samples_per_emotion, sampler)
+            cfg, member, seed, seed_dir, samples_per_emotion, sampler,
+            emotion_features=emotion_features)
         ckpt_path = os.path.join(seed_dir, "gan_final.ckpt")
         final = {"G": {"params": member.gen_params,
                        "batch_stats": member.gen_stats},
                  "E_num": fe_vars}
+        if emotion_features is not None:
+            final["emotion_features"] = emotion_features
         if member.ema_params is not None:
             final["G_ema"] = {
                 "params": gan_step.ema_weights(member, cfg.ema_decay),

@@ -45,6 +45,117 @@ def build_manifest(reference_dir: str, out_csv: str) -> int:
     return len(paths)
 
 
+def main_augmented(workdir=None, reference_dir="/root/reference",
+                   per_song=40, use_tpu=True, gan_fm=None):
+    """Augmentation-expanded REAL-MIDI regime (VERDICT-r4 item 3): the 16
+    reference artifacts × (1 + per_song) variants each → a few-hundred-song
+    real-derived corpus, trained at REFERENCE hyperparameters (batch 32,
+    critic 5, the full epoch counts), then gated + latent-structure-checked +
+    judge-ED-evaluated. Appends a summary section to RESULTS.md."""
+    import jax
+
+    if not use_tpu:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        cache = os.path.join(REPO, ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from melogan_tpu.cli import main as cli
+
+    workdir = workdir or os.path.join(REPO, "experiments", "real_midi_aug")
+    os.makedirs(workdir, exist_ok=True)
+    manifest = os.path.join(workdir, "data", "manifest.csv")
+    n_src = build_manifest(reference_dir, manifest)
+    data_root = os.path.join(workdir, "data")
+    cli(["augment-corpus", "--manifest", manifest, "--out", data_root,
+         "--per-song", str(per_song), "--ratios", "0.5/0.25/0.25",
+         "--seed", "42"])
+    cli(["split-arrays", "--splits-dir", os.path.join(data_root, "splits"),
+         "--processed-dir", os.path.join(data_root, "processed")])
+
+    # REFERENCE hyperparameters; AE gets the free-bits floor (the documented
+    # anti-collapse deviation the synthetic full-scale demo also uses)
+    args = ["pipeline", "--workdir", workdir, "--manifest", manifest,
+            "--resume",
+            "--ae-config", os.path.join(REPO, "configs/ae_freebits.yaml"),
+            "--ed-config", os.path.join(REPO, "configs/ed.yaml"),
+            "--gan-config", os.path.join(REPO, "configs/gan.yaml"),
+            "--skip-quality-gate"]
+    if gan_fm is not None:
+        args += ["--gan-fm", str(gan_fm)]
+    cli(args)
+
+    gen_dir = os.path.join(workdir, "generated_tests")
+    from melogan_tpu.diagnostics.quality import gate_directory
+
+    gate = gate_directory(gen_dir)
+    n_pass = sum(1 for e in gate.get("files", {}).values() if not e["violations"])
+    n_tot = len(gate.get("files", {}))
+
+    import numpy as np
+
+    from melogan_tpu.data.datasets import load_split
+    from melogan_tpu.diagnostics.diagnose import latent_emotion_structure
+
+    feats = np.load(os.path.join(workdir, "data/splits/train/encoder_feats.npy"))
+    td = load_split(os.path.join(workdir, "data/splits/train_split.csv"),
+                    os.path.join(workdir, "data/processed"), verbose=False)
+    m = min(feats.shape[0], td.n)
+    struct = latent_emotion_structure(feats[:m], td.emotion_idx[:m])
+    stds = feats.std(axis=0)
+
+    # judge-ED on fresh samples (judge trains on the held-out val split)
+    cli(["eval-gen", "--workdir", workdir,
+         "--config", os.path.join(REPO, "configs/gan.yaml"),
+         "--ed-config", os.path.join(REPO, "configs/ed.yaml"),
+         "--splits-dir", os.path.join(data_root, "splits"),
+         "--processed-dir", os.path.join(data_root, "processed"),
+         "--samples", "8"])
+    judge = json.load(open(os.path.join(workdir, "eval_gen.json")))
+
+    summary = {
+        "n_sources": n_src, "per_song": per_song, "train_rows": td.n,
+        "gate": f"{n_pass}/{n_tot}",
+        "mu_std_min": float(stds.min()), "mu_std_max": float(stds.max()),
+        "knn": struct["knn_accuracy"], "chance": struct["chance"],
+        "silhouette": struct["silhouette"],
+        "judge_overall": judge["accuracy"],
+        "judge_per_emotion": {e: v["accuracy"]
+                              for e, v in judge["per_emotion"].items()},
+        "gan_fm": gan_fm,
+    }
+    with open(os.path.join(workdir, "real_midi_aug_summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"[real-midi-aug] {summary}")
+
+    lines = [
+        "",
+        "## Real-MIDI augmentation-expanded run "
+        f"(16 reference artifacts x (1+{per_song}) variants)",
+        "",
+        f"The 16 reference-produced artifacts expanded through the "
+        f"reference's own 5 augmentations (`melogan augment-corpus`, "
+        f"grouped-by-source splits — no variant of an eval song appears in "
+        f"training in any form) into {td.n} train rows; full pipeline at "
+        f"REFERENCE hyperparameters (batch 32, critic_iters 5"
+        + (f", λ_fm={gan_fm}" if gan_fm is not None else "") + ").",
+        f"Latent µ space: std {stds.min():.3f}-{stds.max():.3f}, "
+        f"LOO {struct['k']}-NN emotion accuracy "
+        f"**{struct['knn_accuracy']:.0%}** over {struct['n']} latents "
+        f"(chance {struct['chance']:.0%}), "
+        f"silhouette {struct['silhouette']:.2f}.",
+        f"Golden-band gate on fresh samples: **{n_pass}/{n_tot}**; "
+        f"judge-ED {judge['accuracy']:.1%} overall ("
+        + " / ".join(f"{e} {v['accuracy']:.0%}"
+                     for e, v in judge["per_emotion"].items()) + ").",
+    ]
+    with open(os.path.join(REPO, "RESULTS.md"), "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    return summary
+
+
 def main(workdir=None, reference_dir="/root/reference"):
     import jax
 
@@ -149,8 +260,27 @@ def main(workdir=None, reference_dir="/root/reference"):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     ref = "/root/reference"
-    if "--reference" in sys.argv:
-        ref = sys.argv[sys.argv.index("--reference") + 1]
-    main(args[0] if args else None, reference_dir=ref)
+    if "--reference" in argv:
+        i = argv.index("--reference")
+        ref = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    aug = fm = None
+    cpu = False
+    for a in list(argv):
+        if a.startswith("--augment"):
+            aug = int(a.split("=", 1)[1]) if "=" in a else 40
+            argv.remove(a)
+        elif a.startswith("--gan-fm="):
+            fm = float(a.split("=", 1)[1])
+            argv.remove(a)
+        elif a == "--cpu":
+            cpu = True
+            argv.remove(a)
+    pos = [a for a in argv if not a.startswith("--")]
+    if aug is not None:
+        main_augmented(pos[0] if pos else None, reference_dir=ref,
+                       per_song=aug, use_tpu=not cpu, gan_fm=fm)
+    else:
+        main(pos[0] if pos else None, reference_dir=ref)

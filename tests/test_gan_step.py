@@ -353,9 +353,10 @@ def test_feature_matching_loss(rng):
     notes = rng.normal(size=(n, cfg0.max_notes, 4)).astype(np.float32)
     emo = np.asarray(rng.integers(0, 4, size=(n,)), np.int32)
     targets, scale = gan_step.fm_targets_from_data(notes, emo)
-    assert targets.shape == (4, 8) and scale.shape == (8,)
+    assert targets.shape == (4, 12) and scale.shape == (12,)
     phi = np.concatenate(
-        [notes.mean(axis=1), np.sqrt(np.maximum(notes.var(axis=1), 1e-8))], -1)
+        [notes.mean(axis=1), np.sqrt(np.maximum(notes.var(axis=1), 1e-8)),
+         np.abs(np.diff(notes, axis=1)).mean(axis=1)], -1)
     np.testing.assert_allclose(targets[1], phi[emo == 1].mean(0), rtol=1e-5)
 
     # default path: no fm metric, states identical to a build without the arg
@@ -382,6 +383,48 @@ def test_feature_matching_loss(rng):
     # misconfiguration fails fast
     with pytest.raises(ValueError, match="fm_target"):
         gan_step.make_train_steps(cfg, models)
+
+
+def test_ed_feature_matching(rng):
+    """The ED-feature-matching channel: targets are per-emotion centroids of
+    the frozen ED's penultimate features; training with it reduces the fm
+    term; latent-mode EDs return None (no meaningful feature space)."""
+    cfg = tiny_cfg(critic_iters=2, lambda_fm=10.0)
+    ed_cfg = tiny_ed_cfg()
+    models = gan_step.build_models(cfg, ed_cfg)
+
+    n = 24
+    notes = rng.normal(size=(n, cfg.max_notes, 4)).astype(np.float32)
+    emo = np.asarray(rng.integers(0, 4, size=(n,)), np.int32)
+    state = gan_step.init_state(cfg, models, seed=0)
+    ed_vars = {"params": state.ed_params, "batch_stats": state.ed_stats}
+
+    tgt = gan_step.fm_ed_targets_from_data(models.ed, ed_vars, notes, emo,
+                                           batch_size=8)
+    assert tgt is not None
+    targets, scale = tgt
+    assert targets.shape == (4, ed_cfg.notes_hidden)
+    assert scale.shape == (ed_cfg.notes_hidden,)
+    assert np.isfinite(targets).all() and (scale > 0).all()
+
+    group = jax.jit(gan_step.make_train_steps(
+        cfg, models, fm_ed_target=tgt).group)
+    batches = make_batches(np.random.default_rng(5), cfg, cfg.critic_iters)
+    st, first = state, None
+    for _ in range(12):
+        st, m = group(st, batches)
+        if first is None:
+            first = float(m["loss_g_fm"])
+    assert np.isfinite(first)
+    assert float(m["loss_g_fm"]) < first
+
+    # latent-mode ED: no feature target
+    import dataclasses
+
+    ed_lat = dataclasses.replace(ed_cfg, input_mode="latent", latent_dim=8)
+    models_lat = gan_step.build_models(tiny_cfg(), ed_lat)
+    assert gan_step.fm_ed_targets_from_data(
+        models_lat.ed, ed_vars, notes, emo) is None
 
 
 def test_feature_matching_hyper_matches_static(rng):

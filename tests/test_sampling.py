@@ -23,6 +23,31 @@ def test_sample_notes_shapes_and_determinism():
     assert not np.array_equal(notes, notes3)
 
 
+def test_corpus_calibrated_conditioning():
+    """emotion_features: valid (4, 6) centroids change the samples (they
+    really feed E_num), invalid shapes are rejected, and a hot-swap that
+    changes them re-traces the step so the new conditioning takes effect."""
+    import pytest
+
+    cfg = GANConfig(max_notes=64, noise_dim=16, latent_dim=8, gen_hidden=32)
+    base = Sampler(cfg, seed=0)
+    ef = np.arange(24, dtype=np.float32).reshape(4, 6) / 24.0
+    cal = Sampler(cfg, seed=0, emotion_features=ef)
+    np.testing.assert_array_equal(cal.emotion_features, ef)
+    a = base.sample_notes(["happy", "sad"], seed=3)
+    b = cal.sample_notes(["happy", "sad"], seed=3)
+    assert not np.array_equal(a, b)
+
+    with pytest.raises(ValueError, match="emotion_features"):
+        Sampler(cfg, seed=0, emotion_features=np.zeros((3, 6), np.float32))
+
+    # hot-swap with NEW centroids: subsequent samples use them
+    base.swap_variables(cal.gen_variables, cal.fe_variables,
+                        emotion_features=ef)
+    c = base.sample_notes(["happy", "sad"], seed=3)
+    np.testing.assert_array_equal(b, c)
+
+
 def test_generate_midi_end_to_end(tmp_path):
     s = small_sampler()
     for emotion in EMOTIONS:
