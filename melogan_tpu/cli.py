@@ -691,11 +691,14 @@ def cmd_doctor(args):
              "import jax; jax.config.update('jax_platforms', 'cpu'); "
              "from melogan_tpu.models.text_emotion import backend_name; "
              "print(backend_name())"],
-            timeout=120, capture_output=True)
+            # a COLD probe retrains the classifier (~30-60 s on an idle CPU;
+            # several minutes on a loaded shared host) — the bound covers
+            # that; warm probes (fingerprint-valid cache) answer in seconds
+            timeout=300, capture_output=True)
         name = r.stdout.decode().strip() or "?"
         check("OK" if r.returncode == 0 else "FAIL", "text-backend", name)
     except subprocess.TimeoutExpired:
-        check("FAIL", "text-backend", "probe hung >120s")
+        check("FAIL", "text-backend", "probe hung >300s")
 
     fails = [n for lv, n, _ in results if lv == "FAIL"]
     print(f"[{'FAIL' if fails else 'OK'}] doctor: "

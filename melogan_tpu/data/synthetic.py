@@ -37,9 +37,9 @@ from melogan_tpu.midi.midifile import MidiInstrument, MidiNote, MidiSong
 # ALL emotions).
 EMOTION_STYLES: Dict[str, Dict] = {
     "happy": dict(bpm=(120, 150), scale="major", root=0, pitch=(44, 68), vel=(71, 85), step=(0.25, 0.5), dur=(0.25, 1.0)),
-    "sad": dict(bpm=(60, 80), scale="minor", root=9, pitch=(38, 58), vel=(68, 80), step=(0.5, 1.5), dur=(1.0, 3.0)),
+    "sad": dict(bpm=(60, 80), scale="minor", root=9, pitch=(39, 59), vel=(68, 80), step=(0.5, 1.5), dur=(1.0, 3.0)),
     "angry": dict(bpm=(140, 175), scale="minor", root=4, pitch=(36, 60), vel=(69, 87), step=(0.1, 0.3), dur=(0.125, 0.5)),
-    "calm": dict(bpm=(80, 100), scale="major", root=5, pitch=(42, 64), vel=(70, 80), step=(0.5, 1.0), dur=(0.5, 2.0)),
+    "calm": dict(bpm=(80, 100), scale="major", root=5, pitch=(42, 64), vel=(71, 81), step=(0.5, 1.0), dur=(0.5, 2.0)),
 }
 
 
@@ -61,14 +61,30 @@ def synth_song(emotion: str, rng: np.random.Generator, n_notes: int = 512) -> Mi
     t_beats = 0.0
     lo, hi = style["pitch"]
     pitch = float(rng.integers(lo, hi))
-    for _ in range(n_notes):
+    root_pc = style["root"] % 12
+    for i in range(n_notes):
         pitch = float(np.clip(pitch + rng.normal(0, 4), lo, hi))
         p = int(pitch)
         # snap into the emotion's scale
         pc = min(allowed, key=lambda a: abs(a - p % 12))
         p = (p // 12) * 12 + pc
-        vel = int(np.clip(rng.uniform(*style["vel"]), 1, 127))
+        # tonal anchor (round 5): a pure random walk has no tonal center, so
+        # Krumhansl-Schmuckler key analysis reads natural minor as its
+        # RELATIVE MAJOR (same pitch-class set) — the corpus's mode feature
+        # then fails to separate happy from angry and their conditioning
+        # embeddings nearly collapse (measured: E_num dist 0.64 vs 1.8-2.5
+        # for other pairs; generated angry classified happy by the judge).
+        # Emphasizing the tonic — every 8th event lands on the root with
+        # extra duration weight — gives KS the hierarchy it needs.
         dur = float(rng.uniform(*style["dur"]))
+        if i % 8 == 0:
+            p = (p // 12) * 12 + root_pc
+            if p < lo:
+                p += 12
+            if p > hi:
+                p -= 12
+            dur *= 2.0
+        vel = int(np.clip(rng.uniform(*style["vel"]), 1, 127))
         inst.notes.append(
             MidiNote(velocity=vel, pitch=p, start=t_beats * spb, end=(t_beats + dur) * spb)
         )
