@@ -37,7 +37,7 @@ from melogan_tpu.midi.midifile import MidiInstrument, MidiNote, MidiSong
 # ALL emotions).
 EMOTION_STYLES: Dict[str, Dict] = {
     "happy": dict(bpm=(120, 150), scale="major", root=0, pitch=(44, 68), vel=(71, 85), step=(0.25, 0.5), dur=(0.25, 1.0)),
-    "sad": dict(bpm=(60, 80), scale="minor", root=9, pitch=(39, 59), vel=(68, 80), step=(0.5, 1.5), dur=(1.0, 3.0)),
+    "sad": dict(bpm=(60, 80), scale="minor", root=9, pitch=(38, 58), vel=(68, 80), step=(0.5, 1.5), dur=(1.0, 3.0)),
     "angry": dict(bpm=(140, 175), scale="minor", root=4, pitch=(36, 60), vel=(69, 87), step=(0.1, 0.3), dur=(0.125, 0.5)),
     "calm": dict(bpm=(80, 100), scale="major", root=5, pitch=(42, 64), vel=(71, 81), step=(0.5, 1.0), dur=(0.5, 2.0)),
 }
@@ -78,11 +78,12 @@ def synth_song(emotion: str, rng: np.random.Generator, n_notes: int = 512) -> Mi
         # extra duration weight — gives KS the hierarchy it needs.
         dur = float(rng.uniform(*style["dur"]))
         if i % 8 == 0:
-            p = (p // 12) * 12 + root_pc
-            if p < lo:
-                p += 12
-            if p > hi:
-                p -= 12
+            # nearest root to the current walk position (flooring to the
+            # octave below would bias anchors up to 11 semitones low and
+            # drag the per-song average pitch under the golden envelope)
+            base = (p // 12) * 12 + root_pc
+            cands = [c for c in (base - 12, base, base + 12) if lo <= c <= hi]
+            p = min(cands, key=lambda c: abs(c - p)) if cands else p
             dur *= 2.0
         vel = int(np.clip(rng.uniform(*style["vel"]), 1, 127))
         inst.notes.append(

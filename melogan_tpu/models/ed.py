@@ -53,18 +53,27 @@ class NotesEncoder(nn.Module):
     num_blocks: int = 4
 
     @nn.compact
-    def __call__(self, notes, train: bool = True):
+    def __call__(self, notes, train: bool = True, return_taps: bool = False):
         x = notes
         ch = 64
+        taps = []
         for i in range(self.num_blocks):
             x = ConvBlock1D(
                 features=ch,
                 kernel_size=5 if i == 0 else 3,
                 padding=2 if i == 0 else 1,
             )(x, train=train)
+            if return_taps:
+                # mean-pooled per-block activations: multi-scale texture
+                # statistics for the GAN's feature-matching loss (reads
+                # only — the module/parameter structure is unchanged)
+                taps.append(jnp.mean(x, axis=1))
             ch = min(ch * 2, self.hidden_dim)
         x = adaptive_avg_pool_1(x)
-        return TorchLinear(features=self.hidden_dim)(x)
+        out = TorchLinear(features=self.hidden_dim)(x)
+        if return_taps:
+            return out, jnp.concatenate(taps + [out], axis=-1)
+        return out
 
 
 class MLPClassifier(nn.Module):
@@ -125,21 +134,33 @@ class EmotionDiscriminator(nn.Module):
             feats = self.encoder(x, train=train)
         return self.classifier(feats, train=train)
 
-    def features(self, x, train: bool = False):
-        """Penultimate (encoder) features — (B, notes_hidden) in notes mode.
+    def features(self, x, train: bool = False, multi: bool = False):
+        """Encoder features for the GAN's ED-feature-matching loss
+        (train/gan_step.py lambda_fm).
 
-        Used by the GAN's optional ED-feature-matching loss
-        (train/gan_step.py lambda_fm): these features are what the
-        classifier head separates emotions with, so matching their
-        per-emotion real-data centroids moves generated samples along
-        exactly the directions an emotion classifier reads."""
+        ``multi=False``: the penultimate (B, notes_hidden) embedding — what
+        the classifier head reads. ``multi=True``: that PLUS the mean-pooled
+        activations of every conv block (B, 64+128+256+256+256) — matching
+        per-emotion centroids at several receptive fields constrains the
+        generator's texture at multiple scales, so it cannot satisfy one
+        classifier's final layer with off-manifold shortcuts (measured round
+        5: penultimate-only matching produced samples the TRAIN ED called
+        angry but an independent judge called happy)."""
         if self.input_mode == "latent":
             return x
+        if multi:
+            _, taps = self.encoder(x, train=train, return_taps=True)
+            return taps
         return self.encoder(x, train=train)
 
-    def features_and_logits(self, x, train: bool = False):
+    def features_and_logits(self, x, train: bool = False, multi: bool = False):
         """(features, logits) in one encoder pass (the G loss needs both)."""
-        feats = self.features(x, train=train)
+        if self.input_mode == "latent":
+            return x, self.classifier(x, train=train)
+        if multi:
+            pen, taps = self.encoder(x, train=train, return_taps=True)
+            return taps, self.classifier(pen, train=train)
+        feats = self.encoder(x, train=train)
         return feats, self.classifier(feats, train=train)
 
     def predict_proba(self, x):

@@ -119,9 +119,10 @@ class HyperParams(NamedTuple):
 
 
 def note_space_stats(notes) -> "jnp.ndarray":
-    """Differentiable per-sample note-space statistics φ(notes) → (B, 12):
-    per-column mean, std, and mean |Δ| (absolute first difference over the
-    event axis — a rhythm/contour statistic) for the 4 note columns.
+    """Differentiable per-sample note-space statistics φ(notes) → (B, 18):
+    per-column mean, std, mean |Δ| (absolute first difference over the
+    event axis — a rhythm/contour statistic), plus a 6-dim chroma signature
+    of the pitch column.
 
     These are the raw-note-space marginals an independent classifier (or a
     kNN) keys on; the renderer's per-emotion bpm map cannot fake them. Used
@@ -132,23 +133,42 @@ def note_space_stats(notes) -> "jnp.ndarray":
     mu = jnp.mean(notes, axis=1)
     sd = jnp.sqrt(jnp.maximum(jnp.var(notes, axis=1), 1e-8))
     dif = jnp.mean(jnp.abs(notes[:, 1:, :] - notes[:, :-1, :]), axis=1)
-    return jnp.concatenate([mu, sd, dif], axis=-1)
+    # chroma signature (round 5, after fm5/fm6): mean sin/cos of the pitch
+    # column at pitch-class frequency and two harmonics — the differentiable
+    # analog of a pitch-class histogram. Key/scale membership is the signal
+    # an independent judge separates minor-key angry from major-key happy
+    # with; mean/std/|Δ| cannot express it (generated angry matched the
+    # train-ED centroids yet read as happy to the val judge).
+    pitch_semi = (notes[..., 0] + 1.0) * 63.5  # renderer's pitch map
+    chroma = []
+    for k in (1, 2, 3):
+        theta = (2.0 * jnp.pi / 12.0) * k * pitch_semi
+        chroma.append(jnp.mean(jnp.sin(theta), axis=1))
+        chroma.append(jnp.mean(jnp.cos(theta), axis=1))
+    return jnp.concatenate([mu, sd, dif, jnp.stack(chroma, axis=-1)], axis=-1)
 
 
 def fm_targets_from_data(notes_gan: "np.ndarray", emotion_idx: "np.ndarray"):
     """Per-emotion real-data centroids of :func:`note_space_stats`, plus a
     per-feature scale (global std across songs) for a balanced loss.
 
-    Returns ``(targets (4, 12), scale (12,))`` as numpy — computed ONCE on
+    Returns ``(targets (4, 18), scale (18,))`` as numpy — computed ONCE on
     host from the training corpus, then baked into the fused program as
     constants.
     """
     import numpy as np
 
+    pitch_semi = (notes_gan[..., 0] + 1.0) * 63.5
+    chroma = []
+    for k in (1, 2, 3):
+        theta = (2.0 * np.pi / 12.0) * k * pitch_semi
+        chroma.append(np.sin(theta).mean(axis=1))
+        chroma.append(np.cos(theta).mean(axis=1))
     phi = np.concatenate(
         [notes_gan.mean(axis=1),
          np.sqrt(np.maximum(notes_gan.var(axis=1), 1e-8)),
-         np.abs(np.diff(notes_gan, axis=1)).mean(axis=1)], axis=-1
+         np.abs(np.diff(notes_gan, axis=1)).mean(axis=1),
+         np.stack(chroma, axis=-1)], axis=-1
     ).astype(np.float32)
     targets = np.stack([
         phi[emotion_idx == e].mean(axis=0) if (emotion_idx == e).any()
@@ -180,7 +200,8 @@ def fm_ed_targets_from_data(
     if ed_variables.get("batch_stats"):
         ed_vars["batch_stats"] = ed_variables["batch_stats"]
     feats_fn = jax.jit(
-        lambda x: ed.apply(ed_vars, x, train=False, method=ed.features)
+        lambda x: ed.apply(ed_vars, x, train=False, multi=True,
+                           method=ed.features)
     )
     outs = []
     n = notes_gan.shape[0]
@@ -429,8 +450,8 @@ def make_train_steps(
     # term targets the marginals an independent judge actually reads.
     fm_on = fm_target is not None
     if fm_on:
-        fm_mu = jnp.asarray(fm_target[0], jnp.float32)   # (4, 12)
-        fm_scale = jnp.asarray(fm_target[1], jnp.float32)  # (12,)
+        fm_mu = jnp.asarray(fm_target[0], jnp.float32)   # (4, 18)
+        fm_scale = jnp.asarray(fm_target[1], jnp.float32)  # (18,)
     fm_ed_on = fm_ed_target is not None
     if fm_ed_on:
         fm_ed_mu = jnp.asarray(fm_ed_target[0], jnp.float32)   # (4, D)
@@ -545,9 +566,11 @@ def make_train_steps(
             if state.ed_stats:
                 ed_vars["batch_stats"] = state.ed_stats
             if fm_ed_on:
-                # one encoder pass serves both the CE and the feature match
+                # one encoder pass serves both the CE and the feature match;
+                # multi=True matches per-block pooled activations too (multi-
+                # scale texture), not just the penultimate embedding
                 ed_feats, logits = ed.apply(
-                    ed_vars, ed_in, train=False,
+                    ed_vars, ed_in, train=False, multi=True,
                     method=ed.features_and_logits)
             else:
                 logits = ed.apply(ed_vars, ed_in, train=False)

@@ -353,11 +353,17 @@ def test_feature_matching_loss(rng):
     notes = rng.normal(size=(n, cfg0.max_notes, 4)).astype(np.float32)
     emo = np.asarray(rng.integers(0, 4, size=(n,)), np.int32)
     targets, scale = gan_step.fm_targets_from_data(notes, emo)
-    assert targets.shape == (4, 12) and scale.shape == (12,)
+    assert targets.shape == (4, 18) and scale.shape == (18,)
+    semi = (notes[..., 0] + 1.0) * 63.5
+    chroma = []
+    for k in (1, 2, 3):
+        th = (2.0 * np.pi / 12.0) * k * semi
+        chroma += [np.sin(th).mean(1), np.cos(th).mean(1)]
     phi = np.concatenate(
         [notes.mean(axis=1), np.sqrt(np.maximum(notes.var(axis=1), 1e-8)),
-         np.abs(np.diff(notes, axis=1)).mean(axis=1)], -1)
-    np.testing.assert_allclose(targets[1], phi[emo == 1].mean(0), rtol=1e-5)
+         np.abs(np.diff(notes, axis=1)).mean(axis=1),
+         np.stack(chroma, -1)], -1)
+    np.testing.assert_allclose(targets[1], phi[emo == 1].mean(0), rtol=1e-4)
 
     # default path: no fm metric, states identical to a build without the arg
     state0 = gan_step.init_state(cfg0, models, seed=0)
@@ -403,8 +409,10 @@ def test_ed_feature_matching(rng):
                                            batch_size=8)
     assert tgt is not None
     targets, scale = tgt
-    assert targets.shape == (4, ed_cfg.notes_hidden)
-    assert scale.shape == (ed_cfg.notes_hidden,)
+    # multi-scale features: per-block pooled channels + the penultimate
+    # embedding (tiny ED: 64 + 32 blocks, hidden 32 -> 128 dims)
+    assert targets.shape[0] == 4 and targets.shape[1] > ed_cfg.notes_hidden
+    assert scale.shape == (targets.shape[1],)
     assert np.isfinite(targets).all() and (scale > 0).all()
 
     group = jax.jit(gan_step.make_train_steps(
