@@ -37,7 +37,7 @@ from melogan_tpu.midi.midifile import MidiInstrument, MidiNote, MidiSong
 # ALL emotions).
 EMOTION_STYLES: Dict[str, Dict] = {
     "happy": dict(bpm=(120, 150), scale="major", root=0, pitch=(44, 68), vel=(71, 85), step=(0.25, 0.5), dur=(0.25, 1.0)),
-    "sad": dict(bpm=(60, 80), scale="minor", root=9, pitch=(38, 58), vel=(68, 80), step=(0.5, 1.5), dur=(1.0, 3.0)),
+    "sad": dict(bpm=(60, 80), scale="minor", root=9, pitch=(40, 58), vel=(68, 80), step=(0.5, 1.5), dur=(1.0, 3.0)),
     "angry": dict(bpm=(140, 175), scale="minor", root=4, pitch=(36, 60), vel=(69, 87), step=(0.1, 0.3), dur=(0.125, 0.5)),
     "calm": dict(bpm=(80, 100), scale="major", root=5, pitch=(42, 64), vel=(71, 81), step=(0.5, 1.0), dur=(0.5, 2.0)),
 }
