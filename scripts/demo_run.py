@@ -174,21 +174,39 @@ def summarize(workdir: str, per_emotion: int, total: float,
                     f"on real held-out test data (n={judge_real['n']}), so the "
                     "generated-sample number is a statement about the "
                     "generator, not the judge." if judge_real else "")
+        meta_path = os.path.join(workdir, "run_meta.json")
+        run_meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}
+        fm = run_meta.get("gan_fm")
+        if rep["accuracy"] >= 0.5:
+            context = (
+                " The emotion is carried in raw NOTE SPACE, not just rendered "
+                "statistics — the round-5 result (docs/emotion_study_r5.md): "
+                "feature matching against per-emotion note-space/multi-scale "
+                "frozen-ED centroids"
+                + (f" (λ_fm={fm:g}, a documented deviation; LAMBDA_FM: 0 keeps "
+                   "the exact reference loss)" if fm else "")
+                + ", corpus-calibrated conditioning (checkpoints carry the "
+                "train corpus's per-emotion feature centroids), and a "
+                "tonal-anchored corpus. For scale: the reference's own "
+                "in-loss emotion CE plateaued at 1.414 ≈ chance ln 4 — its "
+                "generator never demonstrably carried emotion through its ED."
+            )
+        else:
+            context = (
+                " Context: the generator's samples carry real emotion signal "
+                "in their rendered statistics (the gate above) but sit off "
+                "the real-data manifold in raw note space, where the judge's "
+                "confidence lives. The reference never measured this: its own "
+                "in-loss emotion CE plateaued at 1.414 ≈ chance ln 4 = 1.386 "
+                "(BASELINE.md)."
+            )
         judge_para = [
             "",
             f"Independent judge-ED evaluation (`melogan eval-gen`): a second "
             f"emotion discriminator trained on the held-out val split (different "
             f"seed, never inside G's loss) classifies {rep['n']} fresh samples "
             f"at **{rep['accuracy']:.1%}** overall (chance {rep['chance']:.0%}); "
-            f"per emotion: {per}.{real_str} Context: the generator's samples "
-            "carry real emotion signal in their rendered statistics (velocity/"
-            "density split cleanly per emotion — the 8/8 gate above) but sit "
-            "off the real-data manifold in raw note space, where the judge's "
-            "confidence lives. The reference never measured this: its own "
-            "in-loss emotion CE plateaued at 1.414 ≈ chance ln 4 = 1.386 "
-            "(BASELINE.md), i.e. the reference generator also never "
-            "demonstrably carried emotion through its ED — this metric makes "
-            "that gap measurable for the first time.",
+            f"per emotion: {per}.{real_str}{context}",
         ]
 
     # strict-tier gate (raw golden envelopes, no margins)
