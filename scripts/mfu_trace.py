@@ -45,7 +45,13 @@ def timed(fn, *args, n=30, warmup=5):
 
 
 def trace_program(tag, fn, args, n_dispatch, plane_substring):
-    """Trace n_dispatch dispatches; return (summary, per_dispatch_ms)."""
+    """Trace n_dispatch dispatches; return (summary, logdir).
+
+    Whole-program device time comes from the "XLA Modules" line (one event
+    per executable dispatch); per-op attribution from "XLA Ops". Control-flow
+    wrapper ops (while/conditional/call) ENCLOSE their body ops, which are
+    also recorded individually — the wrappers are excluded from the parts
+    sum to avoid double counting."""
     import jax
 
     from melogan_tpu.utils.xplane import (
@@ -69,9 +75,17 @@ def trace_program(tag, fn, args, n_dispatch, plane_substring):
         for row in available_lines(logdir):
             print(f"  plane={row[0]!r} line={row[1]!r} events={row[2]}")
         return None, logdir
+    modules = device_op_totals(logdir, plane_substring=plane_substring,
+                               line_name="XLA Modules")
+    module_ms = sum(t["total_ps"] for t in modules.values()) / 1e9
     summary = summarize_ops(totals, top_n=30)
+    leaf_ms = summary["total_device_ms"] - summary["categories_ms"].get("control", 0.0)
     summary["n_dispatch"] = n_dispatch
-    summary["device_ms_per_dispatch"] = summary["total_device_ms"] / n_dispatch
+    summary["module_ms_per_dispatch"] = module_ms / max(n_dispatch, 1)
+    summary["leaf_ms_per_dispatch"] = leaf_ms / max(n_dispatch, 1)
+    # leaf ops over the module envelope: how much of the executable's device
+    # time the per-op rows explain (gaps = scheduling bubbles/overheads)
+    summary["parts_over_module"] = (leaf_ms / module_ms) if module_ms else None
     return summary, logdir
 
 
@@ -132,12 +146,14 @@ def main(quick=False, out_path=None, precision_list=("f32", "bf16")):
         if summary:
             entry.update(summary)
             entry["parts_over_whole"] = (
-                summary["device_ms_per_dispatch"] / (wall * 1e3))
+                summary["module_ms_per_dispatch"] / (wall * 1e3))
         report["programs"][f"group_step_{precision}"] = entry
         print(f"[mfu_trace] group_step_{precision}: wall "
-              f"{wall * 1e3:.3f} ms | device "
-              f"{entry.get('device_ms_per_dispatch', float('nan')):.3f} ms "
-              f"| attribution {entry.get('parts_over_whole', 0):.1%}")
+              f"{wall * 1e3:.3f} ms | module device "
+              f"{entry.get('module_ms_per_dispatch', float('nan')):.3f} ms "
+              f"({entry.get('parts_over_whole', 0):.1%} of wall) | leaf ops "
+              f"{entry.get('leaf_ms_per_dispatch', float('nan')):.3f} ms "
+              f"({entry.get('parts_over_module', 0) or 0:.1%} of module)")
         if summary:
             for row in summary["top_ops"][:12]:
                 per = row["ms"] / summary["total_device_ms"]
@@ -156,6 +172,11 @@ if __name__ == "__main__":
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", default=None)
     ap.add_argument("--f32-only", action="store_true")
+    ap.add_argument("--bf16-only", action="store_true")
     a = ap.parse_args()
-    main(quick=a.quick, out_path=a.out,
-         precision_list=("f32",) if a.f32_only else ("f32", "bf16"))
+    plist = ("f32", "bf16")
+    if a.f32_only:
+        plist = ("f32",)
+    elif a.bf16_only:
+        plist = ("bf16",)
+    main(quick=a.quick, out_path=a.out, precision_list=plist)
