@@ -1156,6 +1156,7 @@ def cmd_eval_gen(args):
     judge_cfg = judge_mod.judge_config(ed_cfg, epochs=args.judge_epochs)
 
     judge_ckpt = os.path.join(args.workdir, judge_cfg.checkpoint_dir, "ed_best.ckpt")
+    test_data = None
     if os.path.exists(judge_ckpt) and not args.retrain_judge:
         raw = load_checkpoint(judge_ckpt)
         judge_state = SimpleNamespace(
@@ -1172,6 +1173,22 @@ def cmd_eval_gen(args):
             epochs=args.judge_epochs, verbose=False,
         )
         print(f"[INFO] judge saved -> {judge_ckpt}")
+
+    # Judge calibration: the same judge scored on REAL held-out test rows.
+    # A generated-sample accuracy is only meaningful relative to this — a
+    # judge that cannot classify real music (tiny-source regimes like the
+    # 16-artifact real-MIDI corpus) bounds what the generated number can say.
+    judge_real = None
+    try:
+        if test_data is None:
+            test_data = _load_split(args, "test")
+        judge_real = judge_mod.judge_notes(
+            judge_cfg, judge_state, test_data.notes_gan(),
+            test_data.emotion_idx)
+        print(f"[INFO] judge on REAL held-out test data: "
+              f"{judge_real['accuracy']:.1%} over {judge_real['n']} rows")
+    except Exception as exc:  # splits may be absent when judging a bare ckpt
+        print(f"[WARN] judge real-data calibration skipped: {exc}")
 
     gen_vars = fe_vars = None
     emotion_features = None
@@ -1200,6 +1217,7 @@ def cmd_eval_gen(args):
         acc = entry["accuracy"]
         print(f"    {emotion:6s} {'' if acc is None else f'{acc:.1%}'} "
               f"(n={entry['n']})")
+    report["judge_real"] = judge_real
     out_path = os.path.join(args.workdir, "eval_gen.json")
     from melogan_tpu.utils.atomic import atomic_write
 

@@ -123,6 +123,7 @@ def main_augmented(workdir=None, reference_dir="/root/reference",
         "judge_overall": judge["accuracy"],
         "judge_per_emotion": {e: v["accuracy"]
                               for e, v in judge["per_emotion"].items()},
+        "judge_real_overall": (judge.get("judge_real") or {}).get("accuracy"),
         "gan_fm": gan_fm,
     }
     with open(os.path.join(workdir, "real_midi_aug_summary.json"), "w") as f:
@@ -148,7 +149,12 @@ def main_augmented(workdir=None, reference_dir="/root/reference",
         f"Golden-band gate on fresh samples: **{n_pass}/{n_tot}**; "
         f"judge-ED {judge['accuracy']:.1%} overall ("
         + " / ".join(f"{e} {v['accuracy']:.0%}"
-                     for e, v in judge["per_emotion"].items()) + ").",
+                     for e, v in judge["per_emotion"].items()) + ")"
+        + (f"; judge calibration on REAL held-out test rows: "
+           f"{judge['judge_real']['accuracy']:.0%} over "
+           f"{judge['judge_real']['n']} rows — the generated-sample number "
+           f"is bounded by what this judge can resolve"
+           if judge.get("judge_real") else "") + ".",
     ]
     with open(os.path.join(REPO, "RESULTS.md"), "a") as f:
         f.write("\n".join(lines) + "\n")

@@ -102,11 +102,17 @@ def test_eval_gen_cli(tmp_path, capsys, monkeypatch):
     assert "judge-ED accuracy" in out
     report = json.loads((tmp_path / "eval_gen.json").read_text())
     assert report["n"] == 8 and 0.0 <= report["accuracy"] <= 1.0
+    # judge calibration on REAL held-out test rows always rides along so the
+    # generated-sample number is interpretable in tiny-source regimes
+    assert report["judge_real"] is not None
+    assert 0.0 <= report["judge_real"]["accuracy"] <= 1.0
+    assert report["judge_real"]["n"] > 0
 
     # second run reuses the saved judge
     main(args)
     out = capsys.readouterr().out
     assert "loaded judge ED" in out
+    assert "judge on REAL held-out test data" in out
 
     # the gate can fail: demand an impossible accuracy
     with pytest.raises(SystemExit, match="min-accuracy"):
