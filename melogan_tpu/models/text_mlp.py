@@ -45,7 +45,7 @@ def _char_ngram_counts(texts: Sequence[str], n_buckets: int = N_NGRAM_BUCKETS) -
     Hashing is zlib.crc32 — deterministic across processes/runs (Python's
     ``hash`` is salted), so the trained classifier is cache-stable. (A
     word-uni/bigram variant was measured and did not beat char-only —
-    50.3% vs 51.0% overall on the eval split.)"""
+    50.3% vs 51.0% overall on the pre-expansion eval split.)"""
     import zlib
 
     out = np.zeros((len(texts), n_buckets), np.float32)
@@ -195,7 +195,7 @@ def train_text_classifier(
     verbose: bool = False,
     dropout: float = 0.0,
     label_smooth: float = 0.0,
-    ce4_weight: float = 0.5,
+    ce4_weight: float = 1.0,
 ) -> TextMLPClassifier:
     """Train the offline text classifier on the framework corpus.
 
@@ -319,7 +319,7 @@ _MODEL_VERSION = 3
 def training_fingerprint(seed: int = 0, vocab_size: int = 600,
                          epochs: int = 150, lr: float = 2e-3,
                          dropout: float = 0.0, label_smooth: float = 0.0,
-                         ce4_weight: float = 0.5) -> str:
+                         ce4_weight: float = 1.0) -> str:
     """Hash of everything that determines the trained classifier: the corpus
     (texts+labels), the category list, and the training hyperparameters.
 
